@@ -1,0 +1,27 @@
+"""Session-scoped Ray fixture — ONE ray.init per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    # Small fixtures: don't fan every shuffle out to 200 partitions.
+    ctx.min_parallelism = 8
+    ctx.read_op_min_num_blocks = 8
+    yield
+    ray.shutdown()
