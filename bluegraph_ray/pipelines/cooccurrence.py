@@ -40,7 +40,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+# Ray native aggregates only for low-cardinality groupbys (see util.hash_aggregate)
 
 from bluegraph_ray.functions.pmi import mutual_information
 
@@ -116,7 +116,7 @@ def occurrences_from_imports(ds: "ray.data.Dataset", *, factor: str = "repo") ->
             )
 
     return ds.select_columns(["content", factor]).map_batches(
-        ImportExtractor, batch_format="pandas", concurrency=(1, 8)
+        ImportExtractor, batch_format="pandas", concurrency=(1, 4)
     )
 
 
@@ -185,13 +185,19 @@ def cooccurrence_edges(
     statistics = list(statistics)
     occ = occurrences
     if entity_col != "entity" or factor_col != "factor":
-        occ = occ.select_columns([entity_col, factor_col]).rename_columns(
-            {entity_col: "entity", factor_col: "factor"}
+        from bluegraph_ray.util import rename_columns as _rn
+
+        occ = _rn(
+            occ.select_columns([entity_col, factor_col]),
+            {entity_col: "entity", factor_col: "factor"},
         )
 
-    # 1. distinct (entity, factor) — groupby does map-side partial aggregation.
-    distinct = occ.groupby(["entity", "factor"]).aggregate(Count(alias_name="_c"))
-    distinct = distinct.drop_columns(["_c"]).materialize()
+    from bluegraph_ray.util import hash_aggregate, hash_distinct
+
+    # 1. distinct (entity, factor) — map-side drop_duplicates + bucketed combine
+    # (Ray's native groupby.aggregate is per-group Python; see util.py).
+    distinct = hash_distinct(occ, ["entity", "factor"], num_buckets=num_buckets)
+    distinct = distinct.materialize()
 
     need_stats = any(s in ("ppmi", "npmi", "expected", "pmi2", "pmi3") for s in statistics)
     ent_freq_ref = None
@@ -199,12 +205,14 @@ def cooccurrence_edges(
         # 2. per-entity distinct-factor counts — small result, broadcast once.
         # At 10^12-file scale this becomes a hash join on src/dst instead of a
         # broadcast; the broadcast is correct while |entities| * 16B fits a node.
-        ef = distinct.groupby("entity").aggregate(Count(alias_name="s_freq")).to_pandas()
+        ef = hash_aggregate(
+            distinct, "entity", {"s_freq": (None, "count")}, num_buckets=num_buckets
+        ).to_pandas()
         ent_freq_ref = ray.put(ef.set_index("entity")["s_freq"])
         if total_factor_instances is None:
-            total_factor_instances = int(
-                distinct.groupby("factor").aggregate(Count(alias_name="_n")).count()
-            )
+            from bluegraph_ray.util import distinct_values
+
+            total_factor_instances = len(distinct_values(distinct, "factor"))
 
     # 3. bucket by hash(factor) and emit pairs per bucket, vectorized.
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -219,34 +227,35 @@ def cooccurrence_edges(
     )
 
     # 4. global combine -> frequency = |distinct common factors|.
-    edges = pairs.groupby(["src", "dst"]).aggregate(Sum("partial", alias_name="frequency"))
+    edges = hash_aggregate(
+        pairs, ["src", "dst"], {"frequency": ("partial", "sum")}, num_buckets=num_buckets
+    )
 
     if min_frequency > 1:
         edges = edges.filter(expr=f"frequency >= {min_frequency}")
 
-    # 5. stateless PMI stage with broadcast per-entity counts.
+    # 5. stateless PMI stage with broadcast per-entity counts. A plain task
+    # function, not an actor pool: ray.get of the broadcast ref inside the
+    # task is zero-copy plasma and needs no per-actor warm-up.
     if need_stats:
         total = float(total_factor_instances)
         stats = [s for s in statistics if s != "frequency"]
         rnd = round_to
 
-        class PmiStage:
-            def __init__(self):
-                self.ent_freq = ray.get(ent_freq_ref)
+        def pmi_stage(batch: pd.DataFrame) -> pd.DataFrame:
+            ent_freq = ray.get(ent_freq_ref)
+            co = batch["frequency"].to_numpy(dtype=np.float64)
+            s = ent_freq.reindex(batch["src"]).to_numpy(dtype=np.float64)
+            t = ent_freq.reindex(batch["dst"]).to_numpy(dtype=np.float64)
+            for stat in stats:
+                mitype = {"ppmi": None, "npmi": "normalized"}.get(stat, stat)
+                vals = mutual_information(co, s, t, total, mitype=mitype)
+                if rnd is not None:
+                    vals = np.round(vals, rnd)
+                batch[stat] = vals
+            return batch
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                co = batch["frequency"].to_numpy(dtype=np.float64)
-                s = self.ent_freq.reindex(batch["src"]).to_numpy(dtype=np.float64)
-                t = self.ent_freq.reindex(batch["dst"]).to_numpy(dtype=np.float64)
-                for stat in stats:
-                    mitype = {"ppmi": None, "npmi": "normalized"}.get(stat, stat)
-                    vals = mutual_information(co, s, t, total, mitype=mitype)
-                    if rnd is not None:
-                        vals = np.round(vals, rnd)
-                    batch[stat] = vals
-                return batch
-
-        edges = edges.map_batches(PmiStage, batch_format="pandas", concurrency=(1, 8))
+        edges = edges.map_batches(pmi_stage, batch_format="pandas")
 
     keep = ["src", "dst"] + [s for s in DEFAULT_STATS if s in statistics] + [
         s for s in statistics if s not in DEFAULT_STATS

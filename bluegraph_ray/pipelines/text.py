@@ -1,0 +1,159 @@
+"""Text analysis stages over a document table — language ID, quality scoring,
+token counting, fingerprinting.
+
+These are the "mentions preprocessing" analogs of the reference
+(``clean_up_entity`` / ``has_min_length`` / term filters,
+/root/reference/cord19kg/utils.py:106-160) generalized to the operations a
+large-scale training-data pipeline needs. All stages are vectorized
+``map_batches`` transforms; the stateful ones (compiled regexes, language
+profiles) are actor-pool callable classes.
+
+Definitions are deliberately simple and SQL-expressible where possible so the
+DuckDB oracle can verify them bit-for-bit (see __ray_entry__.oracle_sql):
+- ``n_chars``  = length(text)
+- ``n_tokens`` = number of single-space-separated tokens
+- ``n_types``  = distinct tokens
+- ``stop_ratio`` = stopword tokens / tokens (fixed stopword list)
+- ``fingerprint_sha256`` = sha256 hex of the raw text
+- ``fingerprint_roll`` = 64-bit polynomial rolling hash over tokens
+  (not SQL-expressible; rows-only check)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+STOPWORDS = ("a", "the", "and", "of", "to")
+
+# simple stopword profiles per language for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "a", "to", "value", "table"},
+    "fr": {"le", "la", "et", "de", "les"},
+    "de": {"der", "die", "und", "das", "ist"},
+    "es": {"el", "la", "y", "de", "los"},
+    "zh": set(),  # CJK detection is by codepoint range below
+}
+
+
+class TextStats:
+    """Per-document counting stage (stateless math, compiled once per actor)."""
+
+    def __init__(self, text_col: str = "text", stopwords: tuple = STOPWORDS):
+        self.text_col = text_col
+        self.stop = set(stopwords)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.text_col].str.split(" ")
+        n_tokens = toks.map(len).astype(np.int64)
+        n_types = toks.map(lambda t: len(set(t))).astype(np.int64)
+        stop = self.stop
+        n_stop = toks.map(lambda t: sum(1 for w in t if w in stop)).astype(np.int64)
+        out = batch.copy()
+        out["n_chars"] = batch[self.text_col].str.len().astype(np.int64)
+        out["n_tokens"] = n_tokens
+        out["n_types"] = n_types
+        out["stop_ratio"] = np.round(n_stop / np.maximum(n_tokens, 1), 6)
+        return out
+
+
+def doc_stats(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(TextStats(text_col), batch_format="pandas")
+
+
+class QualityScore:
+    """Heuristic quality score in [0,1]: length band + type/token ratio +
+    stopword band — the shape of production quality filters (each term is a
+    cheap vectorized signal)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        stats = TextStats(self.text_col)(batch)
+        lennorm = np.clip(stats["n_tokens"].to_numpy() / 100.0, 0, 1)
+        ttr = stats["n_types"].to_numpy() / np.maximum(stats["n_tokens"].to_numpy(), 1)
+        stop_ok = 1.0 - np.abs(stats["stop_ratio"].to_numpy() - 0.08)
+        score = np.round(0.4 * lennorm + 0.3 * ttr + 0.3 * np.clip(stop_ok, 0, 1), 6)
+        stats["quality"] = score
+        return stats
+
+
+def quality_scores(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(QualityScore(text_col), batch_format="pandas")
+
+
+class LangId:
+    """Language-ID heuristic: CJK codepoint ratio, then stopword-marker votes,
+    falling back to 'en'. Deterministic; an actor-pool stage (profiles built
+    once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+        if cjk / max(len(text[:400]), 1) > 0.1:
+            return "zh"
+        toks = set(text.lower().split(" ")[:200])
+        best, best_hits = "en", 0
+        for lang, marks in self.markers.items():
+            hits = len(toks & marks)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["pred_lang"] = batch[self.text_col].map(self._predict)
+        return out
+
+
+def lang_id(ds: "ray.data.Dataset", *, text_col: str = "text", concurrency=None) -> "ray.data.Dataset":
+    """``concurrency=N`` turns this into an actor pool (worth it only when the
+    profile table is heavy); default is stateless tasks with the pickled
+    instance — cheap profiles make pool warm-up the dominant cost."""
+    if concurrency:
+        return ds.map_batches(
+            LangId, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pandas", concurrency=concurrency,
+        )
+    return ds.map_batches(LangId(text_col), batch_format="pandas")
+
+
+def _roll_hash_tokens(tokens: list) -> np.int64:
+    h = np.uint64(1469598103934665603)
+    for t in tokens:
+        for b in t.encode():
+            h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
+        h = (h ^ np.uint64(32)) * np.uint64(1099511628211)
+    return np.int64(h >> np.uint64(1))
+
+
+class Fingerprint:
+    """Document fingerprints: sha256 of raw text + FNV-style rolling hash of
+    the token stream."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["fingerprint_sha256"] = [
+            hashlib.sha256(t.encode()).hexdigest() for t in batch[self.text_col]
+        ]
+        out["fingerprint_roll"] = [
+            _roll_hash_tokens(t.split(" ")) for t in batch[self.text_col]
+        ]
+        return out
+
+
+def fingerprints(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(Fingerprint(text_col), batch_format="pandas")

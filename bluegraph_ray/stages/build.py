@@ -1,0 +1,308 @@
+"""Graph construction: edge table -> dense vertex ids -> CSR partitions.
+
+The reference materializes the whole graph into a NetworkX / graph-tool object
+(/root/reference/bluegraph/backends/networkx/io.py:24-36,
+/root/reference/bluegraph/backends/graph_tool/io.py:61-101 — the ordinal
+vertex-id remap at io.py:95-100 is exactly our dense-id assignment). Here the
+graph stays a Ray Data edge table; iterative algorithms run over **CSR edge
+partitions range-partitioned by destination vertex** held by an actor pool:
+
+- dense ids: global distinct vertex names, sorted (deterministic) -> id = rank;
+- arcs: undirected graphs are expanded to both directions (NetworkX treats an
+  undirected graph as bidirected in pagerank, nx ``stochastic_graph`` on
+  ``G.to_directed()``);
+- partition p owns destinations [p*n//P, (p+1)*n//P); each partition is written
+  as its own Parquet directory (resumable layout) and loaded once by its actor,
+  sorted by dst with ``np.add.reduceat`` run boundaries — every superstep kernel
+  is a contiguous vectorized segment reduction (gather form of the
+  groupby(dst).aggregate message combine, with map-side combination implicit
+  because each dst lives in exactly one partition);
+- vertex state (rank / labels) is broadcast per superstep via ``ray.put`` —
+  zero-copy shared memory on a node. At 10^12-edge scale the state vector
+  itself would be sharded and the broadcast replaced by a hash join; the
+  partitioning key (dst) is chosen so that step stays a pure key-aligned join.
+
+Skew note: a high-in-degree hub vertex is a long contiguous dst-run — a single
+vectorized sum, not a straggler, on one node. Across nodes the mitigation is
+splitting a hub's run across sub-partitions and re-reducing (two-level
+combine); partition sizes are recorded in the build manifest so the planner
+can do that split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+@dataclass
+class GraphHandle:
+    """Driver-side handle to a partitioned graph."""
+
+    path: str                    # root dir; partitions at {path}/bucket={p}/
+    names: np.ndarray            # sorted vertex names; id = index
+    n: int
+    m: int                       # number of stored arcs (after direction expansion)
+    n_partitions: int
+    directed: bool
+    weighted: bool
+    partition_sizes: list = field(default_factory=list)
+
+    def id_of(self, name) -> int:
+        i = int(np.searchsorted(self.names, name))
+        if i >= self.n or self.names[i] != name:
+            raise KeyError(name)
+        return i
+
+    def names_of(self, ids: np.ndarray) -> np.ndarray:
+        return self.names[ids]
+
+
+def _as_numpy_names(values) -> np.ndarray:
+    arr = np.asarray(values)
+    if arr.dtype == object:
+        arr = arr.astype(str)
+    return np.sort(np.unique(arr))
+
+
+def build_graph(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    directed: bool = False,
+    n_partitions: int = 16,
+    path: str | None = None,
+) -> GraphHandle:
+    """Edge table Dataset -> CSR partition directories + GraphHandle.
+
+    ``edges`` must already be deduplicated per (src, dst) — the co-occurrence
+    builder and `aggregate_edges` guarantee that (the reference merges parallel
+    edges the same way, /root/reference/bluegraph/core/io.py:1091-1098).
+    """
+    import tempfile
+
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bgray_graph_")
+    os.makedirs(path, exist_ok=True)
+
+    cols = [src, dst] + ([weight] if weight else [])
+    e = edges.select_columns(cols)
+
+    # --- dense vertex ids: global distinct names, sorted ------------------
+    # per-batch unique + driver-side merge (util.distinct_values) — the name
+    # set must fit the driver anyway (it IS the id map); no shuffle.
+    from bluegraph_ray.util import distinct_values, rename_columns
+
+    srcs = rename_columns(e.select_columns([src]), {src: "v"})
+    dsts = rename_columns(e.select_columns([dst]), {dst: "v"})
+    names = _as_numpy_names(distinct_values(srcs.union(dsts), "v"))
+    n = len(names)
+    P = max(1, min(n_partitions, n))
+    names_ref = ray.put(names)
+
+    # --- encode + expand directions + bucket by dst range -----------------
+    # partition p owns dst in [p*n//P, (p+1)*n//P) — same formula as CsrPartition
+    boundaries = np.array([(p * n) // P for p in range(P + 1)], dtype=np.int64)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(names_ref)
+        s = np.searchsorted(nm, batch[src].to_numpy().astype(nm.dtype))
+        d = np.searchsorted(nm, batch[dst].to_numpy().astype(nm.dtype))
+        w = (
+            batch[weight].to_numpy(dtype=np.float64)
+            if weight
+            else np.ones(len(batch), dtype=np.float64)
+        )
+        if not directed:
+            s, d, w = np.concatenate([s, d]), np.concatenate([d, s]), np.concatenate([w, w])
+        bucket = np.searchsorted(boundaries, d.astype(np.int64), side="right") - 1
+        return pd.DataFrame(
+            {"src_id": s.astype(np.int64), "dst_id": d.astype(np.int64), "w": w, "bucket": bucket}
+        )
+
+    # coalesce to P blocks before the partitioned write so each bucket dir
+    # holds O(1) files, not O(input blocks) — actors read fewer, larger files
+    encoded = e.map_batches(encode, batch_format="pandas").repartition(P)
+    encoded.write_parquet(path, partition_cols=["bucket"])
+
+    # manifest: per-partition sizes (lineage for resume / skew planning)
+    sizes = []
+    m = 0
+    for p in range(P):
+        pdir = os.path.join(path, f"bucket={p}")
+        rows = 0
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    rows += pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+        sizes.append(rows)
+        m += rows
+    handle = GraphHandle(
+        path=path,
+        names=names,
+        n=n,
+        m=m,
+        n_partitions=P,
+        directed=directed,
+        weighted=weight is not None,
+        partition_sizes=sizes,
+    )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "n": n,
+                "m": m,
+                "n_partitions": P,
+                "directed": directed,
+                "weighted": weight is not None,
+                "partition_sizes": sizes,
+            },
+            f,
+        )
+    return handle
+
+
+@ray.remote
+class CsrPartition:
+    """One dst-range partition of the arc set, loaded once, reused every superstep.
+
+    All kernels are contiguous segment reductions over arcs sorted by dst
+    (np.add/minimum.reduceat) — the actor-held equivalent of
+    ``groupby(dst).aggregate`` with the map-side combine already applied.
+    """
+
+    def __init__(self, graph_path: str, bucket: int, n: int, n_partitions: int):
+        pdir = os.path.join(graph_path, f"bucket={bucket}")
+        self.lo = bucket * n // n_partitions
+        self.hi = (bucket + 1) * n // n_partitions
+        if os.path.isdir(pdir):
+            tbl = pq.read_table(pdir, columns=["src_id", "dst_id", "w"])
+            src = tbl.column("src_id").to_numpy()
+            dst = tbl.column("dst_id").to_numpy()
+            w = tbl.column("w").to_numpy()
+            order = np.argsort(dst, kind="stable")
+            self.src = np.ascontiguousarray(src[order])
+            self.dst = np.ascontiguousarray(dst[order])
+            self.w = np.ascontiguousarray(w[order])
+        else:
+            self.src = np.empty(0, dtype=np.int64)
+            self.dst = np.empty(0, dtype=np.int64)
+            self.w = np.empty(0, dtype=np.float64)
+        # dst run boundaries for reduceat
+        if len(self.dst):
+            change = np.flatnonzero(np.diff(self.dst)) + 1
+            self.starts = np.concatenate(([0], change))
+            self.uniq_dst = self.dst[self.starts]
+        else:
+            self.starts = np.empty(0, dtype=np.int64)
+            self.uniq_dst = np.empty(0, dtype=np.int64)
+
+    def num_arcs(self) -> int:
+        return len(self.dst)
+
+    def out_weight_partial(self):
+        """Partial out-weight sums by src over this partition's arcs."""
+        if not len(self.src):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        order = np.argsort(self.src, kind="stable")
+        s = self.src[order]
+        w = self.w[order]
+        change = np.flatnonzero(np.diff(s)) + 1
+        starts = np.concatenate(([0], change))
+        return s[starts], np.add.reduceat(w, starts)
+
+    def pr_gather(self, xw_ref) -> np.ndarray:
+        """Σ_{u->v} x(u)/outw(u) * w(u,v) for local v — returns dense [lo,hi) slice."""
+        xw = xw_ref if isinstance(xw_ref, np.ndarray) else ray.get(xw_ref)
+        out = np.zeros(self.hi - self.lo, dtype=np.float64)
+        if len(self.dst):
+            vals = xw[self.src] * self.w
+            sums = np.add.reduceat(vals, self.starts)
+            out[self.uniq_dst - self.lo] = sums
+        return out
+
+    def min_label_gather(self, labels_ref) -> np.ndarray:
+        """min over incoming neighbour labels per local v (hash-min CC step)."""
+        labels = labels_ref if isinstance(labels_ref, np.ndarray) else ray.get(labels_ref)
+        out = labels[self.lo : self.hi].copy()
+        if len(self.dst):
+            vals = labels[self.src]
+            mins = np.minimum.reduceat(vals, self.starts)
+            loc = self.uniq_dst - self.lo
+            out[loc] = np.minimum(out[loc], mins)
+        return out
+
+    def mode_label_gather(self, labels_ref) -> tuple[np.ndarray, np.ndarray]:
+        """Weighted-mode incoming label per local v (community LPA step).
+
+        Tie-break: highest total neighbour weight, then smallest label
+        (deterministic — divergence from the reference's async random order is
+        documented in stages/lpa.py). Oscillation damping: the challenger only
+        replaces the current label when its weight STRICTLY exceeds the weight
+        the current label has in the neighbourhood.
+        Returns (local_dst_ids, new_labels), already damped.
+        """
+        labels = labels_ref if isinstance(labels_ref, np.ndarray) else ray.get(labels_ref)
+        if not len(self.dst):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        lab = labels[self.src]
+        df = pd.DataFrame({"dst": self.dst, "lab": lab, "w": self.w})
+        sums = df.groupby(["dst", "lab"], sort=False)["w"].sum().reset_index()
+        sums = sums.sort_values(["dst", "w", "lab"], ascending=[True, False, True], kind="mergesort")
+        first = sums.drop_duplicates("dst", keep="first")
+        dst_ids = first["dst"].to_numpy()
+        winners = first["lab"].to_numpy()
+        win_w = first["w"].to_numpy()
+        # weight of each dst's CURRENT label in its neighbourhood (0 if absent)
+        cur = labels[dst_ids]
+        cur_rows = sums.merge(
+            pd.DataFrame({"dst": dst_ids, "lab": cur}), on=["dst", "lab"], how="right"
+        )
+        cur_w = cur_rows["w"].fillna(0.0).to_numpy()
+        keep = win_w <= cur_w
+        new = np.where(keep, cur, winners)
+        return dst_ids, new
+
+
+def make_partition_actors(handle: GraphHandle, *, num_cpus: float = 0.5):
+    """One CsrPartition actor per bucket.
+
+    Default is half a CPU per actor so a partition count moderately above the
+    CPU budget still schedules (supersteps are bursty gathers, not sustained
+    compute). For throughput benchmarking pass ``num_cpus=1.0`` and size
+    ``n_partitions`` to the cluster's CPU count — the two-cluster-size scaling
+    run does exactly that.
+    """
+    return [
+        CsrPartition.options(num_cpus=num_cpus).remote(
+            handle.path, p, handle.n, handle.n_partitions
+        )
+        for p in range(handle.n_partitions)
+    ]
+
+
+def out_weights(handle: GraphHandle, actors) -> np.ndarray:
+    """Global out-weight vector (stochastic normalization denominator)."""
+    outw = np.zeros(handle.n, dtype=np.float64)
+    for ids, sums in ray.get([a.out_weight_partial.remote() for a in actors]):
+        np.add.at(outw, ids, sums)
+    return outw
+
+
+def assemble_slices(handle: GraphHandle, parts: list[np.ndarray]) -> np.ndarray:
+    """Concatenate per-partition dense dst slices into one n-vector.
+
+    Deterministic: fixed partition order regardless of scheduling/num_cpus.
+    """
+    return np.concatenate(parts) if parts else np.empty(0)

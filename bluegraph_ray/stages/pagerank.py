@@ -1,0 +1,138 @@
+"""Distributed PageRank supersteps with NetworkX-parity semantics.
+
+Semantics match ``nx.pagerank`` exactly (the reference's backend call,
+/root/reference/bluegraph/backends/networkx/analyse/metrics.py:36-41;
+graph-tool variant at backends/graph_tool/analyse/metrics.py:46-56):
+
+- undirected graphs are treated as bidirected (nx ``stochastic_graph`` over
+  ``G.to_directed()``), handled at build time by arc duplication;
+- arc weights normalized by the source's total out-weight;
+- start vector 1/n; per superstep
+  ``x'(v) = α·Σ_u x(u)·ŵ(u,v) + α·(Σ_dangling x)/n + (1-α)/n``;
+- convergence when L1(x' - x) < n·tol (α=0.85, tol=1e-6, max_iter=100
+  defaults, matching the reference oracle).
+
+Execution: one gather per superstep across the CSR partition actors (message
+combine = per-partition ``np.add.reduceat`` — each dst lives in exactly one
+partition so no cross-partition reduce is needed), then a driver-side O(n)
+vector update (the vertex-state join). The rank vector is broadcast once per
+superstep via ``ray.put`` (plasma shared memory; at multi-node scale the
+vector shards along the same dst ranges and the broadcast becomes a key-aligned
+join — see stages/build.py docstring).
+
+Determinism: partition boundaries depend only on (n, n_partitions), reduceat
+order is storage order, and slices are assembled in fixed partition order —
+results are bitwise identical across num_cpus settings, which is what makes
+resume-from-checkpoint equal a fresh run.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import ray
+
+from bluegraph_ray.stages.build import GraphHandle, make_partition_actors, out_weights
+from bluegraph_ray.state.checkpoint import SuperstepCheckpoint
+
+
+@dataclass
+class SuperstepResult:
+    values: np.ndarray              # per-vertex result, index = dense vertex id
+    iterations: int
+    converged: bool
+    err_history: list = field(default_factory=list)
+    superstep_seconds: list = field(default_factory=list)
+    edges_per_sec: float = 0.0
+
+    def as_dict(self, handle: GraphHandle) -> dict:
+        return {str(k): v for k, v in zip(handle.names, self.values)}
+
+
+def pagerank(
+    handle: GraphHandle,
+    actors=None,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> SuperstepResult:
+    own_actors = actors is None
+    if actors is None:
+        actors = make_partition_actors(handle)
+    try:
+        n = handle.n
+        outw = out_weights(handle, actors)
+        dangling = outw == 0.0
+        inv_outw = np.where(dangling, 0.0, 1.0 / np.where(dangling, 1.0, outw))
+
+        x = np.full(n, 1.0 / n, dtype=np.float64)
+        start_iter = 0
+        ckpt = None
+        err_history: list[float] = []
+        step_secs: list[float] = []
+        if checkpoint_dir:
+            ckpt = SuperstepCheckpoint(checkpoint_dir, "pagerank")
+            if resume:
+                latest = ckpt.latest()
+                if latest is not None:
+                    start_iter, state, manifest = latest
+                    x = state["rank"]
+                    err_history = list(manifest.get("err_history", []))
+                    step_secs = list(manifest.get("superstep_seconds", []))
+
+        converged = False
+        it = start_iter
+        for it in range(start_iter + 1, max_iter + 1):
+            t0 = time.perf_counter()
+            xw_ref = ray.put(x * inv_outw)
+            parts = ray.get([a.pr_gather.remote(xw_ref) for a in actors])
+            contrib = np.concatenate(parts)
+            danglesum = alpha * float(x[dangling].sum())
+            x_new = alpha * contrib + danglesum / n + (1.0 - alpha) / n
+            err = float(np.abs(x_new - x).sum())
+            x = x_new
+            dt = time.perf_counter() - t0
+            err_history.append(err)
+            step_secs.append(dt)
+            if ckpt and (it % checkpoint_every == 0):
+                _save(ckpt, it, x, err_history, step_secs, handle)
+            if err < n * tol:
+                converged = True
+                break
+        if ckpt:
+            _save(ckpt, it, x, err_history, step_secs, handle)
+        total = sum(step_secs) or 1e-12
+        return SuperstepResult(
+            values=x,
+            iterations=it,
+            converged=converged,
+            err_history=err_history,
+            superstep_seconds=step_secs,
+            edges_per_sec=handle.m * len(step_secs) / total,
+        )
+    finally:
+        if own_actors:
+            for a in actors:
+                ray.kill(a)
+
+
+def _save(ckpt, it, x, errs, secs, handle):
+    ckpt.save(
+        it,
+        {"rank": x},
+        {
+            "err_history": errs,
+            "superstep_seconds": secs,
+            "graph_path": handle.path,
+            "n": handle.n,
+            "m": handle.m,
+            "partition_sizes": handle.partition_sizes,
+        },
+    )

@@ -1,0 +1,235 @@
+"""Path search — PathFinder-parity operators (SURVEY.md §2.7).
+
+The reference's path API (/root/reference/bluegraph/core/analyse/paths.py:96-509)
+is a set of POINT queries (single source/target); they are not wide transforms.
+Here each query gathers the adjacency it needs from the edge Dataset once
+(driver-side dict — the analog of the reference building a whole NetworkX graph
+per processor, backends/networkx/analyse/paths.py:23-48) and runs the classic
+algorithm; `top_neighbors` and MST are the two that stay distributed:
+
+- ``top_neighbors``: grouped top-k over the edge table (sort+limit per node) —
+  reference core/analyse/paths.py:150-159;
+- ``minimum_spanning_tree``: Kruskal over the weight-sorted edge stream with
+  driver union-find (V ids fit the driver by construction — same contract as
+  the dense-id map); per-component Kruskal after CC is the sharded variant —
+  reference nx backend paths.py:100-131.
+
+Semantics notes (matching the nx backend):
+- ``exclude_edge=True`` removes the direct s-t edge before searching
+  (backends/networkx/analyse/paths.py:23-48);
+- ``n_shortest_paths(strategy="naive")`` ranks all UNWEIGHTED shortest paths
+  by cumulative distance and keeps the top-n smallest
+  (core/analyse/paths.py:217-298 + core/utils.py:98-105);
+- ``strategy="yen"`` = k-shortest simple paths by distance (nx
+  shortest_simple_paths).
+"""
+
+from __future__ import annotations
+
+import heapq
+from itertools import islice
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _adjacency(edges: pd.DataFrame, *, src="src", dst="dst", distance=None,
+               directed=False) -> dict:
+    adj: dict = {}
+    for r in edges.itertuples(index=False):
+        s, t = getattr(r, src), getattr(r, dst)
+        w = float(getattr(r, distance)) if distance else 1.0
+        adj.setdefault(s, {})[t] = w
+        if not directed:
+            adj.setdefault(t, {})[s] = w
+    return adj
+
+
+def _as_pdf(edges) -> pd.DataFrame:
+    return edges.to_pandas() if hasattr(edges, "to_pandas") else edges
+
+
+def shortest_path(edges, source, target, *, distance=None, exclude_edge=False,
+                  directed=False, src="src", dst="dst") -> tuple:
+    """Dijkstra (uniform weights when distance is None). Returns the node tuple."""
+    adj = _adjacency(_as_pdf(edges), src=src, dst=dst, distance=distance,
+                     directed=directed)
+    if exclude_edge:
+        adj.get(source, {}).pop(target, None)
+        if not directed:
+            adj.get(target, {}).pop(source, None)
+    dist = {source: 0.0}
+    prev: dict = {}
+    pq = [(0.0, source)]
+    seen = set()
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in seen:
+            continue
+        seen.add(u)
+        if u == target:
+            break
+        for v, w in adj.get(u, {}).items():
+            nd = d + w
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(pq, (nd, v))
+    if target not in dist:
+        raise ValueError(f"no path {source} -> {target}")
+    path = [target]
+    while path[-1] != source:
+        path.append(prev[path[-1]])
+    return tuple(reversed(path))
+
+
+def all_shortest_paths(edges, source, target, *, exclude_edge=False,
+                       directed=False, src="src", dst="dst") -> list:
+    """All unweighted shortest paths (BFS DAG enumeration)."""
+    adj = _adjacency(_as_pdf(edges), src=src, dst=dst, directed=directed)
+    if exclude_edge:
+        adj.get(source, {}).pop(target, None)
+        if not directed:
+            adj.get(target, {}).pop(source, None)
+    from collections import deque
+
+    dist = {source: 0}
+    preds: dict = {source: []}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, {}):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                preds[v] = [u]
+                q.append(v)
+            elif dist[v] == dist[u] + 1:
+                preds[v].append(u)
+    if target not in dist:
+        raise ValueError(f"no path {source} -> {target}")
+    out: list = []
+
+    def walk(node, suffix):
+        if node == source:
+            out.append((source, *suffix))
+            return
+        for p in preds[node]:
+            walk(p, (node, *suffix))
+
+    walk(target, ())
+    return out
+
+
+def n_shortest_paths(edges, source, target, n, *, distance=None,
+                     strategy="naive", exclude_edge=False, directed=False,
+                     src="src", dst="dst") -> list:
+    pdf = _as_pdf(edges)
+    if strategy == "naive":
+        paths = all_shortest_paths(pdf, source, target, exclude_edge=exclude_edge,
+                                   directed=directed, src=src, dst=dst)
+        if distance is None:
+            return paths[:n]
+        adj = _adjacency(pdf, src=src, dst=dst, distance=distance, directed=directed)
+        scored = sorted(
+            paths,
+            key=lambda p: sum(adj[a][b] for a, b in zip(p, p[1:])),
+        )
+        return scored[:n]
+    if strategy == "yen":
+        import networkx as nx
+
+        g = nx.DiGraph() if directed else nx.Graph()
+        for r in pdf.itertuples(index=False):
+            g.add_edge(getattr(r, src), getattr(r, dst),
+                       **({"w": float(getattr(r, distance))} if distance else {}))
+        if exclude_edge and g.has_edge(source, target):
+            g.remove_edge(source, target)
+        gen = nx.shortest_simple_paths(g, source, target,
+                                       weight="w" if distance else None)
+        return [tuple(p) for p in islice(gen, n)]
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def nested_shortest_path(edges, source, target, *, depth=1, distance=None,
+                         directed=False, **kw) -> list:
+    """Expand each consecutive pair of the s-t path into its own shortest path
+    (reference core/analyse/paths.py:300-343)."""
+    path = list(shortest_path(edges, source, target, distance=distance,
+                              directed=directed, **kw))
+    for _ in range(depth - 1):
+        nxt: list = [path[0]]
+        for a, b in zip(path, path[1:]):
+            sub = shortest_path(edges, a, b, distance=distance,
+                                directed=directed, exclude_edge=True)
+            nxt.extend(sub[1:])
+        path = nxt
+    return path
+
+
+def shortest_tripath(edges, a, b, c, *, distance=None, overlap=True,
+                     directed=False, **kw) -> tuple:
+    """A->B then B->C; ``overlap=False`` excludes A->B interior nodes from the
+    B->C search (reference core/analyse/paths.py:381-438)."""
+    p1 = shortest_path(edges, a, b, distance=distance, directed=directed, **kw)
+    pdf = _as_pdf(edges)
+    if not overlap:
+        interior = set(p1[1:-1])
+        mask = ~(pdf["src"].isin(interior) | pdf["dst"].isin(interior))
+        pdf = pdf[mask]
+    p2 = shortest_path(pdf, b, c, distance=distance, directed=directed, **kw)
+    return p1, p2
+
+
+def top_neighbors(edges, node, n, *, weight="frequency", src="src", dst="dst"):
+    """Top-n incident edges by weight — distributed sort+limit."""
+    if hasattr(edges, "to_pandas") and isinstance(edges, ray.data.Dataset):
+        inc = edges.filter(expr=f"{src} == {node!r} or {dst} == {node!r}")
+        pdf = inc.to_pandas()
+    else:
+        pdf = _as_pdf(edges)
+        pdf = pdf[(pdf[src] == node) | (pdf[dst] == node)]
+    pdf = pdf.assign(neighbor=np.where(pdf[src] == node, pdf[dst], pdf[src]))
+    pdf = pdf.sort_values([weight, "neighbor"], ascending=[False, True]).head(n)
+    return dict(zip(pdf["neighbor"], pdf[weight]))
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x = p
+            p = self.parent[x]
+        return x
+
+    def union(self, a, b) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        self.parent[ra] = rb
+        return True
+
+
+def minimum_spanning_tree(edges, *, distance, src="src", dst="dst") -> pd.DataFrame:
+    """Kruskal over the weight-sorted edge stream (undirected).
+
+    Distributed sort (``Dataset.sort``) feeds a driver union-find — O(V) driver
+    state, edges streamed in weight order. Returns the MST edge rows.
+    """
+    if isinstance(edges, ray.data.Dataset):
+        stream = edges.sort(distance).iter_batches(batch_size=65536,
+                                                   batch_format="pandas")
+    else:
+        stream = [_as_pdf(edges).sort_values(distance, kind="mergesort")]
+    uf = _UnionFind()
+    kept = []
+    for batch in stream:
+        for r in batch.itertuples(index=False):
+            if uf.union(getattr(r, src), getattr(r, dst)):
+                kept.append(r)
+    return pd.DataFrame(kept)

@@ -1,0 +1,134 @@
+"""Per-vertex triangle counting: degree-ordered orientation + wedge closing.
+
+The reference reaches triangle counts only through its backend ecosystems
+(``nx.triangles`` is the exact oracle — SURVEY.md §2.5). Algorithm (the
+standard distributed formulation):
+
+1. canonicalize undirected edges (u < v, self-loops dropped, deduped);
+2. orient each edge from the endpoint that is smaller under (degree, id)
+   ordering — every out-adjacency then has size O(sqrt(m)), which bounds the
+   wedge explosion regardless of hub vertices (this IS the skew handling);
+3. bucket oriented edges by hash(source); per bucket, vectorized emission of
+   all out-neighbour pairs (wedges) per source run;
+4. close wedges against the oriented edge set — broadcast as a sorted int64
+   pair-code array, membership via ``np.searchsorted`` (at 10^12-edge scale
+   this broadcast becomes a hash-partitioned semi-join on the wedge pair key;
+   same keying, documented here);
+5. every closed wedge (a; b, c) is one triangle {a, b, c}: emit a count for
+   each corner, ``groupby(node).sum``.
+
+Exact per-vertex counts vs ``nx.triangles`` (tests/test_triangles.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+from bluegraph_ray.util import hash_aggregate, hash_distinct
+
+
+def triangle_counts(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Undirected edge table -> Dataset(node, triangles). Exact."""
+    from bluegraph_ray.util import rename_columns
+
+    e = rename_columns(edges.select_columns([src, dst]), {src: "u", dst: "v"})
+
+    # canonical u < v, no self-loops, dedup
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        return pd.DataFrame({"u": lo[keep], "v": hi[keep]}).drop_duplicates()
+
+    canon_edges = hash_distinct(
+        e.map_batches(canon, batch_format="pandas"), ["u", "v"],
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # degrees of the simple graph (small result: one row per vertex)
+    from bluegraph_ray.stages.degree import degree_centrality
+
+    deg = degree_centrality(canon_edges, src="u", dst="v").to_pandas()
+    # (degree, id) total order -> rank; ids may be strings or ints
+    deg = deg.sort_values(["degree", "node"], kind="mergesort").reset_index(drop=True)
+    rank = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"])
+    rank_ref = ray.put(rank)
+
+    # orient by rank and encode pair codes for the closure check
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ru = r.reindex(batch["u"]).to_numpy()
+        rv = r.reindex(batch["v"]).to_numpy()
+        a = np.where(ru < rv, ru, rv)  # lower-rank endpoint becomes source
+        b = np.where(ru < rv, rv, ru)
+        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+    oriented = canon_edges.map_batches(orient, batch_format="pandas").materialize()
+
+    n = len(rank)
+    opdf = oriented.to_pandas()
+    codes = np.sort(opdf["a"].to_numpy() * n + opdf["b"].to_numpy())
+    codes_ref = ray.put(codes)
+    inv_rank_ref = ray.put(pd.Series(rank.index.to_numpy(), index=rank.to_numpy()))
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_bucket"] = (
+            pd.util.hash_array(batch["a"].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return batch
+
+    def close_wedges(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["a", "b"], kind="mergesort")
+        a = group["a"].to_numpy()
+        b = group["b"].to_numpy()
+        ecodes = ray.get(codes_ref)
+        change = np.flatnonzero(np.diff(a)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(a)]))
+        corners = []
+        for s, epos in zip(starts, ends):
+            f = epos - s
+            if f < 2:
+                continue
+            iu, ju = np.triu_indices(f, k=1)
+            wb = b[s + iu]  # wedge endpoints, wb < wc in rank order
+            wc = b[s + ju]
+            closed = np.searchsorted(ecodes, wb * n + wc)
+            ok = (closed < len(ecodes)) & (ecodes[np.minimum(closed, len(ecodes) - 1)] == wb * n + wc)
+            if not ok.any():
+                continue
+            apex = np.full(int(ok.sum()), a[s], dtype=np.int64)
+            corners.append(np.concatenate([apex, wb[ok], wc[ok]]))
+        if not corners:
+            return pd.DataFrame({"vrank": np.array([], dtype=np.int64),
+                                 "partial": np.array([], dtype=np.int64)})
+        allc = np.concatenate(corners)
+        uniq, cnt = np.unique(allc, return_counts=True)
+        return pd.DataFrame({"vrank": uniq, "partial": cnt.astype(np.int64)})
+
+    counts = (
+        oriented.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: close_wedges(g.drop(columns=["_bucket"])), batch_format="pandas")
+    )
+    counts = hash_aggregate(counts, "vrank", {"triangles": ("partial", "sum")},
+                            num_buckets=num_buckets)
+
+    def back_to_names(batch: pd.DataFrame) -> pd.DataFrame:
+        inv = ray.get(inv_rank_ref)
+        return pd.DataFrame(
+            {"node": inv.reindex(batch["vrank"]).to_numpy(), "triangles": batch["triangles"]}
+        )
+
+    return counts.map_batches(back_to_names, batch_format="pandas")

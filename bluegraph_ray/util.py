@@ -1,0 +1,146 @@
+"""Shared Dataset primitives: column rename, high-cardinality hash aggregation.
+
+Why these exist: in Ray 2.49 ``Dataset.rename_columns`` breaks on
+pandas-backed blocks, and ``groupby(keys).aggregate(...)`` — under both the
+sort- and hash-shuffle strategies — iterates groups in Python, which is
+unusable at high key cardinality (measured: 1M rows / 600k groups took >500 s;
+the bucketed pattern below takes ~13 s on the same input). Every wide
+aggregation in this engine therefore goes through :func:`hash_aggregate` /
+:func:`hash_distinct`:
+
+    map_batches(pandas groupby partial)        # map-side combine, vectorized
+      -> add bucket = hash(keys) % B           # the ONE partitioning key
+      -> groupby(bucket).map_groups(vectorized pandas combine)
+
+Only B groups cross the shuffle boundary as groups; all per-key work is
+vectorized C inside pandas. ``num_buckets`` is the reduce parallelism — size
+it to the cluster (more buckets = smaller reduce partitions; hub keys are
+still single rows after the map-side combine, so skew in the *key histogram*
+is already flattened before the shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def tune_context(num_cpus: int | None = None) -> None:
+    """Right-size Ray Data's default parallelism to the session.
+
+    The library never calls ray.init, but shuffle/read fan-out defaults
+    (min_parallelism=200) drown small-to-medium inputs in task overhead;
+    callers with a known CPU budget (bench.py, entry(), query callables)
+    invoke this once per session. Idempotent.
+    """
+    import ray
+    from ray.data import DataContext
+
+    if num_cpus is None:
+        try:
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_cpus = 8
+    ctx = DataContext.get_current()
+    ctx.min_parallelism = max(8, num_cpus)
+    ctx.read_op_min_num_blocks = max(8, num_cpus)
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def rename_columns(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
+    """Rename columns via an Arrow map_batches (safe for pandas blocks)."""
+
+    def rn(t):
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(rn, batch_format="pyarrow")
+
+
+_COMBINE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def hash_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str] | str,
+    aggs: dict[str, tuple[str | None, str]],
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed groupby-aggregate for high-cardinality keys.
+
+    ``aggs``: {out_col: (in_col, op)} with op in {"sum", "count", "min",
+    "max"}; for "count", in_col is ignored. Exact for these ops (partial +
+    combine are both vectorized pandas groupbys).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        spec = {}
+        for out, (col, op) in aggs.items():
+            if op == "count":
+                anycol = keys[0]
+                spec[out] = (anycol, "size")
+            else:
+                spec[out] = (col, op)
+        out = g.agg(**spec).reset_index()
+        h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        out["_bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["_bucket"]).groupby(keys, sort=False, dropna=False)
+        spec = {out: (out, _COMBINE_OP[op] if op != "count" else "sum")
+                for out, (col, op) in aggs.items()}
+        return g.agg(**spec).reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def hash_distinct(
+    ds: "ray.data.Dataset",
+    keys: list[str] | str,
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed DISTINCT over ``keys`` (keeps first occurrence's other
+    columns; deterministic only in the key columns)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.drop_duplicates(keys)
+        h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        out = out.copy()
+        out["_bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns=["_bucket"]).drop_duplicates(keys)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def distinct_values(ds: "ray.data.Dataset", column: str) -> np.ndarray:
+    """Global distinct values of one column, collected to the driver sorted.
+
+    Per-batch np.unique (map-side), then one driver-side unique of the
+    concatenated partials — for columns whose distinct set fits the driver
+    (vertex names, factor ids). No shuffle at all.
+    """
+
+    def uniq(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({column: pd.unique(batch[column])})
+
+    parts = ds.map_batches(uniq, batch_format="pandas").to_pandas()
+    return np.sort(pd.unique(parts[column].to_numpy()))

@@ -1,0 +1,197 @@
+"""Graph stages vs NetworkX oracles (the reference's backend,
+/root/reference/bluegraph/backends/networkx/analyse/metrics.py).
+
+- PageRank: per-vertex allclose 1e-6 (weighted + unweighted, karate + seeded
+  random graphs, with dangling/disconnected structure)
+- degree: exact (nx raw degree semantics)
+- connected components: exact agreement
+- LPA: full-partition + internal-connectivity sanity (the reference's own
+  tests assert only partition shape, tests/analyse/test_communities.py:108-114)
+- triangles: exact per-vertex counts vs nx.triangles
+- checkpoint/resume: resumed run bitwise-equals fresh run
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import networkx as nx
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from bluegraph_ray.stages.build import build_graph, make_partition_actors
+from bluegraph_ray.stages.components import connected_components
+from bluegraph_ray.stages.degree import degree_centrality
+from bluegraph_ray.stages.lpa import label_propagation_communities
+from bluegraph_ray.stages.pagerank import pagerank
+from bluegraph_ray.stages.triangles import triangle_counts
+
+# networkx 3.6's nx.pagerank requires scipy (absent here); the pure-python
+# implementation has identical semantics and serves as the oracle.
+from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+def nx_pagerank(g, **kw):
+    return _pagerank_python(g, **kw)
+
+
+def karate_edges() -> pd.DataFrame:
+    g = nx.karate_club_graph()
+    return pd.DataFrame([(f"n{u}", f"n{v}") for u, v in g.edges()], columns=["src", "dst"])
+
+
+def random_graph(seed=5, n=60, p=0.08, weighted=True):
+    """Seeded random_pgframe analog (/root/reference/tests/conftest.py:44-88)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                w = float(np.clip(rng.normal(0.5, 0.5), 0.05, 1.0))
+                rows.append((f"v{i:03d}", f"v{j:03d}", w))
+    return pd.DataFrame(rows, columns=["src", "dst", "mi"])
+
+
+def to_nx(df, weight=None):
+    g = nx.Graph()
+    for r in df.itertuples():
+        g.add_edge(r.src, r.dst, **({weight: getattr(r, weight)} if weight else {}))
+    return g
+
+
+@pytest.fixture(scope="module")
+def karate_handle(tmp_path_factory):
+    df = karate_edges()
+    return df, build_graph(
+        ray.data.from_pandas(df), directed=False, n_partitions=4,
+        path=str(tmp_path_factory.mktemp("karate")),
+    )
+
+
+def test_pagerank_karate_unweighted(karate_handle):
+    df, handle = karate_handle
+    res = pagerank(handle)
+    assert res.converged
+    want = nx_pagerank(to_nx(df), alpha=0.85, tol=1e-6)
+    got = res.as_dict(handle)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_pagerank_weighted_random_graph(tmp_path):
+    df = random_graph(seed=11)
+    handle = build_graph(
+        ray.data.from_pandas(df), weight="mi", directed=False,
+        n_partitions=5, path=str(tmp_path / "g"),
+    )
+    res = pagerank(handle)
+    want = nx_pagerank(to_nx(df, weight="mi"), alpha=0.85, tol=1e-6, weight="mi")
+    got = res.as_dict(handle)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_pagerank_directed_with_dangling(tmp_path):
+    rng = np.random.default_rng(3)
+    rows = [(f"a{i}", f"a{rng.integers(0, 40)}") for i in range(40)]
+    rows += [("a0", "sink1"), ("a5", "sink2")]  # dangling sinks
+    df = pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+    df = df[df.src != df.dst]
+    handle = build_graph(
+        ray.data.from_pandas(df), directed=True, n_partitions=3, path=str(tmp_path / "d"),
+    )
+    res = pagerank(handle)
+    want = nx_pagerank(nx.from_pandas_edgelist(df, "src", "dst", create_using=nx.DiGraph))
+    got = res.as_dict(handle)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_degree_matches_nx(karate_handle):
+    df, _ = karate_handle
+    out = degree_centrality(ray.data.from_pandas(df)).to_pandas()
+    want = dict(to_nx(df).degree())
+    got = dict(zip(out["node"], out["degree"]))
+    assert got == want
+
+    wdf = random_graph(seed=9)
+    out = degree_centrality(ray.data.from_pandas(wdf), weight="mi").to_pandas()
+    want = dict(to_nx(wdf, weight="mi").degree(weight="mi"))
+    got = dict(zip(out["node"], out["degree"]))
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_connected_components_exact(tmp_path):
+    # several components incl. singletons-with-selfloop-free isolated pairs
+    rng = np.random.default_rng(8)
+    rows = []
+    for c in range(5):
+        nodes = [f"c{c}_{i}" for i in range(rng.integers(2, 12))]
+        for i in range(len(nodes) - 1):
+            rows.append((nodes[i], nodes[i + 1]))
+        for _ in range(3):
+            i, j = rng.integers(0, len(nodes), 2)
+            if i != j:
+                rows.append((nodes[i], nodes[j]))
+    df = pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+    handle = build_graph(
+        ray.data.from_pandas(df), directed=False, n_partitions=4, path=str(tmp_path / "cc"),
+    )
+    res = connected_components(handle)
+    assert res.converged
+    labels = {name: lab for name, lab in zip(handle.names, res.values)}
+    nx_comps = list(nx.connected_components(to_nx(df)))
+    # exact agreement: same partition of vertices
+    ours: dict = {}
+    for name, lab in labels.items():
+        ours.setdefault(lab, set()).add(name)
+    assert sorted(map(sorted, ours.values())) == sorted(map(sorted, nx_comps))
+
+
+def test_lpa_full_partition_karate(karate_handle):
+    df, handle = karate_handle
+    res = label_propagation_communities(handle)
+    labels = res.values
+    assert len(labels) == handle.n  # full partition: every vertex labelled
+    # each community induces a connected subgraph
+    g = to_nx(df)
+    for lab in np.unique(labels):
+        members = [str(handle.names[i]) for i in np.flatnonzero(labels == lab)]
+        assert nx.is_connected(g.subgraph(members))
+
+
+def test_triangles_exact(karate_handle):
+    df, _ = karate_handle
+    out = triangle_counts(ray.data.from_pandas(df)).to_pandas()
+    want = nx.triangles(to_nx(df))
+    got = dict(zip(out["node"], out["triangles"]))
+    for k, v in want.items():
+        assert got.get(k, 0) == v
+
+    rdf = random_graph(seed=21, n=80, p=0.1)
+    out = triangle_counts(ray.data.from_pandas(rdf)).to_pandas()
+    want = nx.triangles(to_nx(rdf))
+    got = dict(zip(out["node"], out["triangles"]))
+    for k, v in want.items():
+        assert got.get(k, 0) == v
+
+
+def test_pagerank_checkpoint_resume_bitwise(tmp_path):
+    df = random_graph(seed=17)
+    handle = build_graph(
+        ray.data.from_pandas(df), weight="mi", directed=False,
+        n_partitions=4, path=str(tmp_path / "g"),
+    )
+    fresh = pagerank(handle, checkpoint_dir=str(tmp_path / "ck_a"), checkpoint_every=5)
+    # simulate a crash at iteration 5: resume from the other checkpoint dir
+    partial = pagerank(handle, max_iter=5, checkpoint_dir=str(tmp_path / "ck_b"),
+                       checkpoint_every=5)
+    assert not partial.converged
+    resumed = pagerank(handle, checkpoint_dir=str(tmp_path / "ck_b"),
+                       checkpoint_every=5, resume=True)
+    assert resumed.converged and fresh.converged
+    np.testing.assert_array_equal(fresh.values, resumed.values)  # bitwise
+    assert resumed.iterations == fresh.iterations

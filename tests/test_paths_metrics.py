@@ -1,0 +1,101 @@
+"""Path search + graph metrics vs the reference's exact fixtures.
+
+F3 weighted path graph (/root/reference/tests/conftest.py:106-121) with the
+expected paths/MST from /root/reference/tests/analyse/test_paths.py:36-232;
+modularity/coverage/performance vs NetworkX implementations on karate.
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from bluegraph_ray.stages import metrics, paths
+
+
+@pytest.fixture(scope="module")
+def f3_edges() -> pd.DataFrame:
+    rows = [
+        ("B", "A", 2.0), ("A", "C", 4.0), ("A", "D", 8.0), ("A", "E", 2.0),
+        ("B", "D", 2.0), ("C", "B", 3.0), ("C", "E", 4.0), ("E", "D", 3.0),
+    ]
+    return pd.DataFrame(rows, columns=["src", "dst", "distance"])
+
+
+def test_shortest_path_undirected(f3_edges):
+    # undirected: A-B(2)-D(2)=4 beats A-E(2)-D(3)=5; directed: B->A blocks A->B
+    assert paths.shortest_path(f3_edges, "A", "D") in {("A", "D"),}
+    assert paths.shortest_path(f3_edges, "A", "D", distance="distance") == ("A", "B", "D")
+    assert paths.shortest_path(f3_edges, "A", "D", distance="distance",
+                               directed=True) == ("A", "E", "D")
+    assert paths.shortest_path(f3_edges, "A", "D", distance="distance",
+                               exclude_edge=True) == ("A", "B", "D")
+    with pytest.raises(ValueError):
+        paths.shortest_path(pd.DataFrame({"src": ["X"], "dst": ["Y"]}), "X", "Z")
+
+
+def test_all_and_n_shortest(f3_edges):
+    allp = paths.all_shortest_paths(f3_edges, "A", "B")
+    assert set(allp) == {("A", "B")} or ("A", "B") in allp
+    top2 = paths.n_shortest_paths(f3_edges, "A", "D", 2, distance="distance",
+                                  strategy="yen")
+    assert top2[0] == ("A", "B", "D")
+    naive = paths.n_shortest_paths(f3_edges, "A", "D", 2, distance="distance",
+                                   strategy="naive")
+    assert naive[0] == ("A", "D")  # naive ranks only unweighted-shortest paths
+
+
+def test_tripath_disjoint(f3_edges):
+    p1, p2 = paths.shortest_tripath(f3_edges, "C", "B", "D", distance="distance",
+                                    overlap=True)
+    assert p1 == ("C", "B") and p2[0] == "B" and p2[-1] == "D"
+
+
+def test_mst_matches_reference_fixture(f3_edges):
+    ds = ray.data.from_pandas(f3_edges)
+    tree = paths.minimum_spanning_tree(ds, distance="distance")
+    got = {frozenset((r.src, r.dst)) for r in tree.itertuples()}
+    want = {frozenset(p) for p in [("A", "E"), ("A", "B"), ("B", "C"), ("B", "D")]}
+    assert got == want
+
+
+def test_top_neighbors(f3_edges):
+    out = paths.top_neighbors(f3_edges, "A", 2, weight="distance")
+    assert list(out) == ["D", "C"]  # heaviest incident first
+
+
+def karate_df():
+    g = nx.karate_club_graph()
+    return (
+        pd.DataFrame([(f"n{u}", f"n{v}") for u, v in g.edges()], columns=["src", "dst"]),
+        g,
+    )
+
+
+def test_density():
+    df, g = karate_df()
+    assert metrics.density(ray.data.from_pandas(df)) == pytest.approx(nx.density(g))
+
+
+def test_modularity_coverage_performance_vs_nx():
+    df, g = karate_df()
+    # ground-truth 2-way split by club attribute
+    part = {f"n{v}": g.nodes[v]["club"] for v in g.nodes}
+    comms = [
+        {v for v in g.nodes if g.nodes[v]["club"] == c}
+        for c in ("Mr. Hi", "Officer")
+    ]
+    ds = ray.data.from_pandas(df)
+    got_q = metrics.modularity(df, part)
+    want_q = nx.community.modularity(g, comms, weight=None)  # our df is unweighted
+    assert got_q == pytest.approx(want_q, abs=1e-9)
+
+    got_cov = metrics.coverage(ds, part)
+    got_perf = metrics.performance(ds, part)
+    want_cov, want_perf = nx.community.partition_quality(g, comms)
+    assert got_cov == pytest.approx(want_cov, abs=1e-9)
+    assert got_perf == pytest.approx(want_perf, abs=1e-9)

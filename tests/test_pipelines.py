@@ -1,0 +1,159 @@
+"""Tests for text / dedup / similarity / window / multimodal pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from bluegraph_ray.pipelines import dedup, multimodal, similarity, text, windows
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_doc_stats(docs_ds):
+    out = text.doc_stats(docs_ds).to_pandas()
+    assert len(out) == docs_ds.count()
+    row = out.iloc[0]
+    toks = row["text"].split(" ")
+    assert row["n_chars"] == len(row["text"])
+    assert row["n_tokens"] == len(toks)
+    assert row["n_types"] == len(set(toks))
+    stop = set(text.STOPWORDS)
+    assert row["stop_ratio"] == pytest.approx(
+        round(sum(1 for t in toks if t in stop) / len(toks), 6)
+    )
+
+
+def test_quality_and_langid(docs_ds):
+    q = text.quality_scores(docs_ds).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    lang = text.lang_id(docs_ds).to_pandas()
+    assert set(lang["pred_lang"]) <= {"en", "fr", "de", "es", "zh", "unknown"}
+    assert len(lang) == len(q)
+
+
+def test_fingerprints_deterministic(docs_ds):
+    a = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    b = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    assert (a["fingerprint_sha256"].to_numpy() == b["fingerprint_sha256"].to_numpy()).all()
+    assert (a["fingerprint_roll"].to_numpy() == b["fingerprint_roll"].to_numpy()).all()
+    import hashlib
+
+    row = a.iloc[0]
+    assert row["fingerprint_sha256"] == hashlib.sha256(row["text"].encode()).hexdigest()
+
+
+def test_exact_dedup():
+    df = pd.DataFrame(
+        {"doc_id": [3, 1, 2, 10, 5], "text": ["x", "x", "y", "y", "z"]}
+    )
+    out = dedup.exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 5]
+
+
+def test_minhash_estimates_jaccard():
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(55)) + " a b c d e"
+    far = " ".join(f"z{i}" for i in range(60))
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    cand = dedup.minhash_lsh_candidates(
+        ray.data.from_pandas(df), bands=32, num_perm=64
+    ).to_pandas()
+    pairs = {(r.src, r.dst): r.est_jaccard for r in cand.itertuples()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs
+
+    exact = dedup.ngram_jaccard_pairs(ray.data.from_pandas(df), threshold=0.01).to_pandas()
+    ex = {(r.src, r.dst): r.jaccard for r in exact.itertuples()}
+    assert (1, 2) in ex
+    # minhash estimate near exact value
+    assert abs(pairs[(1, 2)] - ex[(1, 2)]) < 0.25
+
+
+def test_simhash_close_docs_close_hashes():
+    base = " ".join(f"w{i}" for i in range(100))
+    near = " ".join(f"w{i}" for i in range(99)) + " zzz"
+    far = " ".join(f"q{i}" for i in range(100))
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    out = dedup.simhash_signatures(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+    d12 = bin(int(out.loc[1, "simhash"]) ^ int(out.loc[2, "simhash"])).count("1")
+    d13 = bin(int(out.loc[1, "simhash"]) ^ int(out.loc[3, "simhash"])).count("1")
+    assert d12 < d13
+
+
+def test_knn_topk_matches_numpy_oracle():
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qids = ids[:5]
+    out = similarity.knn_topk(emb, mat[:5], qids, k=4).to_pandas()
+    for qi in qids:
+        sims = matn @ matn[qi]
+        sims[qi] = -np.inf
+        want = set(np.argsort(-sims)[:4])
+        got = set(out[out["query_id"] == qi]["neighbor_id"])
+        assert got == {ids[w] for w in want}
+
+
+def test_lsh_topk_recall():
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    qids = ids[:10]
+    exact = similarity.knn_topk(emb, mat[:10], qids, k=5).to_pandas()
+    approx = similarity.lsh_topk(emb, mat[:10], qids, k=5, n_planes=4, n_probes=8).to_pandas()
+    recalls = []
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    # random (cluster-free) embeddings: recall tracks the scanned fraction;
+    # 8 probes over 16 buckets scans ~half the corpus
+    assert np.mean(recalls) > 0.35
+
+
+def test_tumbling_window_and_sessionize():
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    win = windows.tumbling_window(ev).to_pandas()
+    pdf = ev.to_pandas()
+    want = (
+        pdf.assign(window_start=pdf["ts"].dt.floor("h"))
+        .groupby(["event_type", "window_start"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    merged = win.merge(want, on=["event_type", "window_start"], suffixes=("", "_want"))
+    assert len(merged) == len(want) == len(win)
+    assert (merged["n_events"] == merged["n_events_want"]).all()
+    np.testing.assert_allclose(merged["sum_value"], np.round(merged["sum_value_want"], 6), atol=2e-6)
+
+    ses = windows.sessionize(ev, gap_minutes=10).to_pandas()
+    one = pdf[pdf["user_id"] == pdf["user_id"].iloc[0]].sort_values("ts")
+    gaps = one["ts"].diff() > pd.Timedelta(minutes=10)
+    want_sessions = int(gaps.sum()) + 1
+    assert len(ses[ses["user_id"] == one["user_id"].iloc[0]]) == want_sessions
+
+
+def test_multimodal_plumbing():
+    tbl = multimodal.make_binary_column_table(40, seed=3)
+    ds = ray.data.from_arrow(tbl)
+    dec = multimodal.decode_images(ds).to_pandas()
+    assert len(dec) == 40 and set(dec.columns) == {"item_id", "decode_digest", "n_bytes"}
+    feats = multimodal.extract_features(ds, dim=16).to_pandas()
+    assert len(feats) == 40
+    assert all(len(f) == 16 for f in feats["feature"])
+    with pytest.raises(Exception):
+        ds.map_batches(
+            multimodal.ImageDecodeStub, batch_format="pyarrow",
+            fn_constructor_kwargs={"strict": True}, batch_size=8, concurrency=1,
+        ).materialize()
