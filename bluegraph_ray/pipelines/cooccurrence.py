@@ -124,43 +124,69 @@ def occurrences_from_imports(ds: "ray.data.Dataset", *, factor: str = "repo") ->
 # Edge-table builder
 # ---------------------------------------------------------------------------
 
-def _pairs_in_bucket(max_factor_entities):
+def _emit_pair_codes(max_factor_entities, names_ref, num_buckets):
     """Vectorized multi-factor pair emission over one hash bucket of factors.
 
-    Input: pandas group with columns (entity, factor) — all distinct rows of
-    all factors in the bucket. Output: (src, dst, partial) with src < dst and
-    map-side combined counts (a pair sharing k same-bucket factors emits one
-    row with partial=k).
+    Entities are encoded as dense int ids (rank in the sorted global name
+    array) BEFORE emission, so a pair is a single int64 code
+    ``src_id * n + dst_id`` with ``src_id < dst_id`` — int sorting/uniquing is
+    5-10x faster than string pairs at 10^8-pair scale. Map-side combine =
+    ``np.unique(codes, return_counts)`` within the bucket.
+    Output: (code:int64, partial:int64, _b2:int64) — _b2 is the bucket key of
+    the SECOND shuffle (global pair combine).
     """
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["factor", "entity"], kind="mergesort")
-        ents = group["entity"].to_numpy()
-        codes = pd.factorize(group["factor"].to_numpy(), use_na_sentinel=False)[0]
-        # run boundaries per factor
-        boundaries = np.flatnonzero(np.diff(codes)) + 1
+        names = ray.get(names_ref)
+        n = len(names)
+        eids = np.searchsorted(names, group["entity"].to_numpy().astype(names.dtype))
+        fcodes = pd.factorize(group["factor"].to_numpy(), use_na_sentinel=False)[0]
+        order = np.lexsort((eids, fcodes))
+        eids = eids[order]
+        fcodes = fcodes[order]
+        boundaries = np.flatnonzero(np.diff(fcodes)) + 1
         starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [len(codes)]))
-        src_parts, dst_parts = [], []
+        ends = np.concatenate((boundaries, [len(fcodes)]))
+        code_parts = []
         for s, e in zip(starts, ends):
             f = e - s
             if f < 2:
                 continue
             if max_factor_entities is not None and f > max_factor_entities:
-                continue  # hub-factor cap (documented approximation)
+                # hub-factor cap: deterministic truncation to the first
+                # max_factor_entities entities (sorted id order) — the
+                # per-factor analog of the reference's top-k pre-filter
+                # (/root/reference/cord19kg/utils.py:648-651); bounds a hub
+                # factor at O(cap^2) pairs.
+                f = max_factor_entities
             iu, ju = np.triu_indices(f, k=1)
-            src_parts.append(ents[s + iu])
-            dst_parts.append(ents[s + ju])
-        if not src_parts:
-            return pd.DataFrame({"src": ents[:0], "dst": ents[:0], "partial": np.array([], dtype=np.int64)})
-        src = np.concatenate(src_parts)
-        dst = np.concatenate(dst_parts)
-        # map-side combine: collapse duplicate pairs within the bucket
-        pairs = pd.DataFrame({"src": src, "dst": dst})
-        out = pairs.groupby(["src", "dst"], sort=False).size().reset_index(name="partial")
-        return out
+            code_parts.append(eids[s + iu].astype(np.int64) * n + eids[s + ju])
+        if not code_parts:
+            empty = np.array([], dtype=np.int64)
+            return pd.DataFrame({"code": empty, "partial": empty, "_b2": empty})
+        codes, counts = np.unique(np.concatenate(code_parts), return_counts=True)
+        return pd.DataFrame(
+            {
+                "code": codes,
+                "partial": counts.astype(np.int64),
+                "_b2": (codes % num_buckets).astype(np.int64),
+            }
+        )
 
     return emit
+
+
+def _combine_pair_codes(group: pd.DataFrame) -> pd.DataFrame:
+    """Final pair combine: segment-sum partial counts per code (all rows for a
+    code meet in one _b2 bucket)."""
+    codes = group["code"].to_numpy()
+    partial = group["partial"].to_numpy()
+    order = np.argsort(codes, kind="stable")
+    c = codes[order]
+    pvals = partial[order]
+    b = np.flatnonzero(np.diff(c)) + 1
+    starts = np.concatenate(([0], b))
+    return pd.DataFrame({"code": c[starts], "frequency": np.add.reduceat(pvals, starts)})
 
 
 def cooccurrence_edges(
@@ -174,13 +200,26 @@ def cooccurrence_edges(
     min_frequency: int = 1,
     num_buckets: int = 64,
     round_to: int | None = None,
+    exact_combine: bool = True,
+    decode_names: bool = True,
 ) -> "ray.data.Dataset":
     """(entity, factor) occurrence rows -> weighted co-occurrence edge table.
 
     Output columns: ``src, dst, frequency[, ppmi][, npmi]`` with ``src < dst``
     (string/numeric order — matches the reference's upper-triangle emission,
-    generators.py:204). Exact w.r.t. the reference for any input when
+    generators.py:204; dense ids are ranks in the sorted entity array so id
+    order == value order). Exact w.r.t. the reference for any input when
     ``max_factor_entities`` is None.
+
+    ``exact_combine=False`` skips the global pair-combine shuffle and emits a
+    MULTIGRAPH edge table (duplicate (src,dst) rows whose ``frequency``
+    partial counts sum to the true frequency). For weighted-graph consumers
+    that sum parallel edges (the CSR superstep kernels do, by construction of
+    ``np.add.reduceat``) the result is numerically identical while saving the
+    biggest shuffle — the scaling bench uses this. PMI statistics require the
+    exact combine. ``decode_names=False`` keeps dense int ids as src/dst
+    (avoids materializing 10^8 strings; ids are ranks in the sorted entity
+    array).
     """
     statistics = list(statistics)
     occ = occurrences
@@ -192,71 +231,103 @@ def cooccurrence_edges(
             {entity_col: "entity", factor_col: "factor"},
         )
 
-    from bluegraph_ray.util import hash_aggregate, hash_distinct
+    from bluegraph_ray.util import distinct_values, hash_distinct
 
     # 1. distinct (entity, factor) — map-side drop_duplicates + bucketed combine
     # (Ray's native groupby.aggregate is per-group Python; see util.py).
     distinct = hash_distinct(occ, ["entity", "factor"], num_buckets=num_buckets)
     distinct = distinct.materialize()
 
-    need_stats = any(s in ("ppmi", "npmi", "expected", "pmi2", "pmi3") for s in statistics)
-    ent_freq_ref = None
-    if need_stats:
-        # 2. per-entity distinct-factor counts — small result, broadcast once.
-        # At 10^12-file scale this becomes a hash join on src/dst instead of a
-        # broadcast; the broadcast is correct while |entities| * 16B fits a node.
-        ef = hash_aggregate(
-            distinct, "entity", {"s_freq": (None, "count")}, num_buckets=num_buckets
-        ).to_pandas()
-        ent_freq_ref = ray.put(ef.set_index("entity")["s_freq"])
-        if total_factor_instances is None:
-            from bluegraph_ray.util import distinct_values
+    # entity universe -> dense ids (rank in sorted names). The name set IS the
+    # vertex-id map downstream, so it must fit the driver by design.
+    names = distinct_values(distinct, "entity")
+    if names.dtype == object:
+        names = names.astype(str)
+    n_ent = len(names)
+    names_ref = ray.put(names)
 
+    need_stats = any(s in ("ppmi", "npmi", "expected", "pmi2", "pmi3") for s in statistics)
+    s_freq_ref = None
+    if need_stats:
+        # 2. per-entity distinct-factor counts as one bincount vector
+        # (map-side partial bincounts, driver sum). At 10^12-file scale this
+        # becomes a hash join on src/dst ids instead of a broadcast vector.
+        def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+            nm = ray.get(names_ref)
+            eids = np.searchsorted(nm, batch["entity"].to_numpy().astype(nm.dtype))
+            return pd.DataFrame({"bc": [np.bincount(eids, minlength=n_ent)]})
+
+        parts = distinct.select_columns(["entity"]).map_batches(
+            partial_counts, batch_format="pandas"
+        ).to_pandas()
+        s_freq = np.sum(np.stack(parts["bc"].to_numpy()), axis=0).astype(np.float64)
+        s_freq_ref = ray.put(s_freq)
+        if total_factor_instances is None:
             total_factor_instances = len(distinct_values(distinct, "factor"))
 
-    # 3. bucket by hash(factor) and emit pairs per bucket, vectorized.
+    # 3. bucket by hash(factor); per-bucket vectorized pair-code emission with
+    # map-side combine (np.unique) — shuffle #2.
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(batch["factor"].to_numpy())
         batch["_bucket"] = (h % num_buckets).astype(np.int64)
         return batch
 
     bucketed = distinct.map_batches(add_bucket, batch_format="pandas")
+    emit = _emit_pair_codes(max_factor_entities, names_ref, num_buckets)
     pairs = bucketed.groupby("_bucket").map_groups(
-        lambda g: _pairs_in_bucket(max_factor_entities)(g.drop(columns=["_bucket"])),
-        batch_format="pandas",
+        lambda g: emit(g.drop(columns=["_bucket"])), batch_format="pandas"
     )
 
-    # 4. global combine -> frequency = |distinct common factors|.
-    edges = hash_aggregate(
-        pairs, ["src", "dst"], {"frequency": ("partial", "sum")}, num_buckets=num_buckets
-    )
+    # 4. global combine by pair code -> frequency = |distinct common factors|
+    # — shuffle #3 (int64 keys only; nothing wide moves).
+    if exact_combine:
+        edges = pairs.groupby("_b2").map_groups(
+            lambda g: _combine_pair_codes(g.drop(columns=["_b2"])), batch_format="pandas"
+        )
+    else:
+        if need_stats:
+            raise ValueError("PMI statistics require exact_combine=True")
+        from bluegraph_ray.util import rename_columns as _rn2
 
-    if min_frequency > 1:
-        edges = edges.filter(expr=f"frequency >= {min_frequency}")
+        edges = _rn2(pairs.select_columns(["code", "partial"]),
+                     {"partial": "frequency"})
 
-    # 5. stateless PMI stage with broadcast per-entity counts. A plain task
-    # function, not an actor pool: ray.get of the broadcast ref inside the
-    # task is zero-copy plasma and needs no per-actor warm-up.
-    if need_stats:
-        total = float(total_factor_instances)
-        stats = [s for s in statistics if s != "frequency"]
-        rnd = round_to
+    # 5. decode ids -> names + stateless PMI with broadcast per-entity counts.
+    total = float(total_factor_instances) if total_factor_instances else 0.0
+    stats = [s for s in statistics if s != "frequency"]
+    rnd = round_to
+    minf = min_frequency
 
-        def pmi_stage(batch: pd.DataFrame) -> pd.DataFrame:
-            ent_freq = ray.get(ent_freq_ref)
-            co = batch["frequency"].to_numpy(dtype=np.float64)
-            s = ent_freq.reindex(batch["src"]).to_numpy(dtype=np.float64)
-            t = ent_freq.reindex(batch["dst"]).to_numpy(dtype=np.float64)
+    decode = decode_names
+
+    def decode_and_score(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(names_ref)
+        code = batch["code"].to_numpy()
+        freq = batch["frequency"].to_numpy()
+        if minf > 1:
+            keep = freq >= minf
+            code, freq = code[keep], freq[keep]
+        src_id = code // n_ent
+        dst_id = code % n_ent
+        out = pd.DataFrame(
+            {"src": nm[src_id] if decode else src_id,
+             "dst": nm[dst_id] if decode else dst_id,
+             "frequency": freq}
+        )
+        if need_stats:
+            sf = ray.get(s_freq_ref)
+            co = freq.astype(np.float64)
+            s = sf[src_id]
+            tt = sf[dst_id]
             for stat in stats:
                 mitype = {"ppmi": None, "npmi": "normalized"}.get(stat, stat)
-                vals = mutual_information(co, s, t, total, mitype=mitype)
+                vals = mutual_information(co, s, tt, total, mitype=mitype)
                 if rnd is not None:
                     vals = np.round(vals, rnd)
-                batch[stat] = vals
-            return batch
+                out[stat] = vals
+        return out
 
-        edges = edges.map_batches(pmi_stage, batch_format="pandas")
-
+    edges = edges.map_batches(decode_and_score, batch_format="pandas")
     keep = ["src", "dst"] + [s for s in DEFAULT_STATS if s in statistics] + [
         s for s in statistics if s not in DEFAULT_STATS
     ]

@@ -158,6 +158,7 @@ def build_graph(
         weighted=weight is not None,
         partition_sizes=sizes,
     )
+    pq.write_table(pa.table({"name": names}), os.path.join(path, "names.parquet"))
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(
             {
@@ -171,6 +172,24 @@ def build_graph(
             f,
         )
     return handle
+
+
+def load_graph(path: str) -> GraphHandle:
+    """Re-open a graph dir written by :func:`build_graph` (resume path — the
+    partition layout + manifest + names ARE the checkpointed graph)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    names = pq.read_table(os.path.join(path, "names.parquet")).column("name").to_numpy()
+    return GraphHandle(
+        path=path,
+        names=names,
+        n=man["n"],
+        m=man["m"],
+        n_partitions=man["n_partitions"],
+        directed=man["directed"],
+        weighted=man["weighted"],
+        partition_sizes=man["partition_sizes"],
+    )
 
 
 @ray.remote

@@ -76,6 +76,13 @@ def hash_aggregate(
     combine are both vectorized pandas groupbys).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    for out, (col, op) in aggs.items():
+        if op not in _COMBINE_OP and op != "count":
+            raise ValueError(
+                f"unsupported aggregate op {op!r} for {out!r}; "
+                f"supported: {sorted(_COMBINE_OP) + ['count']} "
+                "(ops must decompose into partial+combine)"
+            )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(keys, sort=False, dropna=False)
@@ -129,6 +136,50 @@ def hash_distinct(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Partitioned hash join: tag side -> bucket by hash(key) -> per-bucket
+    pandas merge. Both sides stream; only one bucket pair is in memory per
+    task. (Ray 2.49 ships Dataset.join behind the hash-shuffle strategy, which
+    shares the per-group-Python aggregate machinery this module exists to
+    avoid.) Salting hot keys = raising num_buckets; a key's rows always meet
+    in exactly one bucket."""
+    on = [on] if isinstance(on, str) else list(on)
+
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            h = pd.util.hash_pandas_object(batch[on], index=False).to_numpy()
+            batch["_bucket"] = (h % num_buckets).astype(np.int64)
+            batch["_side"] = side
+            return batch
+
+        return f
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        # a bucket may hold rows from only one side -> the concatenated group
+        # lacks the other side's columns; reindex restores them as NaN
+        l = group[group["_side"] == "l"].reindex(columns=left_cols)
+        r = group[group["_side"] == "r"].reindex(columns=right_cols)
+        return l.merge(r, on=on, how=how, suffixes=("", suffix))
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
 
 
 def distinct_values(ds: "ray.data.Dataset", column: str) -> np.ndarray:

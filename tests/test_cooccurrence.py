@@ -133,6 +133,7 @@ def test_min_frequency_and_hub_cap():
     factor_sets = {"a": {1, 2, 3}, "b": {1, 2}, "c": {3}, "d": {3}}
     df = run_pipeline(factor_sets, statistics=["frequency"], min_frequency=2)
     assert {(r.src, r.dst) for r in df.itertuples()} == {("a", "b")}
-    # cap: factor 3 is shared by a,c,d (size 3) — capping at 2 removes its pairs
+    # cap: factor 3 is shared by a,c,d (size 3) — truncating at 2 keeps only
+    # the first 2 sorted entities {a,c}, so (a,c) survives but (a,d)/(c,d) drop
     df2 = run_pipeline(factor_sets, statistics=["frequency"], max_factor_entities=2)
-    assert {(r.src, r.dst) for r in df2.itertuples()} == {("a", "b")}
+    assert {(r.src, r.dst) for r in df2.itertuples()} == {("a", "b"), ("a", "c")}

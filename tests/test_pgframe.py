@@ -1,0 +1,128 @@
+"""RayPGFrame facade vs the reference's PGFrame semantics
+(/root/reference/tests/io/test_pgframes.py is the behavioural model)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from bluegraph_ray.pgframe import DST, ID, SRC, TYPE, RayPGFrame
+from bluegraph_ray.util import hash_join
+
+
+def small_frame() -> RayPGFrame:
+    f = RayPGFrame(nodes=["a", "b", "c", "d"],
+                   edges=[("a", "b"), ("b", "c"), ("a", "c")])
+    return f
+
+
+def test_basic_counts_and_lists():
+    f = small_frame()
+    assert f.number_of_nodes() == 4
+    assert f.number_of_edges() == 3
+    assert f.nodes() == ["a", "b", "c", "d"]
+    assert set(f.edges()) == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_add_node_properties_upsert():
+    f = small_frame()
+    f2 = f.add_node_properties(pd.DataFrame({ID: ["a", "b"], "w": [1.0, 2.0]}))
+    f3 = f2.add_node_properties(pd.DataFrame({ID: ["b", "c"], "w": [9.0, 3.0]}))
+    df = f3.nodes_df().set_index(ID)
+    assert df.loc["a", "w"] == 1.0
+    assert df.loc["b", "w"] == 9.0  # overwritten
+    assert df.loc["c", "w"] == 3.0
+    assert np.isnan(df.loc["d", "w"])
+    assert f3.node_properties() == ["w"]
+
+
+def test_edge_properties_and_types():
+    f = small_frame()
+    f = f.add_edge_properties(
+        pd.DataFrame({SRC: ["a", "b"], DST: ["b", "c"], "weight": [0.5, 1.5]})
+    )
+    f = f.add_edge_types({("a", "b"): "Likes", ("b", "c"): "Likes",
+                          ("a", "c"): "Knows"})
+    df = f.edges_df().set_index([SRC, DST])
+    assert df.loc[("a", "b"), "weight"] == 0.5
+    assert df.loc[("a", "c"), TYPE] == "Knows"
+
+
+def test_rename_filter_subgraph_remove():
+    f = small_frame()
+    g = f.rename_nodes({"a": "A"})
+    assert "A" in g.nodes() and "a" not in g.nodes()
+    assert ("A", "b") in g.edges()
+
+    sub = f.subgraph(["a", "b", "c"])
+    assert sub.number_of_nodes() == 3 and sub.number_of_edges() == 3
+    sub2 = f.subgraph(["a", "b"])
+    assert set(sub2.edges()) == {("a", "b")}
+
+    rm = f.remove_nodes(["c"])
+    assert rm.number_of_nodes() == 3
+    assert set(rm.edges()) == {("a", "b")}
+
+
+def test_isolated_and_density():
+    f = small_frame()
+    assert f.isolated_nodes() == ["d"]
+    f2 = f.remove_isolated_nodes()
+    assert f2.number_of_nodes() == 3
+    # undirected density 2m/(n(n-1)) (reference core/io.py:610-615)
+    assert f.density() == pytest.approx(2 * 3 / (4 * 3))
+
+
+def test_types_subset_semantics():
+    f = small_frame().add_node_types({"a": "Person", "b": "Person", "c": "Org"})
+    assert set(f.nodes_of_type("Person")) == {"a", "b"}
+    assert f.nodes_of_type("Org") == ["c"]
+
+
+def test_merge_nodes_contraction():
+    """cord19kg merge_nodes analog (/root/reference/cord19kg/utils.py:1026-1108):
+    merging b,c re-points edges, merges parallel edges, drops self-loops."""
+    f = small_frame().add_edge_properties(
+        pd.DataFrame({SRC: ["a", "b", "a"], DST: ["b", "c", "c"],
+                      "frequency": [1.0, 2.0, 5.0]})
+    )
+    g = f.merge_nodes(["b", "c"], "bc", attr_resolver={"frequency": "sum"})
+    assert set(g.nodes()) == {"a", "bc", "d"}
+    edf = g.edges_df()
+    assert len(edf) == 1
+    r = edf.iloc[0]
+    assert {r[SRC], r[DST]} == {"a", "bc"}
+    assert r["frequency"] == 6.0  # parallel a-b(1) + a-c(5) merged; b-c self-loop dropped
+
+
+def test_parquet_roundtrip(tmp_path):
+    f = small_frame().add_node_properties(
+        pd.DataFrame({ID: ["a", "b"], "score": [0.1, 0.2]})
+    )
+    f.to_parquet(str(tmp_path))
+    g = RayPGFrame.from_parquet(str(tmp_path))
+    assert g.number_of_nodes() == 4 and g.number_of_edges() == 3
+    assert g.nodes_df().set_index(ID).loc["a", "score"] == pytest.approx(0.1)
+
+
+def test_json_and_triples():
+    f = small_frame().add_node_properties(pd.DataFrame({ID: ["a"], "p": ["x"]}))
+    doc = f.to_json()
+    g = RayPGFrame.from_json(doc)
+    assert set(g.nodes()) == set(f.nodes())
+    triples = f.to_triples()
+    assert ("a", "p", "x") in triples
+    assert ("a", "edge", "b") in triples
+
+
+def test_hash_join_basic():
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [2, 3, 4], "b": [20, 30, 40]}))
+    inner = hash_join(l, r, "k").to_pandas().sort_values("k")
+    assert list(inner["k"]) == [2, 3]
+    outer = hash_join(l, r, "k", how="outer").to_pandas().sort_values("k")
+    assert list(outer["k"]) == [1, 2, 3, 4]
+    assert outer["a"].isna().sum() == 1 and outer["b"].isna().sum() == 1
