@@ -224,6 +224,20 @@ def q_knn_cosine(sf_dir: str):
     return knn_topk(corpus, qm, qids, k=5)
 
 
+def q_top_ppmi_edges(sf_dir: str):
+    """Global top-100 by PPMI — distributed sort + limit (top_n analog,
+    /root/reference/bluegraph/core/utils.py:98-105)."""
+    edges = _cooc_edges(sf_dir)
+    return edges.sort(["ppmi", "src", "dst"], descending=[True, False, False]).limit(100)
+
+
+def q_order_priority_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
+    return o.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
 # --- non-SQL-expressible (rows-only driver check) --------------------------
 
 def q_pagerank_parts(sf_dir: str):
@@ -300,6 +314,54 @@ def q_doc_fingerprints(sf_dir: str):
     )
 
 
+def q_closeness_parts(sf_dir: str):
+    from bluegraph_ray.stages.centrality import closeness_centrality
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    out = closeness_centrality(edges)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["closeness"] = np.round(batch["closeness"], 9)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def q_betweenness_parts(sf_dir: str):
+    from bluegraph_ray.stages.centrality import betweenness_centrality
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    out = betweenness_centrality(edges)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["betweenness"] = np.round(batch["betweenness"], 9)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def q_mst_parts(sf_dir: str):
+    """MST over the freq>=2 co-occurrence graph, distance = 1/frequency
+    (distance_npmi analog, /root/reference/cord19kg/utils.py:664-671)."""
+    from bluegraph_ray.stages.paths import minimum_spanning_tree
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+
+    def dist(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["distance"] = 1.0 / batch["frequency"]
+        return batch
+
+    e = edges.map_batches(dist, batch_format="pandas")
+    return minimum_spanning_tree(e, distance="distance")[["src", "dst", "frequency"]]
+
+
+def q_negative_edges(sf_dir: str):
+    from bluegraph_ray.pipelines.downstream import generate_negative_edges
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    return generate_negative_edges(edges, n_samples=500, seed=7)
+
+
 def q_source_graph(sf_dir: str):
     """Flagship over the synthetic source-code table (size scaled by sf)."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -342,6 +404,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
+        "top_ppmi_edges": q_top_ppmi_edges,
+        "order_priority_counts": q_order_priority_counts,
+        "closeness_parts": q_closeness_parts,
+        "betweenness_parts": q_betweenness_parts,
+        "mst_parts": q_mst_parts,
+        "negative_edges": q_negative_edges,
         "pagerank_parts": q_pagerank_parts,
         "components_parts": q_components_parts,
         "communities_parts": q_communities_parts,
@@ -486,6 +554,26 @@ SELECT src, dst,
   ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON src = sa.doc_id JOIN sizes sb ON dst = sb.doc_id
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05
+""",
+        "top_ppmi_edges": f"""
+WITH {_EDGES_FREQ},
+ef AS (SELECT entity, COUNT(*) AS freq FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT factor) AS n FROM occ),
+scored AS (
+  SELECT e.src, e.dst, e.frequency,
+    ROUND(GREATEST(LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq)), 0), 6) AS ppmi,
+    ROUND(GREATEST(
+      CASE WHEN e.frequency = tot.n THEN 0
+           ELSE LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq))
+                / (-LOG2(e.frequency::DOUBLE / tot.n)) END, 0), 6) AS npmi
+  FROM edges e, tot
+  JOIN ef sf ON e.src = sf.entity
+  JOIN ef tf ON e.dst = tf.entity
+)
+SELECT * FROM scored ORDER BY ppmi DESC, src, dst LIMIT 100
+""",
+        "order_priority_counts": """
+SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
 """,
         "knn_cosine": """
 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
