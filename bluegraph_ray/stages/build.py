@@ -192,13 +192,18 @@ def load_graph(path: str) -> GraphHandle:
     )
 
 
-@ray.remote
+@ray.remote(max_restarts=2, max_task_retries=2)
 class CsrPartition:
     """One dst-range partition of the arc set, loaded once, reused every superstep.
 
     All kernels are contiguous segment reductions over arcs sorted by dst
     (np.add/minimum.reduceat) — the actor-held equivalent of
     ``groupby(dst).aggregate`` with the map-side combine already applied.
+
+    Restartable: state derives solely from the on-disk partition dir, so a
+    crashed actor restarts from its constructor arguments and in-flight
+    gathers retry (max_task_retries) — the driver's superstep ray.get
+    self-heals instead of hanging.
     """
 
     def __init__(self, graph_path: str, bucket: int, n: int, n_partitions: int):
@@ -229,6 +234,12 @@ class CsrPartition:
 
     def num_arcs(self) -> int:
         return len(self.dst)
+
+    def pid(self) -> int:
+        """Worker pid (ops/debug: lets harnesses exercise the restart path)."""
+        import os
+
+        return os.getpid()
 
     def out_weight_partial(self):
         """Partial out-weight sums by src over this partition's arcs."""
