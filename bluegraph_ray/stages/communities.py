@@ -6,6 +6,9 @@ communities.py:23-141 — ``detect_communities(strategy=...)``,
 
 - "lpa": distributed semi-synchronous label propagation (stages/lpa.py) —
   the scale path;
+- "louvain": from-scratch deterministic two-phase Louvain run per connected
+  component (stages/louvain.py — matches the reference's karate assertion of
+  exactly 4 communities, tests/analyse/test_communities.py:31-36);
 - "girvan-newman": repeated highest-betweenness edge removal until the target
   community count (reference backends/networkx/analyse/communities.py:85-109
   incl. the ``heaviest`` selector variant) — runs per CONNECTED COMPONENT via
@@ -79,6 +82,11 @@ def detect_communities(
                              directed=False, n_partitions=n_partitions)
         res = label_propagation_communities(handle)
         return {str(n): int(l) for n, l in zip(handle.names, res.values)}
+    if strategy == "louvain":
+        from bluegraph_ray.stages.louvain import louvain_per_component
+
+        return louvain_per_component(edges, src=src, dst=dst, weight=weight,
+                                     n_partitions=n_partitions)
     if strategy == "girvan-newman":
         # per-component decomposition: removals never cross components, so
         # each component's loop is independent -> map_groups over components

@@ -36,6 +36,18 @@ def test_lpa_strategy_full_partition_and_positive_modularity():
     assert 0 <= cov <= 1 and 0 <= perf <= 1
 
 
+def test_louvain_karate_exactly_four_communities():
+    """The reference's louvain oracle: exactly 4 communities covering all 34
+    karate nodes (/root/reference/tests/analyse/test_communities.py:31-36)."""
+    df, g = karate()
+    ds = ray.data.from_pandas(df)
+    part = communities.detect_communities(ds, strategy="louvain", n_partitions=4)
+    assert set(part) == set(g.nodes)  # full coverage
+    assert len(set(part.values())) == 4
+    q = communities.evaluate_partition(ds, part, metric="modularity")
+    assert q > 0.4
+
+
 def test_girvan_newman_two_communities():
     # two triangles joined by one bridge — GN must cut the bridge
     rows = [("a", "b"), ("b", "c"), ("a", "c"),
