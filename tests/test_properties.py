@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bluegraph_ray.functions.pmi import mutual_information, npmi, ppmi
+from bluegraph_ray.functions.setops import (
+    aggregate_values,
+    normalize_to_set,
+    safe_intersection,
+    str_to_set,
+)
+
+
+@given(
+    st.integers(min_value=2, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_pmi_invariants(n, s, t):
+    s = min(s, n)
+    t = min(t, n)
+    co = min(s, t)
+    p = ppmi(np.array([co]), np.array([s]), np.array([t]), n)[0]
+    q = npmi(np.array([co]), np.array([s]), np.array([t]), n)[0]
+    assert p >= 0.0 and q >= 0.0
+    assert q <= 1.0 + 1e-12  # npmi clamped to [0, 1]
+    # zero co-occurrence is always 0
+    assert ppmi(np.array([0]), np.array([s]), np.array([t]), n)[0] == 0.0
+    # pmi2 <= pmi (co <= n)
+    m2 = mutual_information(np.array([co]), np.array([s]), np.array([t]), n, "pmi2")[0]
+    assert m2 <= p + 1e-9
+
+
+@given(st.lists(st.one_of(st.integers(-5, 5), st.text(max_size=3)), max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_aggregate_values_shapes(values):
+    out = aggregate_values(values)
+    distinct = {v for v in values if not (isinstance(v, float) and math.isnan(v))}
+    if len(distinct) == 0:
+        assert isinstance(out, float) and math.isnan(out)
+    elif len(distinct) == 1:
+        assert out == next(iter(distinct))
+    else:
+        assert out == distinct
+
+
+@given(st.lists(st.integers(0, 8)), st.lists(st.integers(0, 8)))
+@settings(max_examples=150, deadline=None)
+def test_safe_intersection_multiset(a, b):
+    out = safe_intersection(a, b)  # lists -> multiset semantics
+    assert isinstance(out, list)
+    from collections import Counter
+
+    ca, cb, co = Counter(a), Counter(b), Counter(out)
+    for k, v in co.items():
+        assert v == min(ca[k], cb[k])
+    for k in set(ca) & set(cb):
+        assert co[k] == min(ca[k], cb[k])
+
+
+@given(st.sets(st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_str_to_set_roundtrip(s):
+    assert str_to_set(repr(s)) == s
+
+
+@given(st.one_of(st.none(), st.integers(), st.text(max_size=4),
+                 st.lists(st.integers(), max_size=5)))
+@settings(max_examples=100, deadline=None)
+def test_normalize_to_set_total(value):
+    out = normalize_to_set(value)
+    assert isinstance(out, set)
+    if value is None:
+        assert out == set()
+    elif isinstance(value, list):
+        assert out == set(value)
+    else:
+        assert out == {value}
