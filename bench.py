@@ -161,7 +161,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extra["cc_iterations"] = cc.iterations
 
     t0 = time.perf_counter()
-    lpa = label_propagation_communities(handle, actors, max_iter=20)
+    lpa_iters = int(os.environ.get("GRAFT_LPA_ITERS", "20"))
+    lpa = label_propagation_communities(handle, actors, max_iter=lpa_iters)
     queries["lpa"] = round(time.perf_counter() - t0, 3)
     extra["lpa_iterations"] = lpa.iterations
 
@@ -218,7 +219,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_N_FILES=scale_files, GRAFT_FACTOR="repo",
                    GRAFT_MULTIGRAPH="1", GRAFT_SKIP_RELATIONAL="1",
-                   GRAFT_SKIP_DEGREE="1",
+                   GRAFT_SKIP_DEGREE="1", GRAFT_LPA_ITERS="5",
                    GRAFT_CACHE=os.environ.get("GRAFT_CACHE", "/tmp/bgray_scale_cache"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -56,6 +56,7 @@ class GraphHandle:
     directed: bool
     weighted: bool
     partition_sizes: list = field(default_factory=list)
+    boundaries: list = field(default_factory=list)  # dst-range cut points, len P+1
 
     def id_of(self, name) -> int:
         i = int(np.searchsorted(self.names, name))
@@ -83,6 +84,7 @@ def build_graph(
     directed: bool = False,
     n_partitions: int = 16,
     path: str | None = None,
+    coalesce: bool = False,
 ) -> GraphHandle:
     """Edge table Dataset -> CSR partition directories + GraphHandle.
 
@@ -111,9 +113,31 @@ def build_graph(
     P = max(1, min(n_partitions, n))
     names_ref = ray.put(names)
 
-    # --- encode + expand directions + bucket by dst range -----------------
-    # partition p owns dst in [p*n//P, (p+1)*n//P) — same formula as CsrPartition
-    boundaries = np.array([(p * n) // P for p in range(P + 1)], dtype=np.int64)
+    # --- degree-balanced dst-range boundaries -----------------------------
+    # Equal VERTEX ranges are badly skewed under zipf degrees (a hub vertex's
+    # in-arcs all land in one partition); instead cut the dst axis so every
+    # partition owns ~m/P ARCS: one cheap pass summing per-batch in-degree
+    # bincounts (n-length vectors), then equal-mass cuts of the cumulative
+    # histogram. This is the "skew splitting for high-degree hub vertices"
+    # the superstep engine relies on — the BSP barrier is gated by the
+    # LARGEST partition, not the average.
+    def degree_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(names_ref)
+        d = np.searchsorted(nm, batch[dst].to_numpy().astype(nm.dtype))
+        counts = np.bincount(d, minlength=n)
+        if not directed:
+            s = np.searchsorted(nm, batch[src].to_numpy().astype(nm.dtype))
+            counts = counts + np.bincount(s, minlength=n)
+        return pd.DataFrame({"bc": [counts]})
+
+    parts_bc = e.map_batches(degree_partial, batch_format="pandas").to_pandas()
+    in_deg = np.sum(np.stack(parts_bc["bc"].to_numpy()), axis=0).astype(np.int64)
+    cum = np.cumsum(in_deg)
+    total_arcs = int(cum[-1])
+    targets = (np.arange(1, P) * total_arcs) // P
+    cuts = np.searchsorted(cum, targets, side="left") + 1
+    boundaries = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
+    P = len(boundaries) - 1  # may shrink if cuts collide on a mega-hub
 
     def encode(batch: pd.DataFrame) -> pd.DataFrame:
         nm = ray.get(names_ref)
@@ -131,9 +155,12 @@ def build_graph(
             {"src_id": s.astype(np.int64), "dst_id": d.astype(np.int64), "w": w, "bucket": bucket}
         )
 
-    # coalesce to P blocks before the partitioned write so each bucket dir
-    # holds O(1) files, not O(input blocks) — actors read fewer, larger files
-    encoded = e.map_batches(encode, batch_format="pandas").repartition(P)
+    # each bucket dir holds O(input blocks) files; pq.read_table handles
+    # multi-file dirs with threaded IO, so the extra repartition pass
+    # (a full second data movement) is opt-in only
+    encoded = e.map_batches(encode, batch_format="pandas")
+    if coalesce:
+        encoded = encoded.repartition(P)
     encoded.write_parquet(path, partition_cols=["bucket"])
 
     # manifest: per-partition sizes (lineage for resume / skew planning)
@@ -157,6 +184,7 @@ def build_graph(
         directed=directed,
         weighted=weight is not None,
         partition_sizes=sizes,
+        boundaries=[int(b) for b in boundaries],
     )
     pq.write_table(pa.table({"name": names}), os.path.join(path, "names.parquet"))
     with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -168,6 +196,7 @@ def build_graph(
                 "directed": directed,
                 "weighted": weight is not None,
                 "partition_sizes": sizes,
+                "boundaries": [int(b) for b in boundaries],
             },
             f,
         )
@@ -189,6 +218,7 @@ def load_graph(path: str) -> GraphHandle:
         directed=man["directed"],
         weighted=man["weighted"],
         partition_sizes=man["partition_sizes"],
+        boundaries=man.get("boundaries", []),
     )
 
 
@@ -206,10 +236,10 @@ class CsrPartition:
     self-heals instead of hanging.
     """
 
-    def __init__(self, graph_path: str, bucket: int, n: int, n_partitions: int):
+    def __init__(self, graph_path: str, bucket: int, lo: int, hi: int):
         pdir = os.path.join(graph_path, f"bucket={bucket}")
-        self.lo = bucket * n // n_partitions
-        self.hi = (bucket + 1) * n // n_partitions
+        self.lo = lo
+        self.hi = hi
         if os.path.isdir(pdir):
             tbl = pq.read_table(pdir, columns=["src_id", "dst_id", "w"])
             src = tbl.column("src_id").to_numpy()
@@ -331,9 +361,12 @@ def make_partition_actors(handle: GraphHandle, *, num_cpus: float = 0.5):
     ``n_partitions`` to the cluster's CPU count — the two-cluster-size scaling
     run does exactly that.
     """
+    b = handle.boundaries or [
+        (p * handle.n) // handle.n_partitions for p in range(handle.n_partitions + 1)
+    ]
     return [
         CsrPartition.options(num_cpus=num_cpus).remote(
-            handle.path, p, handle.n, handle.n_partitions
+            handle.path, p, int(b[p]), int(b[p + 1])
         )
         for p in range(handle.n_partitions)
     ]
