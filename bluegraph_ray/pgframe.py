@@ -122,7 +122,7 @@ class RayPGFrame:
                     batch = batch.drop(columns=[cn])
             return batch
 
-        return RayPGFrame(joined.map_batches(resolve, batch_format="pandas"),
+        return RayPGFrame(joined.map_batches(resolve, batch_format="pandas", batch_size=None),
                           self._edges)
 
     def add_edge_properties(self, props) -> "RayPGFrame":
@@ -140,7 +140,7 @@ class RayPGFrame:
             return batch
 
         return RayPGFrame(self._nodes,
-                          joined.map_batches(resolve, batch_format="pandas"))
+                          joined.map_batches(resolve, batch_format="pandas", batch_size=None))
 
     def add_node_types(self, mapping: dict) -> "RayPGFrame":
         df = pd.DataFrame({ID: list(mapping), TYPE: list(mapping.values())})
@@ -168,8 +168,8 @@ class RayPGFrame:
             return batch
 
         return RayPGFrame(
-            self._nodes.map_batches(remap_nodes, batch_format="pandas"),
-            self._edges.map_batches(remap_edges, batch_format="pandas"),
+            self._nodes.map_batches(remap_nodes, batch_format="pandas", batch_size=None),
+            self._edges.map_batches(remap_edges, batch_format="pandas", batch_size=None),
         )
 
     def rename_node_properties(self, mapping: dict) -> "RayPGFrame":
@@ -186,7 +186,7 @@ class RayPGFrame:
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             return batch[batch[ID].isin(ray.get(keep))]
 
-        return RayPGFrame(self._nodes.map_batches(f, batch_format="pandas"),
+        return RayPGFrame(self._nodes.map_batches(f, batch_format="pandas", batch_size=None),
                           self._edges)
 
     def filter_edges(self, edge_pairs: Iterable[tuple]) -> "RayPGFrame":
@@ -200,7 +200,7 @@ class RayPGFrame:
             return batch[np.asarray(mask, dtype=bool)]
 
         return RayPGFrame(self._nodes,
-                          self._edges.map_batches(f, batch_format="pandas"))
+                          self._edges.map_batches(f, batch_format="pandas", batch_size=None))
 
     def subgraph(self, nodes_to_include: Iterable) -> "RayPGFrame":
         """Node-induced subgraph (reference core/io.py:1164-1199): keep listed
@@ -214,8 +214,8 @@ class RayPGFrame:
             ks = ray.get(keep)
             return batch[batch[SRC].isin(ks) & batch[DST].isin(ks)]
 
-        return RayPGFrame(self._nodes.map_batches(fn, batch_format="pandas"),
-                          self._edges.map_batches(fe, batch_format="pandas"))
+        return RayPGFrame(self._nodes.map_batches(fn, batch_format="pandas", batch_size=None),
+                          self._edges.map_batches(fe, batch_format="pandas", batch_size=None))
 
     def remove_nodes(self, node_ids: Iterable) -> "RayPGFrame":
         """Delete nodes and any incident edge (reference core/io.py:906-914)
@@ -229,8 +229,8 @@ class RayPGFrame:
             ds_ = ray.get(drop)
             return batch[~(batch[SRC].isin(ds_) | batch[DST].isin(ds_))]
 
-        return RayPGFrame(self._nodes.map_batches(fn, batch_format="pandas"),
-                          self._edges.map_batches(fe, batch_format="pandas"))
+        return RayPGFrame(self._nodes.map_batches(fn, batch_format="pandas", batch_size=None),
+                          self._edges.map_batches(fe, batch_format="pandas", batch_size=None))
 
     def isolated_nodes(self) -> list:
         """Nodes with no incident edge (reference core/io.py:1237-1252)."""
@@ -263,7 +263,7 @@ class RayPGFrame:
             )
             return batch[mask.to_numpy(dtype=bool)][[ID]]
 
-        return list(self._nodes.map_batches(f, batch_format="pandas").to_pandas()[ID])
+        return list(self._nodes.map_batches(f, batch_format="pandas", batch_size=None).to_pandas()[ID])
 
     # -- contraction (reference cord19kg/utils.py:1026-1108) ----------------
 
@@ -284,7 +284,7 @@ class RayPGFrame:
         def drop_selfloops(batch: pd.DataFrame) -> pd.DataFrame:
             return batch[batch[SRC] != batch[DST]]
 
-        edges = remapped._edges.map_batches(drop_selfloops, batch_format="pandas")
+        edges = remapped._edges.map_batches(drop_selfloops, batch_format="pandas", batch_size=None)
         aggs = {}
         for c in edge_cols:
             op = resolver.get(c, "sum")

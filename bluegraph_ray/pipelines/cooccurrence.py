@@ -90,7 +90,7 @@ def occurrences_from_source(
         cols.add(entity)
     if factor != "dir":
         cols.add(factor)
-    return ds.select_columns(sorted(cols)).map_batches(extract, batch_format="pyarrow")
+    return ds.select_columns(sorted(cols)).map_batches(extract, batch_format="pyarrow", batch_size=None)
 
 
 def occurrences_from_imports(ds: "ray.data.Dataset", *, factor: str = "repo") -> "ray.data.Dataset":
@@ -116,8 +116,7 @@ def occurrences_from_imports(ds: "ray.data.Dataset", *, factor: str = "repo") ->
             )
 
     return ds.select_columns(["content", factor]).map_batches(
-        ImportExtractor, batch_format="pandas", concurrency=(1, 4)
-    )
+        ImportExtractor, batch_format="pandas", concurrency=(1, 4), batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -258,8 +257,7 @@ def cooccurrence_edges(
             return pd.DataFrame({"bc": [np.bincount(eids, minlength=n_ent)]})
 
         parts = distinct.select_columns(["entity"]).map_batches(
-            partial_counts, batch_format="pandas"
-        ).to_pandas()
+            partial_counts, batch_format="pandas", batch_size=None).to_pandas()
         s_freq = np.sum(np.stack(parts["bc"].to_numpy()), axis=0).astype(np.float64)
         s_freq_ref = ray.put(s_freq)
         if total_factor_instances is None:
@@ -272,7 +270,7 @@ def cooccurrence_edges(
         batch["_bucket"] = (h % num_buckets).astype(np.int64)
         return batch
 
-    bucketed = distinct.map_batches(add_bucket, batch_format="pandas")
+    bucketed = distinct.map_batches(add_bucket, batch_format="pandas", batch_size=None)
     emit = _emit_pair_codes(max_factor_entities, names_ref, num_buckets)
     pairs = bucketed.groupby("_bucket").map_groups(
         lambda g: emit(g.drop(columns=["_bucket"])), batch_format="pandas"
@@ -327,7 +325,7 @@ def cooccurrence_edges(
                 out[stat] = vals
         return out
 
-    edges = edges.map_batches(decode_and_score, batch_format="pandas")
+    edges = edges.map_batches(decode_and_score, batch_format="pandas", batch_size=None)
     keep = ["src", "dst"] + [s for s in DEFAULT_STATS if s in statistics] + [
         s for s in statistics if s not in DEFAULT_STATS
     ]

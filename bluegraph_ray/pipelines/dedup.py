@@ -46,7 +46,7 @@ def exact_dedup(
             }
         )
 
-    hashed = ds.map_batches(digest, batch_format="pandas")
+    hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
     return hash_aggregate(hashed, "content_sha256", {id_col: (id_col, "min")})
 
 
@@ -111,8 +111,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
-        MinHasher(text_col, id_col, k, num_perm, seed), batch_format="pandas"
-    )
+        MinHasher(text_col, id_col, k, num_perm, seed), batch_format="pandas", batch_size=None)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         ids, band_ids, band_hash, sig_list = [], [], [], []
@@ -130,7 +129,7 @@ def minhash_lsh_candidates(
             {id_col: ids, "band": band_ids, "bhash": band_hash, "sig": sig_list}
         )
 
-    banded = sigs.map_batches(to_bands, batch_format="pandas")
+    banded = sigs.map_batches(to_bands, batch_format="pandas", batch_size=None)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -176,7 +175,7 @@ def ngram_jaccard_pairs(
             sh.extend(ss)
         return pd.DataFrame({"doc": ids, "shingle": sh})
 
-    exploded = ds.map_batches(shingles, batch_format="pandas").materialize()
+    exploded = ds.map_batches(shingles, batch_format="pandas", batch_size=None).materialize()
     sizes = hash_aggregate(exploded, "doc", {"sz": (None, "count")}).to_pandas()
     sizes_ref = ray.put(sizes.set_index("doc")["sz"])
 
@@ -207,7 +206,7 @@ def ngram_jaccard_pairs(
         return df.groupby(["src", "dst"], sort=False).size().reset_index(name="partial")
 
     inter = (
-        exploded.map_batches(bucket, batch_format="pandas")
+        exploded.map_batches(bucket, batch_format="pandas", batch_size=None)
         .groupby("_b")
         .map_groups(lambda g: emit_pairs(g.drop(columns=["_b"])), batch_format="pandas")
     )
@@ -221,7 +220,7 @@ def ngram_jaccard_pairs(
         batch["jaccard"] = np.round(i / (sa + sb - i), 6)
         return batch[batch["jaccard"] >= threshold].drop(columns=["inter"])
 
-    return inter.map_batches(jaccard, batch_format="pandas")
+    return inter.map_batches(jaccard, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +256,7 @@ class SimHasher:
 
 
 def simhash_signatures(ds: "ray.data.Dataset", *, text_col="text", id_col="doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(SimHasher(text_col, id_col), batch_format="pandas")
+    return ds.map_batches(SimHasher(text_col, id_col), batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -301,4 +300,4 @@ def embedding_dup_pairs(
             }
         )
 
-    return ds.select_columns([id_col, vec_col]).map_batches(block, batch_format="pandas")
+    return ds.select_columns([id_col, vec_col]).map_batches(block, batch_format="pandas", batch_size=None)

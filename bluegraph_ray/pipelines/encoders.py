@@ -57,7 +57,7 @@ class MultiLabelBinarizerEncoder:
                 vals |= normalize_to_set(cell)
             return pd.DataFrame({"v": sorted(vals, key=str)})
 
-        parts = ds.map_batches(uniq, batch_format="pandas").to_pandas()
+        parts = ds.map_batches(uniq, batch_format="pandas", batch_size=None).to_pandas()
         self.classes_ = sorted(set(parts["v"]), key=str)
         return self
 
@@ -77,7 +77,7 @@ class MultiLabelBinarizerEncoder:
             batch[out] = list(mat)
             return batch
 
-        return ds.map_batches(enc, batch_format="pandas")
+        return ds.map_batches(enc, batch_format="pandas", batch_size=None)
 
 
 class TfIdfEncoder:
@@ -108,7 +108,7 @@ class TfIdfEncoder:
             return pd.DataFrame({"token": toks, "df_part": cnt})
 
         df_tbl = hash_aggregate(
-            ds.map_batches(doc_tokens, batch_format="pandas"),
+            ds.map_batches(doc_tokens, batch_format="pandas", batch_size=None),
             "token", {"df": ("df_part", "sum")},
         ).to_pandas()
         self.n_docs_ = ds.count()
@@ -141,7 +141,7 @@ class TfIdfEncoder:
             batch[out] = list(mat)
             return batch
 
-        return ds.map_batches(enc, batch_format="pandas")
+        return ds.map_batches(enc, batch_format="pandas", batch_size=None)
 
 
 class StandardScalerEncoder:
@@ -164,7 +164,7 @@ class StandardScalerEncoder:
                 }
             )
 
-        parts = ds.select_columns(cols).map_batches(moments, batch_format="pandas").to_pandas()
+        parts = ds.select_columns(cols).map_batches(moments, batch_format="pandas", batch_size=None).to_pandas()
         n = np.sum(np.stack(parts["n"].to_numpy()), axis=0)
         s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
         s2 = np.sum(np.stack(parts["s2"].to_numpy()), axis=0)
@@ -187,7 +187,7 @@ class StandardScalerEncoder:
             batch["scaled"] = list((x - mean) / std)
             return batch
 
-        return ds.map_batches(enc, batch_format="pandas")
+        return ds.map_batches(enc, batch_format="pandas", batch_size=None)
 
 
 class PCAReducer:
@@ -210,7 +210,7 @@ class PCAReducer:
                 {"n": [len(x)], "s": [x.sum(axis=0)], "xtx": [x.T @ x]}
             )
 
-        parts = ds.select_columns([col]).map_batches(partial, batch_format="pandas").to_pandas()
+        parts = ds.select_columns([col]).map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
         n = int(parts["n"].sum())
         s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
         xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0)
@@ -231,7 +231,7 @@ class PCAReducer:
             batch[out] = list((x - mean) @ comp.T)
             return batch
 
-        return ds.map_batches(enc, batch_format="pandas")
+        return ds.map_batches(enc, batch_format="pandas", batch_size=None)
 
 
 def concat_features(ds: "ray.data.Dataset", columns: list[str],
@@ -251,4 +251,4 @@ def concat_features(ds: "ray.data.Dataset", columns: list[str],
         batch[out] = list(np.hstack(mats))
         return batch
 
-    return ds.map_batches(cat, batch_format="pandas")
+    return ds.map_batches(cat, batch_format="pandas", batch_size=None)

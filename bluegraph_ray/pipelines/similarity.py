@@ -75,8 +75,7 @@ def knn_topk(
         return pd.concat(rows, ignore_index=True)
 
     partial = corpus.select_columns([id_col, vec_col]).map_batches(
-        block_topk, batch_format="pandas"
-    )
+        block_topk, batch_format="pandas", batch_size=None)
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
@@ -159,7 +158,7 @@ def lsh_topk(
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
         return pd.concat(rows, ignore_index=True)
 
-    partial = corpus.select_columns([id_col, vec_col]).map_batches(scan, batch_format="pandas")
+    partial = corpus.select_columns([id_col, vec_col]).map_batches(scan, batch_format="pandas", batch_size=None)
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("neighbor_id").sort_values(

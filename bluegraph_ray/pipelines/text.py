@@ -62,7 +62,7 @@ class TextStats:
 
 
 def doc_stats(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
-    return ds.map_batches(TextStats(text_col), batch_format="pandas")
+    return ds.map_batches(TextStats(text_col), batch_format="pandas", batch_size=None)
 
 
 class QualityScore:
@@ -84,7 +84,7 @@ class QualityScore:
 
 
 def quality_scores(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
-    return ds.map_batches(QualityScore(text_col), batch_format="pandas")
+    return ds.map_batches(QualityScore(text_col), batch_format="pandas", batch_size=None)
 
 
 class LangId:
@@ -123,9 +123,8 @@ def lang_id(ds: "ray.data.Dataset", *, text_col: str = "text", concurrency=None)
     if concurrency:
         return ds.map_batches(
             LangId, fn_constructor_kwargs={"text_col": text_col},
-            batch_format="pandas", concurrency=concurrency,
-        )
-    return ds.map_batches(LangId(text_col), batch_format="pandas")
+            batch_format="pandas", concurrency=concurrency, batch_size=None)
+    return ds.map_batches(LangId(text_col), batch_format="pandas", batch_size=None)
 
 
 def _roll_hash_tokens(tokens: list) -> np.int64:
@@ -156,4 +155,4 @@ class Fingerprint:
 
 
 def fingerprints(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
-    return ds.map_batches(Fingerprint(text_col), batch_format="pandas")
+    return ds.map_batches(Fingerprint(text_col), batch_format="pandas", batch_size=None)

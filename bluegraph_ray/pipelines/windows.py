@@ -43,8 +43,7 @@ def tumbling_window(
         )
 
     w = events.select_columns([ts_col, key_col, value_col]).map_batches(
-        assign, batch_format="pandas"
-    )
+        assign, batch_format="pandas", batch_size=None)
     out = hash_aggregate(
         w, [key_col, "window_start"],
         {"n_events": (None, "count"), "sum_value": (value_col, "sum")},
@@ -54,7 +53,7 @@ def tumbling_window(
         batch["sum_value"] = np.round(batch["sum_value"], 6)
         return batch
 
-    return out.map_batches(round_sum, batch_format="pandas")
+    return out.map_batches(round_sum, batch_format="pandas", batch_size=None)
 
 
 def sessionize(

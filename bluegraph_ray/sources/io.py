@@ -40,8 +40,8 @@ def frame_to_csv(frame: RayPGFrame, node_path: str, edge_path: str) -> None:
                 )
         return batch
 
-    frame._nodes.map_batches(ser, batch_format="pandas").write_csv(node_path)
-    frame._edges.map_batches(ser, batch_format="pandas").write_csv(edge_path)
+    frame._nodes.map_batches(ser, batch_format="pandas", batch_size=None).write_csv(node_path)
+    frame._edges.map_batches(ser, batch_format="pandas", batch_size=None).write_csv(edge_path)
 
 
 def frame_from_csv(node_path: str, edge_path: str) -> RayPGFrame:
@@ -53,8 +53,8 @@ def frame_from_csv(node_path: str, edge_path: str) -> RayPGFrame:
                 )
         return batch
 
-    nodes = ray.data.read_csv(node_path).map_batches(parse, batch_format="pandas")
-    edges = ray.data.read_csv(edge_path).map_batches(parse, batch_format="pandas")
+    nodes = ray.data.read_csv(node_path).map_batches(parse, batch_format="pandas", batch_size=None)
+    edges = ray.data.read_csv(edge_path).map_batches(parse, batch_format="pandas", batch_size=None)
     return RayPGFrame(nodes, edges)
 
 
@@ -104,7 +104,7 @@ def frame_from_jsonld(resources: list[dict], *, type_key: str = "@type") -> RayP
         )
         return out
 
-    both = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    both = ds.map_batches(explode, batch_format="pandas", batch_size=None).to_pandas()
     nodes = pd.DataFrame([json.loads(s) for s in both[both["kind"] == "n"]["payload"]])
     edges = pd.DataFrame([json.loads(s) for s in both[both["kind"] == "e"]["payload"]])
     if edges.empty:
@@ -161,8 +161,8 @@ def export_to_gephi(frame: RayPGFrame, node_path: str, edge_path: str,
             out[a] = batch[a]
         return out
 
-    frame._nodes.map_batches(nmap, batch_format="pandas").write_csv(node_path)
-    frame._edges.map_batches(emap, batch_format="pandas").write_csv(edge_path)
+    frame._nodes.map_batches(nmap, batch_format="pandas", batch_size=None).write_csv(node_path)
+    frame._edges.map_batches(emap, batch_format="pandas", batch_size=None).write_csv(edge_path)
 
 
 # -- ontology (gated) -------------------------------------------------------

@@ -168,7 +168,7 @@ def source_code_table(
     def gen(batch: pa.Table) -> pa.Table:
         return _make_batch(batch.column("id").to_numpy(), spec)
 
-    return ds.map_batches(gen, batch_format="pyarrow")
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 def source_code_table_arrow(n_files: int, seed: int = 42, spec: SourceTableSpec | None = None) -> pa.Table:
@@ -187,4 +187,4 @@ def sha256_column(batch: pa.Table, column: str = "content", out: str = "content_
 
 
 def with_sha256(ds: "ray.data.Dataset", column: str = "content") -> "ray.data.Dataset":
-    return ds.map_batches(lambda t: sha256_column(t, column), batch_format="pyarrow")
+    return ds.map_batches(lambda t: sha256_column(t, column), batch_format="pyarrow", batch_size=None)

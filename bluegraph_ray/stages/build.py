@@ -130,7 +130,7 @@ def build_graph(
             counts = counts + np.bincount(s, minlength=n)
         return pd.DataFrame({"bc": [counts]})
 
-    parts_bc = e.map_batches(degree_partial, batch_format="pandas").to_pandas()
+    parts_bc = e.map_batches(degree_partial, batch_format="pandas", batch_size=None).to_pandas()
     in_deg = np.sum(np.stack(parts_bc["bc"].to_numpy()), axis=0).astype(np.int64)
     cum = np.cumsum(in_deg)
     total_arcs = int(cum[-1])
@@ -158,7 +158,7 @@ def build_graph(
     # each bucket dir holds O(input blocks) files; pq.read_table handles
     # multi-file dirs with threaded IO, so the extra repartition pass
     # (a full second data movement) is opt-in only
-    encoded = e.map_batches(encode, batch_format="pandas")
+    encoded = e.map_batches(encode, batch_format="pandas", batch_size=None)
     if coalesce:
         encoded = encoded.repartition(P)
     encoded.write_parquet(path, partition_cols=["bucket"])

@@ -138,7 +138,7 @@ def louvain_per_component(
         return pd.DataFrame({"node": list(part), "community": list(part.values())})
 
     out = (
-        edges.map_batches(tag, batch_format="pandas")
+        edges.map_batches(tag, batch_format="pandas", batch_size=None)
         .groupby("_comp")
         .map_groups(per_component, batch_format="pandas")
         .to_pandas()

@@ -54,7 +54,7 @@ def _edge_stats(edges, partition: dict, *, src, dst, weight) -> dict:
             }
         )
 
-    parts = edges.map_batches(per_batch, batch_format="pandas").to_pandas()
+    parts = edges.map_batches(per_batch, batch_format="pandas", batch_size=None).to_pandas()
     return parts.sum().to_dict()
 
 

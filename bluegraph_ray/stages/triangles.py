@@ -52,7 +52,7 @@ def triangle_counts(
         return pd.DataFrame({"u": lo[keep], "v": hi[keep]}).drop_duplicates()
 
     canon_edges = hash_distinct(
-        e.map_batches(canon, batch_format="pandas"), ["u", "v"],
+        e.map_batches(canon, batch_format="pandas", batch_size=None), ["u", "v"],
         num_buckets=num_buckets,
     ).materialize()
 
@@ -74,7 +74,7 @@ def triangle_counts(
         b = np.where(ru < rv, rv, ru)
         return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
-    oriented = canon_edges.map_batches(orient, batch_format="pandas").materialize()
+    oriented = canon_edges.map_batches(orient, batch_format="pandas", batch_size=None).materialize()
 
     n = len(rank)
     opdf = oriented.to_pandas()
@@ -118,7 +118,7 @@ def triangle_counts(
         return pd.DataFrame({"vrank": uniq, "partial": cnt.astype(np.int64)})
 
     counts = (
-        oriented.map_batches(add_bucket, batch_format="pandas")
+        oriented.map_batches(add_bucket, batch_format="pandas", batch_size=None)
         .groupby("_bucket")
         .map_groups(lambda g: close_wedges(g.drop(columns=["_bucket"])), batch_format="pandas")
     )
@@ -131,4 +131,4 @@ def triangle_counts(
             {"node": inv.reindex(batch["vrank"]).to_numpy(), "triangles": batch["triangles"]}
         )
 
-    return counts.map_batches(back_to_names, batch_format="pandas")
+    return counts.map_batches(back_to_names, batch_format="pandas", batch_size=None)

@@ -56,7 +56,7 @@ def rename_columns(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
     def rn(t):
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
-    return ds.map_batches(rn, batch_format="pyarrow")
+    return ds.map_batches(rn, batch_format="pyarrow", batch_size=None)
 
 
 _COMBINE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -105,7 +105,7 @@ def hash_aggregate(
         return g.agg(**spec).reset_index()
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
@@ -132,7 +132,7 @@ def hash_distinct(
         return group.drop(columns=["_bucket"]).drop_duplicates(keys)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
@@ -168,8 +168,8 @@ def hash_join(
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
 
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas")
+    both = left.map_batches(tag("l"), batch_format="pandas", batch_size=None).union(
+        right.map_batches(tag("r"), batch_format="pandas", batch_size=None)
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -193,5 +193,5 @@ def distinct_values(ds: "ray.data.Dataset", column: str) -> np.ndarray:
     def uniq(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({column: pd.unique(batch[column])})
 
-    parts = ds.map_batches(uniq, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(uniq, batch_format="pandas", batch_size=None).to_pandas()
     return np.sort(pd.unique(parts[column].to_numpy()))
