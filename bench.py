@@ -117,7 +117,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         else:
             edges = build_edges()
             if edges_cache:
-                edges.write_parquet(edges_cache)
+                edges.write_parquet(edges_cache, min_rows_per_file=4_000_000,
+                                    row_group_size=1_000_000)
                 open(os.path.join(edges_cache, "_DONE"), "w").close()
                 edges = ray.data.read_parquet(edges_cache)
         m_undirected = edges.count()

@@ -252,13 +252,16 @@ def cooccurrence_edges(
         # (map-side partial bincounts, driver sum). At 10^12-file scale this
         # becomes a hash join on src/dst ids instead of a broadcast vector.
         def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+            # sparse (entity, count) partials — see stages/build.degree_partial
             nm = ray.get(names_ref)
             eids = np.searchsorted(nm, batch["entity"].to_numpy().astype(nm.dtype))
-            return pd.DataFrame({"bc": [np.bincount(eids, minlength=n_ent)]})
+            u, c = np.unique(eids, return_counts=True)
+            return pd.DataFrame({"v": u, "c": c})
 
         parts = distinct.select_columns(["entity"]).map_batches(
-            partial_counts, batch_format="pandas", batch_size=None).to_pandas()
-        s_freq = np.sum(np.stack(parts["bc"].to_numpy()), axis=0).astype(np.float64)
+            partial_counts, batch_format="pandas", batch_size=4_000_000).to_pandas()
+        s_freq = np.zeros(n_ent, dtype=np.float64)
+        np.add.at(s_freq, parts["v"].to_numpy(), parts["c"].to_numpy().astype(np.float64))
         s_freq_ref = ray.put(s_freq)
         if total_factor_instances is None:
             total_factor_instances = len(distinct_values(distinct, "factor"))

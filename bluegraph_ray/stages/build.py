@@ -122,16 +122,20 @@ def build_graph(
     # the superstep engine relies on — the BSP barrier is gated by the
     # LARGEST partition, not the average.
     def degree_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # SPARSE partials (vertex, count): dense n-length bincounts per batch
+        # amplify to gigabytes when upstream blocks/row-groups are small
         nm = ray.get(names_ref)
         d = np.searchsorted(nm, batch[dst].to_numpy().astype(nm.dtype))
-        counts = np.bincount(d, minlength=n)
         if not directed:
             s = np.searchsorted(nm, batch[src].to_numpy().astype(nm.dtype))
-            counts = counts + np.bincount(s, minlength=n)
-        return pd.DataFrame({"bc": [counts]})
+            d = np.concatenate([d, s])
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c})
 
-    parts_bc = e.map_batches(degree_partial, batch_format="pandas", batch_size=None).to_pandas()
-    in_deg = np.sum(np.stack(parts_bc["bc"].to_numpy()), axis=0).astype(np.int64)
+    parts_bc = e.map_batches(degree_partial, batch_format="pandas",
+                             batch_size=4_000_000).to_pandas()
+    in_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(in_deg, parts_bc["v"].to_numpy(), parts_bc["c"].to_numpy())
     cum = np.cumsum(in_deg)
     total_arcs = int(cum[-1])
     targets = (np.arange(1, P) * total_arcs) // P
