@@ -355,6 +355,16 @@ def q_mst_parts(sf_dir: str):
     return minimum_spanning_tree(e, distance="distance")[["src", "dst", "frequency"]]
 
 
+def q_louvain_parts(sf_dir: str):
+    """Deterministic Louvain over the freq>=2 co-occurrence graph."""
+    from bluegraph_ray.stages.communities import detect_communities
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    part = detect_communities(edges, strategy="louvain", weight="frequency",
+                              n_partitions=8)
+    return pd.DataFrame({"node": list(part), "community": list(part.values())})
+
+
 def q_negative_edges(sf_dir: str):
     from bluegraph_ray.pipelines.downstream import generate_negative_edges
 
@@ -409,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_parts": q_closeness_parts,
         "betweenness_parts": q_betweenness_parts,
         "mst_parts": q_mst_parts,
+        "louvain_parts": q_louvain_parts,
         "negative_edges": q_negative_edges,
         "pagerank_parts": q_pagerank_parts,
         "components_parts": q_components_parts,

@@ -49,6 +49,16 @@ def test_all_and_n_shortest(f3_edges):
     assert naive[0] == ("A", "D")  # naive ranks only unweighted-shortest paths
 
 
+def test_nested_and_disjoint_tripath(f3_edges):
+    nested = paths.nested_shortest_path(f3_edges, "A", "D", depth=2,
+                                        distance="distance")
+    assert nested[0] == "A" and nested[-1] == "D"
+    assert len(nested) > 3  # consecutive pairs expanded into sub-paths
+    p1, p2 = paths.shortest_tripath(f3_edges, "C", "B", "D", distance="distance",
+                                    overlap=False)
+    assert p1 == ("C", "B") and p2 == ("B", "D")
+
+
 def test_tripath_disjoint(f3_edges):
     p1, p2 = paths.shortest_tripath(f3_edges, "C", "B", "D", distance="distance",
                                     overlap=True)
