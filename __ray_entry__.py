@@ -462,7 +462,7 @@ JOIN ef tf ON e.dst = tf.entity
 """,
         "cooc_degree": f"""
 WITH {_EDGES_FREQ}
-SELECT node, SUM(frequency) AS degree FROM (
+SELECT node, CAST(SUM(frequency) AS BIGINT) AS degree FROM (
   SELECT src AS node, frequency FROM edges
   UNION ALL SELECT dst AS node, frequency FROM edges
 ) GROUP BY 1
@@ -528,8 +528,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -587,12 +587,17 @@ SELECT * FROM scored ORDER BY ppmi DESC, src, dst LIMIT 100
 SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
 """,
         "knn_cosine": """
+-- cosine computed in DOUBLE to match the engine's float64 kernel; ordering
+-- = raw cosine DESC, neighbor id ASC on both sides; ROUND only at emit
 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-  ROUND(LIST_COSINE_SIMILARITY(q.embedding, e.embedding), 6) AS cosine
+  ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
 WHERE q.vec_id < 10
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY q.vec_id
-  ORDER BY LIST_COSINE_SIMILARITY(q.embedding, e.embedding) DESC, e.vec_id) <= 5
+  ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])) DESC,
+           e.vec_id) <= 5
 """,
     }

@@ -40,8 +40,10 @@ def knn_topk(
 ) -> "ray.data.Dataset":
     """Exact cosine top-k: -> (query_id, neighbor_id, cosine).
 
-    Deterministic order: descending rounded cosine, then ascending neighbor id
-    (ties resolved identically in the DuckDB oracle).
+    One ordering everywhere: raw (unrounded) cosine descending, tie-break
+    neighbor_id ascending — in BOTH the map-side block top-k and the final
+    reduce, matching the DuckDB oracle's ORDER BY similarity DESC, vec_id.
+    The cosine column is rounded only when emitted from the final reduce.
     """
     q = _norm_rows(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put((np.asarray(query_ids), q))
@@ -60,13 +62,14 @@ def knn_topk(
             idx = np.flatnonzero(mask)
             if not len(idx):
                 continue
-            take = idx[np.argsort(-s[idx], kind="stable")[: k]]
+            # primary: raw cosine desc; tie-break: neighbor_id asc
+            take = idx[np.lexsort((ids[idx], -s[idx]))[: k]]
             rows.append(
                 pd.DataFrame(
                     {
                         "query_id": qids[qi],
                         "neighbor_id": ids[take],
-                        "cosine": np.round(s[take], 6),
+                        "cosine": s[take],
                     }
                 )
             )
@@ -79,8 +82,9 @@ def knn_topk(
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
-                              kind="mergesort")
-        return g.head(k)
+                              kind="mergesort").head(k)
+        g["cosine"] = np.round(g["cosine"].to_numpy(), 6)
+        return g
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
@@ -148,11 +152,11 @@ def lsh_topk(
                 idx = np.flatnonzero(mask)
                 if not len(idx):
                     continue
-                take = idx[np.argsort(-s[idx], kind="stable")[: k]]
+                take = idx[np.lexsort((sub_ids[idx], -s[idx]))[: k]]
                 rows.append(pd.DataFrame({
                     "query_id": qids[qi],
                     "neighbor_id": sub_ids[take],
-                    "cosine": np.round(s[take], 6),
+                    "cosine": s[take],
                 }))
         if not rows:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
@@ -163,7 +167,8 @@ def lsh_topk(
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("neighbor_id").sort_values(
             ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        )
-        return g.head(k)
+        ).head(k)
+        g["cosine"] = np.round(g["cosine"].to_numpy(), 6)
+        return g
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

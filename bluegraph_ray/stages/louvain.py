@@ -75,8 +75,16 @@ def _aggregate(adj: dict, partition: dict) -> dict:
 
 
 def louvain(edges: pd.DataFrame, *, src: str = "src", dst: str = "dst",
-            weight: str | None = None, max_levels: int = 20) -> dict:
-    """-> {node: community_label} (labels canonicalized to min member name)."""
+            weight: str | None = None, max_levels: int = 20,
+            m2: float | None = None) -> dict:
+    """-> {node: community_label} (labels canonicalized to min member name).
+
+    ``m2`` (= 2m, twice the total edge weight) may be passed in when the
+    edge frame is one component of a larger graph: python-louvain (the
+    reference's backend) normalizes the Σ_tot·k/2m penalty by the GLOBAL 2m
+    of the whole graph, not the component-local one, so per-component
+    fan-out must inject the global value (see ``louvain_per_component``).
+    """
     adj: dict = defaultdict(dict)
     for r in edges.itertuples(index=False):
         u, v = getattr(r, src), getattr(r, dst)
@@ -87,7 +95,8 @@ def louvain(edges: pd.DataFrame, *, src: str = "src", dst: str = "dst",
         adj[v][u] = adj[v].get(u, 0.0) + w
     if not adj:
         return {}
-    m2 = sum(sum(n.values()) for n in adj.values())  # = 2m
+    if m2 is None:
+        m2 = sum(sum(n.values()) for n in adj.values())  # = 2m
     # node -> current top-level community through the hierarchy
     mapping = {u: u for u in adj}
     level_adj = dict(adj)
@@ -123,6 +132,14 @@ def louvain_per_component(
 
     handle = build_graph(edges, src=src, dst=dst, weight=weight,
                          directed=False, n_partitions=n_partitions)
+    # Global 2m of the WHOLE graph, computed once before the fan-out —
+    # python-louvain normalizes every component's gain by this, not by the
+    # component-local total (see louvain() docstring).
+    if weight is not None:
+        total_w = float(edges.sum(weight))
+    else:
+        total_w = float(edges.count())
+    global_m2 = 2.0 * total_w
     cc = connected_components(handle)
     comp_of = dict(zip((str(n) for n in handle.names), cc.values))
     ref = _ray.put(comp_of)
@@ -134,7 +151,8 @@ def louvain_per_component(
         return batch
 
     def per_component(group: pd.DataFrame) -> pd.DataFrame:
-        part = louvain(group.drop(columns=["_comp"]), src=src, dst=dst, weight=weight)
+        part = louvain(group.drop(columns=["_comp"]), src=src, dst=dst,
+                       weight=weight, m2=global_m2)
         return pd.DataFrame({"node": list(part), "community": list(part.values())})
 
     out = (

@@ -220,12 +220,17 @@ def minimum_spanning_tree(edges, *, distance, src="src", dst="dst") -> pd.DataFr
 
     Distributed sort (``Dataset.sort``) feeds a driver union-find — O(V) driver
     state, edges streamed in weight order. Returns the MST edge rows.
+
+    Sort key is (distance, src, dst): equal-weight edges would otherwise
+    arrive in nondeterministic shuffle order and Kruskal's tie-breaking (and
+    hence the MST edge set) would vary run to run.
     """
     if isinstance(edges, ray.data.Dataset):
-        stream = edges.sort(distance).iter_batches(batch_size=65536,
-                                                   batch_format="pandas")
+        stream = edges.sort([distance, src, dst]).iter_batches(
+            batch_size=65536, batch_format="pandas")
     else:
-        stream = [_as_pdf(edges).sort_values(distance, kind="mergesort")]
+        stream = [_as_pdf(edges).sort_values([distance, src, dst],
+                                             kind="mergesort")]
     uf = _UnionFind()
     kept = []
     for batch in stream:
