@@ -153,8 +153,10 @@ def q_part_triangles(sf_dir: str):
 
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H Q1-shaped pruned-read groupby aggregate."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1-shaped pruned-read aggregate with map-side partials: each
+    batch collapses to <=6 partial rows (sum/count per group), so the shuffle
+    moves a handful of rows instead of the whole table."""
+    from bluegraph_ray.util import hash_aggregate
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -166,21 +168,25 @@ def q_pricing_summary(sf_dir: str):
         batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
         return batch
 
-    li = li.map_batches(revenue, batch_format="pandas")
-    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    agg = hash_aggregate(
+        li.map_batches(revenue, batch_format="pandas", batch_size=None),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_revenue": ("revenue", "sum"),
+            "sum_disc": ("l_discount", "sum"),
+            "count_order": (None, "count"),
+        },
+        num_buckets=4,
     )
 
-    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_disc"] = np.round(batch["sum_disc"] / batch["count_order"], 6)
         batch["sum_qty"] = np.round(batch["sum_qty"], 2)
         batch["sum_revenue"] = np.round(batch["sum_revenue"], 2)
-        batch["avg_disc"] = np.round(batch["avg_disc"], 6)
-        return batch
+        return batch.drop(columns=["sum_disc"])
 
-    return out.map_batches(rnd, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def q_events_hourly(sf_dir: str):
@@ -248,6 +254,26 @@ def q_pagerank_parts(sf_dir: str):
     handle = build_graph(edges, weight="frequency", directed=False, n_partitions=8)
     res = pagerank(handle)
     return pd.DataFrame({"node": handle.names, "pagerank": np.round(res.values, 9)})
+
+
+def q_pagerank_power20(sf_dir: str):
+    """Exactly 20 PageRank supersteps (no stop rule) — SQL-expressible as a
+    recursive CTE, so this variant gets a full value oracle while the
+    convergent ``pagerank_parts`` stays a rows-only check."""
+    from bluegraph_ray.stages.build import build_graph, make_partition_actors
+    from bluegraph_ray.stages.pagerank import power_iterations
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",))
+    handle = build_graph(edges, weight="frequency", directed=False, n_partitions=8)
+    actors = make_partition_actors(handle)
+    try:
+        res = power_iterations(handle, actors, iters=20)
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return pd.DataFrame(
+        {"node": handle.names, "pagerank": np.round(res["values"], 9)}
+    )
 
 
 def q_components_parts(sf_dir: str):
@@ -422,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_parts": q_louvain_parts,
         "negative_edges": q_negative_edges,
         "pagerank_parts": q_pagerank_parts,
+        "pagerank_power20": q_pagerank_power20,
         "components_parts": q_components_parts,
         "communities_parts": q_communities_parts,
         "minhash_candidates": q_minhash_candidates,
@@ -445,14 +472,33 @@ edges AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    # MinHash permutation constants — same generator/seed as dedup.MinHasher
+    # (seed=7, num_perm=64); inlined as literals so DuckDB replays the exact
+    # universal-hash family.
+    _rng = np.random.default_rng(7)
+    _mh_a = (_rng.integers(1, np.iinfo(np.int64).max, 64, dtype=np.int64)
+             .astype(np.uint64) | np.uint64(1))
+    _mh_b = _rng.integers(0, np.iinfo(np.int64).max, 64, dtype=np.int64).astype(np.uint64)
+    _perm_rows = ", ".join(
+        f"({p}, {int(a)}, {int(b)})" for p, (a, b) in enumerate(zip(_mh_a, _mh_b))
+    )
+    # LSH hyperplanes — same generator/seed as similarity.lsh_topk (seed=13,
+    # n_planes=8, dim=64). Sign bits and |margin| order are invariant under
+    # the engine's row normalization (positive scaling), so the oracle works
+    # on raw embeddings; repr() round-trips each double exactly.
+    _planes = np.random.default_rng(13).standard_normal((8, 64))
+    _plane_rows = ", ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(v)) for v in row))
+        for j, row in enumerate(_planes)
+    )
     return {
         "cooc_edges": f"""
 WITH {_EDGES_FREQ},
 ef AS (SELECT entity, COUNT(*) AS freq FROM occ GROUP BY 1),
 tot AS (SELECT COUNT(DISTINCT factor) AS n FROM occ)
 SELECT e.src, e.dst, e.frequency,
-  ROUND(GREATEST(LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq)), 0), 6) AS ppmi,
-  ROUND(GREATEST(
+  round_even(GREATEST(LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq)), 0), 6) AS ppmi,
+  round_even(GREATEST(
     CASE WHEN e.frequency = tot.n THEN 0
          ELSE LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq))
               / (-LOG2(e.frequency::DOUBLE / tot.n)) END, 0), 6) AS npmi
@@ -474,7 +520,7 @@ s AS (SELECT (SELECT COUNT(*) FROM edges) AS m,
               FROM (SELECT src AS node FROM edges
                     UNION ALL SELECT dst FROM edges)) AS n)
 SELECT n AS n_nodes, m AS n_edges,
-       ROUND(2.0 * m / (n * (n - 1)), 9) AS density
+       round_even(2.0 * m / (n * (n - 1)), 9) AS density
 FROM s
 """,
         "isolated_parts": f"""
@@ -507,15 +553,15 @@ SELECT node, COUNT(*) AS triangles FROM (
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  round_even(SUM(l_quantity), 2) AS sum_qty,
+  round_even(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+  round_even(AVG(l_discount), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY 1, 2
 """,
         "events_hourly": """
 SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,
-  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+  COUNT(*) AS n_events, round_even(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "sessions": """
@@ -545,7 +591,7 @@ SELECT doc_id,
   LENGTH(text) AS n_chars,
   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_types,
-  ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN {STOP_SQL}))::DOUBLE
+  round_even(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN {STOP_SQL}))::DOUBLE
         / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 6) AS stop_ratio
 FROM documents
 """,
@@ -562,7 +608,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT src, dst,
-  ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+  round_even(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON src = sa.doc_id JOIN sizes sb ON dst = sb.doc_id
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05
 """,
@@ -572,8 +618,8 @@ ef AS (SELECT entity, COUNT(*) AS freq FROM occ GROUP BY 1),
 tot AS (SELECT COUNT(DISTINCT factor) AS n FROM occ),
 scored AS (
   SELECT e.src, e.dst, e.frequency,
-    ROUND(GREATEST(LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq)), 0), 6) AS ppmi,
-    ROUND(GREATEST(
+    round_even(GREATEST(LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq)), 0), 6) AS ppmi,
+    round_even(GREATEST(
       CASE WHEN e.frequency = tot.n THEN 0
            ELSE LOG2((tot.n * e.frequency)::DOUBLE / (sf.freq * tf.freq))
                 / (-LOG2(e.frequency::DOUBLE / tot.n)) END, 0), 6) AS npmi
@@ -590,7 +636,7 @@ SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
 -- cosine computed in DOUBLE to match the engine's float64 kernel; ordering
 -- = raw cosine DESC, neighbor id ASC on both sides; ROUND only at emit
 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-  ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+  round_even(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
                                CAST(e.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
 WHERE q.vec_id < 10
@@ -599,5 +645,252 @@ QUALIFY ROW_NUMBER() OVER (
   ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
                                   CAST(e.embedding AS DOUBLE[])) DESC,
            e.vec_id) <= 5
+""",
+        # random-hyperplane LSH top-k: corpus bucket = sign pattern of 8
+        # plane projections; each query probes its bucket + 7 lowest-|margin|
+        # single-bit flips; exact cosine within matched buckets, top-5 by
+        # (cosine DESC, neighbor ASC) — mirrors similarity.lsh_topk
+        "lsh_knn": f"""
+WITH planes(j, pv) AS (VALUES {_plane_rows}),
+cvec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cproj AS (
+  SELECT c.vec_id, p.j, list_inner_product(c.e, p.pv) AS d
+  FROM cvec c, planes p
+),
+cb AS (
+  SELECT vec_id,
+    SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS bucket
+  FROM cproj GROUP BY vec_id
+),
+qproj AS (SELECT vec_id AS qid, j, d FROM cproj WHERE vec_id < 10),
+qb AS (
+  SELECT qid, SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS base
+  FROM qproj GROUP BY qid
+),
+flips AS (
+  SELECT qid, j,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ABS(d), j) - 1 AS rk
+  FROM qproj
+),
+probes AS (
+  SELECT qid, base AS bucket FROM qb
+  UNION
+  SELECT f.qid, xor(b.base, 1 << f.j)
+  FROM flips f JOIN qb b USING (qid) WHERE f.rk <= 6
+),
+matched AS (
+  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+    LIST_COSINE_SIMILARITY(q.e, c.e) AS sim
+  FROM probes p
+  JOIN cb ON cb.bucket = p.bucket
+  JOIN cvec c ON c.vec_id = cb.vec_id AND c.vec_id <> p.qid
+  JOIN cvec q ON q.vec_id = p.qid
+)
+SELECT query_id, neighbor_id, round_even(sim, 6) AS cosine
+FROM matched
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+""",
+        # near-dup pairs: unrounded cosine gates the threshold, ROUND at emit
+        # (same double kernel as knn_cosine — bit-exact vs the engine)
+        "embedding_dups": """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+  round_even(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+""",
+        # hash-min label propagation as a recursive CTE (64 supersteps >>
+        # graph diameter at test scale); label = min vertex id in component
+        "components_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+arcs AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+  UNION ALL SELECT v, v FROM verts
+),
+lbl(it, node, l) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT it + 1, a.v, MIN(lbl.l)
+  FROM lbl JOIN arcs a ON a.u = lbl.node
+  WHERE lbl.it < 64
+  GROUP BY it + 1, a.v
+)
+SELECT node, l AS component FROM lbl WHERE it = 64
+""",
+        # exactly 20 power supersteps; per-arc term mirrors the engine's
+        # w * (x_u * (1/outw_u)) op order, summation order differs -> ROUND 9
+        "pagerank_power20": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+arcs AS (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+),
+outw AS (SELECT u, SUM(w) AS ow FROM arcs GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
+pr(it, node, r) AS (
+  SELECT 0, u, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM outw
+  UNION ALL
+  SELECT it + 1, a.v,
+    CAST(0.85 AS DOUBLE) * SUM(a.w * (pr.r * (CAST(1.0 AS DOUBLE) / o.ow)))
+      + (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+  FROM pr JOIN arcs a ON a.u = pr.node JOIN outw o ON o.u = pr.node
+  WHERE pr.it < 20
+  GROUP BY it + 1, a.v
+)
+SELECT node, round_even(r, 9) AS pagerank FROM pr WHERE it = 20
+""",
+        # 64-bit SimHash: token hash = first 8 bytes (big-endian) of sha256,
+        # weighted bit-vote over token occurrences, result >> 1 as int64 —
+        # exactly dedup.SimHasher.simhash
+        "simhash_docs": """
+WITH toks AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id, c, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS hv
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+    SUM(c * (CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS vote
+  FROM h, (SELECT UNNEST(range(64)) AS b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << b) ELSE 0 END) >> 1
+       AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        # MinHash+LSH: 3-token shingles -> sha256-prefix hash -> 64 universal-
+        # hash minima (constants inlined from the seed-7 generator) -> 16
+        # 4-lane bands -> bucket pairs -> estimated Jaccard = equal-lane mean
+        "minhash_candidates": f"""
+WITH perms(p, a, b) AS (VALUES {_perm_rows}),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, text AS shingle FROM t WHERE len(toks) < 3
+  UNION ALL
+  SELECT doc_id,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hv AS (
+  SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 16))::UBIGINT AS h FROM sh
+),
+lanes AS (
+  SELECT doc_id, p, MIN((a::HUGEINT * h + b) % 18446744073709551616) AS mv
+  FROM hv, perms GROUP BY 1, 2
+),
+slanes AS (
+  SELECT doc_id, p,
+    CAST(CASE WHEN mv >= 9223372036854775808
+              THEN mv - 18446744073709551616 ELSE mv END AS BIGINT) AS sv
+  FROM lanes
+),
+bandkeys AS (
+  SELECT doc_id, p // 4 AS band,
+         STRING_AGG(CAST(sv AS VARCHAR), '-' ORDER BY p) AS bkey
+  FROM slanes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM bandkeys x
+  JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT c.src, c.dst,
+  round_even(AVG(CASE WHEN la.sv = lb.sv THEN CAST(1 AS DOUBLE) ELSE 0 END), 6)
+    AS est_jaccard
+FROM cand c
+JOIN slanes la ON la.doc_id = c.src
+JOIN slanes lb ON lb.doc_id = c.dst AND lb.p = la.p
+GROUP BY 1, 2
+""",
+        # counter-based sampling: endpoint k of candidate i =
+        # sha256_64('7:' || (2i+k)) mod n over the rank-ordered vertex list;
+        # reject self-pairs and existing edges; first 500 in counter order
+        "negative_edges": f"""
+WITH {_EDGES_FREQ},
+fe AS (SELECT src, dst FROM edges WHERE frequency >= 2),
+nodes AS (SELECT src AS v FROM fe UNION SELECT dst FROM fe),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx FROM nodes),
+nn AS (SELECT COUNT(*) AS n FROM ranked),
+cand AS (
+  SELECT i,
+    ('0x' || substr(sha256('7:' || CAST(2 * i AS VARCHAR)), 1, 16))::UBIGINT
+      % (SELECT n FROM nn) AS ai,
+    ('0x' || substr(sha256('7:' || CAST(2 * i + 1 AS VARCHAR)), 1, 16))::UBIGINT
+      % (SELECT n FROM nn) AS bi
+  FROM (SELECT UNNEST(range(25000)) AS i)
+),
+named AS (
+  SELECT c.i, ra.v AS src, rb.v AS dst
+  FROM cand c
+  JOIN ranked ra ON ra.idx = c.ai
+  JOIN ranked rb ON rb.idx = c.bi
+  WHERE c.ai <> c.bi
+),
+ok AS (
+  SELECT i, src, dst FROM named n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fe WHERE (fe.src = n.src AND fe.dst = n.dst)
+                        OR (fe.src = n.dst AND fe.dst = n.src))
+)
+SELECT src, dst FROM ok ORDER BY i LIMIT 500
+""",
+        # language-ID marker votes (earliest max in en,fr,de,es order; CJK
+        # codepoint ratio gate) + the quality formula of text.QualityScore
+        "lang_quality": f"""
+WITH t AS (
+  SELECT doc_id, text,
+    string_split(text, ' ') AS toks,
+    string_split(lower(text), ' ') AS ltoks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, length(text) AS tlen,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_types,
+    len(list_filter(toks, x -> x IN {STOP_SQL})) AS n_stop,
+    list_distinct(ltoks[1:200]) AS t200,
+    substr(text, 1, 400) AS head
+  FROM t
+),
+m AS (
+  SELECT doc_id, tlen, n_tokens, n_types,
+    round_even(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS stop_ratio,
+    CASE WHEN length(head) = 0 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(length(head) -
+                   length(regexp_replace(head, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                   AS DOUBLE) / length(head) END AS cjk_ratio,
+    len(list_filter(t200, x -> x IN
+        ('the', 'and', 'of', 'a', 'to', 'value', 'table'))) AS h_en,
+    len(list_filter(t200, x -> x IN ('le', 'la', 'et', 'de', 'les'))) AS h_fr,
+    len(list_filter(t200, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS h_de,
+    len(list_filter(t200, x -> x IN ('el', 'la', 'y', 'de', 'los'))) AS h_es
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN tlen = 0 THEN 'unknown'
+       WHEN cjk_ratio > 0.1 THEN 'zh'
+       WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0
+            OR h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+       WHEN h_fr = GREATEST(h_fr, h_de, h_es) THEN 'fr'
+       WHEN h_de = GREATEST(h_de, h_es) THEN 'de'
+       ELSE 'es' END AS pred_lang,
+  round_even(CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + CAST(0.3 AS DOUBLE) * (CAST(n_types AS DOUBLE) / GREATEST(n_tokens, 1))
+      + CAST(0.3 AS DOUBLE) *
+        LEAST(GREATEST(CAST(1.0 AS DOUBLE) - ABS(stop_ratio - CAST(0.08 AS DOUBLE)),
+                       0.0), 1.0), 6) AS quality
+FROM m
 """,
     }

@@ -141,17 +141,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # ---- headline: PageRank supersteps -----------------------------------
     from bluegraph_ray.stages.pagerank import power_iterations
 
+    # single-node state exchange: the node-local shared segment (see
+    # stages/pagerank._ShmExchange) — plasma per-object churn otherwise
+    # dominates small supersteps in this sandbox; override with
+    # GRAFT_EXCHANGE=plasma to measure the multi-node-shaped path
+    exchange = os.environ.get("GRAFT_EXCHANGE", "shm")
     t0 = time.perf_counter()
-    pr = pagerank(handle, actors)
+    pr = pagerank(handle, actors, exchange=exchange)
     queries["pagerank"] = round(time.perf_counter() - t0, 3)
     # sustained throughput over a fixed 20-superstep power loop (the
     # convergent run can stop after 3 iters — too few for a stable number)
-    power = power_iterations(handle, actors, iters=20)
+    power = power_iterations(
+        handle, actors, iters=int(os.environ.get("GRAFT_POWER_ITERS", "20")),
+        exchange=exchange)
     queries["pagerank_power20"] = round(power["seconds"], 3)
     extra["pagerank_iterations"] = pr.iterations
     extra["pagerank_converged"] = pr.converged
     extra["edges_per_sec_per_superstep"] = round(power["edges_per_sec_per_superstep"], 1)
     extra["sec_per_superstep"] = round(power["sec_per_superstep"], 4)
+    extra["edges_per_sec_per_superstep_median"] = round(
+        power["edges_per_sec_per_superstep_median"], 1)
+    extra["sec_per_superstep_median"] = round(power["sec_per_superstep_median"], 4)
+    extra["power_superstep_seconds"] = power["superstep_seconds"]
     extra["n_vertices"] = handle.n
     extra["n_arcs"] = handle.m
     extra["n_edges_undirected"] = m_undirected
@@ -220,7 +231,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_N_FILES=scale_files, GRAFT_FACTOR="repo",
                    GRAFT_MULTIGRAPH="1", GRAFT_SKIP_RELATIONAL="1",
-                   GRAFT_SKIP_DEGREE="1", GRAFT_LPA_ITERS="5",
+                   GRAFT_SKIP_DEGREE="1",
+                   GRAFT_LPA_ITERS=os.environ.get("GRAFT_SCALING_LPA_ITERS", "2"),
+                   GRAFT_POWER_ITERS=os.environ.get("GRAFT_SCALING_POWER_ITERS", "60"),
                    GRAFT_CACHE=os.environ.get("GRAFT_CACHE", "/tmp/bgray_scale_cache"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -228,11 +241,17 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    one(hi)  # untimed warm-up at the fast level: builds the shared caches
+    if not os.path.isdir(os.path.join(
+            os.environ.get("GRAFT_CACHE", "/tmp/bgray_scale_cache"),
+            f"graph_{scale_files}_repo_1_p{hi}")):
+        one(hi)  # untimed warm-up: builds the shared edge/graph caches
     r_lo = one(lo)
     r_hi = one(hi)
-    thr_lo = r_lo["edges_per_sec_per_superstep"]
-    thr_hi = r_hi["edges_per_sec_per_superstep"]
+    # median per-superstep throughput: the sandbox throttles CPU in bursts, so
+    # individual supersteps on identical work vary several x; the median is
+    # the sustained rate (mean-based numbers are reported alongside)
+    thr_lo = r_lo["edges_per_sec_per_superstep_median"]
+    thr_hi = r_hi["edges_per_sec_per_superstep_median"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -242,6 +261,10 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "cpus_hi": hi,
         "edges_per_sec_per_superstep_lo": thr_lo,
         "edges_per_sec_per_superstep_hi": thr_hi,
+        "edges_per_sec_per_superstep_mean_lo": r_lo["edges_per_sec_per_superstep"],
+        "edges_per_sec_per_superstep_mean_hi": r_hi["edges_per_sec_per_superstep"],
+        "superstep_seconds_lo": r_lo.get("power_superstep_seconds"),
+        "superstep_seconds_hi": r_hi.get("power_superstep_seconds"),
         "pagerank_sec_lo": r_lo["queries"]["pagerank"],
         "pagerank_sec_hi": r_hi["queries"]["pagerank"],
         "total_sec_lo": r_lo["value"],

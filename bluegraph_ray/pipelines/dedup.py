@@ -55,8 +55,11 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def _hash64(arr_of_bytes: list) -> np.ndarray:
+    """First 8 bytes (big-endian) of sha256 — chosen over blake2b so the
+    DuckDB oracle can replicate it exactly:
+    ``('0x' || substr(sha256(s), 1, 16))::UBIGINT``."""
     return np.array(
-        [int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little") for b in arr_of_bytes],
+        [int.from_bytes(hashlib.sha256(b).digest()[:8], "big") for b in arr_of_bytes],
         dtype=np.uint64,
     )
 
@@ -114,6 +117,8 @@ def minhash_lsh_candidates(
         MinHasher(text_col, id_col, k, num_perm, seed), batch_format="pandas", batch_size=None)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        # band bucket key = the band's minhash values joined as a string —
+        # pure value equality (no second hash), so the oracle can mirror it
         ids, band_ids, band_hash, sig_list = [], [], [], []
         for i, sig in zip(batch[id_col], batch["sig"]):
             sig = np.asarray(sig, dtype=np.int64)
@@ -121,9 +126,7 @@ def minhash_lsh_candidates(
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 ids.append(i)
                 band_ids.append(b)
-                band_hash.append(int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                ) >> 1)
+                band_hash.append("-".join(map(str, chunk)))
                 sig_list.append(sig)
         return pd.DataFrame(
             {id_col: ids, "band": band_ids, "bhash": band_hash, "sig": sig_list}

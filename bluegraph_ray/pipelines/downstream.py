@@ -27,11 +27,18 @@ def generate_negative_edges(
     src: str = "src",
     dst: str = "dst",
 ) -> pd.DataFrame:
-    """Sample node pairs that are NOT edges: random pairs anti-joined against
-    the (broadcast) edge set — reference link_prediction.py:26-80.
+    """Sample node pairs that are NOT edges — reference link_prediction.py:26-80.
 
-    The edge set is broadcast as a sorted code array (hash-partitioned
-    semi-join at larger scale, same key)."""
+    Counter-based deterministic sampling: candidate i draws endpoints
+    ``a_i = sha256_64("{seed}:{2i}") mod n`` and ``b_i = sha256_64("{seed}:{2i+1}")
+    mod n`` (sha256_64 = first 8 bytes big-endian); keep pairs with a != b whose
+    (a,b)/(b,a) is not an edge; emit the first ``n_samples`` in counter order.
+    Unlike a stateful RNG stream this is embarrassingly parallel (any counter
+    range is an independent ``map_batches`` task) and exactly replicable by the
+    DuckDB oracle. The edge set is broadcast as a sorted code array
+    (hash-partitioned semi-join at larger scale, same key)."""
+    import hashlib
+
     pdf = edges.select_columns([src, dst]).to_pandas()
     if nodes is None:
         nodes = np.sort(pd.unique(pd.concat([pdf[src], pdf[dst]]).to_numpy()))
@@ -43,20 +50,27 @@ def generate_negative_edges(
     codes = np.unique(np.concatenate([s * n + d, d * n + s]))
     if n_samples is None:
         n_samples = len(pdf)
-    rng = np.random.default_rng(seed)
-    out_s, out_d = [], []
-    need = n_samples
-    while need > 0:
-        a = rng.integers(0, n, need * 2)
-        b = rng.integers(0, n, need * 2)
-        ok = a != b
-        a, b = a[ok], b[ok]
-        cand = a * n + b
-        miss = ~np.isin(cand, codes)
-        a, b = a[miss][:need], b[miss][:need]
+
+    def h64_mod(js: np.ndarray) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(hashlib.sha256(f"{seed}:{j}".encode()).digest()[:8],
+                            "big") % n for j in js],
+            dtype=np.int64,
+        )
+
+    out_s: list = []
+    out_d: list = []
+    got, start = 0, 0
+    while got < n_samples:
+        count = max(2 * (n_samples - got), 64)
+        i = np.arange(start, start + count, dtype=np.int64)
+        a, b = h64_mod(2 * i), h64_mod(2 * i + 1)
+        keep = (a != b) & ~np.isin(a * n + b, codes)
+        a, b = a[keep][: n_samples - got], b[keep][: n_samples - got]
         out_s.append(a)
         out_d.append(b)
-        need -= len(a)
+        got += len(a)
+        start += count
     s_idx = np.concatenate(out_s)
     d_idx = np.concatenate(out_d)
     return pd.DataFrame({src: nodes[s_idx], dst: nodes[d_idx]})

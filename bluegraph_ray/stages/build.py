@@ -290,6 +290,40 @@ class CsrPartition:
             out[self.uniq_dst - self.lo] = sums
         return out
 
+    def pr_gather_shm(self, path_in: str, path_out: str, n: int) -> int:
+        """Shared-segment variant of :meth:`pr_gather`: reads the broadcast
+        ``xw`` vector from a node-local shared mapping and writes the dense
+        [lo,hi) contribution slice into the output mapping (slices are
+        disjoint across actors — no synchronization beyond the caller's
+        barrier). Arithmetic is identical to pr_gather, so results are
+        bitwise equal. On a multi-node cluster this role is played by the
+        per-node plasma broadcast (ray.put) — see stages/pagerank.py; the
+        mappings are (re)opened lazily so actor restarts self-heal."""
+        key = (path_in, path_out, n)
+        if getattr(self, "_shm_key", None) != key:
+            self._shm_in = np.memmap(path_in, dtype=np.float64, mode="r", shape=(n,))
+            self._shm_out = np.memmap(path_out, dtype=np.float64, mode="r+", shape=(n,))
+            self._shm_key = key
+        out = self._shm_out[self.lo : self.hi]
+        out[:] = 0.0
+        if len(self.dst):
+            vals = self._shm_in[self.src] * self.w
+            sums = np.add.reduceat(vals, self.starts)
+            out[self.uniq_dst - self.lo] = sums
+        return self.hi - self.lo
+
+    def mat_gather(self, xw_ref) -> np.ndarray:
+        """Matrix form of :meth:`pr_gather`: input (n, d) — returns the dense
+        (hi-lo, d) slice of Σ_{u->v} X(u)·w(u,v). One reduceat along axis 0;
+        used by the propagation embedder (pipelines/embedpipe.py)."""
+        xw = xw_ref if isinstance(xw_ref, np.ndarray) else ray.get(xw_ref)
+        out = np.zeros((self.hi - self.lo, xw.shape[1]), dtype=np.float64)
+        if len(self.dst):
+            vals = xw[self.src] * self.w[:, None]
+            sums = np.add.reduceat(vals, self.starts, axis=0)
+            out[self.uniq_dst - self.lo] = sums
+        return out
+
     def min_label_gather(self, labels_ref) -> np.ndarray:
         """min over incoming neighbour labels per local v (hash-min CC step)."""
         labels = labels_ref if isinstance(labels_ref, np.ndarray) else ray.get(labels_ref)

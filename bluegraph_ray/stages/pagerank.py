@@ -28,6 +28,7 @@ resume-from-checkpoint equal a fresh run.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -37,6 +38,64 @@ import ray
 
 from bluegraph_ray.stages.build import GraphHandle, make_partition_actors, out_weights
 from bluegraph_ray.state.checkpoint import SuperstepCheckpoint
+
+
+class _PlasmaExchange:
+    """Default rank-vector exchange: ``ray.put`` broadcast + per-actor dense
+    slices gathered and concatenated in fixed partition order. This is the
+    path that generalizes to multi-node (plasma replicates the object per
+    node on first access)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def superstep(self, actors, xw: np.ndarray) -> np.ndarray:
+        ref = ray.put(xw)
+        return np.concatenate(ray.get([a.pr_gather.remote(ref) for a in actors]))
+
+    def close(self) -> None:
+        pass
+
+
+class _ShmExchange:
+    """Node-local shared-segment exchange: the broadcast vector and the
+    contribution vector live in two /dev/shm mappings; a superstep is one
+    0.5·n-word write, a barrier of tiny RPCs, and disjoint [lo,hi) slice
+    writes by the actors. Bitwise-identical results to _PlasmaExchange
+    (same kernels, same order) at a fraction of the per-superstep IPC cost —
+    in this sandbox plasma object creation/mapping dominates small-superstep
+    wall time. Single-node only by construction: it is the degenerate case of
+    the per-node collective (on a cluster, each node holds these segments and
+    plasma/ray-collective moves the cross-node shards)."""
+
+    def __init__(self, n: int):
+        import tempfile
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        self.dir = tempfile.mkdtemp(prefix="bgray_exch_", dir=base)
+        self.path_in = os.path.join(self.dir, "xw.f64")
+        self.path_out = os.path.join(self.dir, "contrib.f64")
+        self.n = n
+        self._in = np.memmap(self.path_in, dtype=np.float64, mode="w+", shape=(n,))
+        self._out = np.memmap(self.path_out, dtype=np.float64, mode="w+", shape=(n,))
+
+    def superstep(self, actors, xw: np.ndarray) -> np.ndarray:
+        self._in[:] = xw
+        ray.get([a.pr_gather_shm.remote(self.path_in, self.path_out, self.n)
+                 for a in actors])
+        return np.array(self._out)
+
+    def close(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def _make_exchange(n: int, exchange: str):
+    """exchange: "plasma" | "shm" | "auto" (shm when /dev/shm exists)."""
+    if exchange == "shm" or (exchange == "auto" and os.path.isdir("/dev/shm")):
+        return _ShmExchange(n)
+    return _PlasmaExchange(n)
 
 
 @dataclass
@@ -62,10 +121,12 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    exchange: str = "plasma",
 ) -> SuperstepResult:
     own_actors = actors is None
     if actors is None:
         actors = make_partition_actors(handle)
+    exch = _make_exchange(handle.n, exchange)
     try:
         n = handle.n
         outw = out_weights(handle, actors)
@@ -91,9 +152,7 @@ def pagerank(
         it = start_iter
         for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
-            xw_ref = ray.put(x * inv_outw)
-            parts = ray.get([a.pr_gather.remote(xw_ref) for a in actors])
-            contrib = np.concatenate(parts)
+            contrib = exch.superstep(actors, x * inv_outw)
             danglesum = alpha * float(x[dangling].sum())
             x_new = alpha * contrib + danglesum / n + (1.0 - alpha) / n
             err = float(np.abs(x_new - x).sum())
@@ -118,13 +177,14 @@ def pagerank(
             edges_per_sec=handle.m * len(step_secs) / total,
         )
     finally:
+        exch.close()
         if own_actors:
             for a in actors:
                 ray.kill(a)
 
 
 def power_iterations(handle: GraphHandle, actors, *, iters: int = 20,
-                     alpha: float = 0.85) -> dict:
+                     alpha: float = 0.85, exchange: str = "plasma") -> dict:
     """Run exactly ``iters`` PageRank supersteps (no convergence check) and
     report sustained throughput — the bench's measurement loop. Semantics per
     superstep are identical to :func:`pagerank`; only the stop rule differs,
@@ -134,19 +194,32 @@ def power_iterations(handle: GraphHandle, actors, *, iters: int = 20,
     dangling = outw == 0.0
     inv_outw = np.where(dangling, 0.0, 1.0 / np.where(dangling, 1.0, outw))
     x = np.full(n, 1.0 / n, dtype=np.float64)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        xw_ref = ray.put(x * inv_outw)
-        parts = ray.get([a.pr_gather.remote(xw_ref) for a in actors])
-        contrib = np.concatenate(parts)
-        danglesum = alpha * float(x[dangling].sum())
-        x = alpha * contrib + danglesum / n + (1.0 - alpha) / n
-    dt = time.perf_counter() - t0
+    exch = _make_exchange(n, exchange)
+    step_secs = []
+    try:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            t1 = time.perf_counter()
+            contrib = exch.superstep(actors, x * inv_outw)
+            danglesum = alpha * float(x[dangling].sum())
+            x = alpha * contrib + danglesum / n + (1.0 - alpha) / n
+            step_secs.append(time.perf_counter() - t1)
+        dt = time.perf_counter() - t0
+    finally:
+        exch.close()
+    med = float(np.median(step_secs))
     return {
         "iters": iters,
         "seconds": dt,
         "sec_per_superstep": dt / iters,
+        # median is the sustained-throughput estimator: robust to the
+        # sandbox's CPU-throttle spikes (individual supersteps vary several x
+        # on identical work); mean-based numbers are kept alongside
+        "sec_per_superstep_median": med,
         "edges_per_sec_per_superstep": handle.m * iters / dt,
+        "edges_per_sec_per_superstep_median": handle.m / med if med > 0 else 0.0,
+        "superstep_seconds": [round(s, 4) for s in step_secs],
+        "values": x,
     }
 
 

@@ -238,3 +238,72 @@ def minimum_spanning_tree(edges, *, distance, src="src", dst="dst") -> pd.DataFr
             if uf.union(getattr(r, src), getattr(r, dst)):
                 kept.append(r)
     return pd.DataFrame(kept)
+
+
+# ---------------------------------------------------------------------------
+# Path-set utilities (reference core/analyse/paths.py:24-93)
+# ---------------------------------------------------------------------------
+
+def graph_elements_from_paths(paths) -> tuple[set, set]:
+    """Node and edge sets visited by a collection of paths
+    (reference core/analyse/paths.py:79-93)."""
+    nodes: set = set()
+    edges: set = set()
+    for p in paths:
+        nodes.update(p)
+        edges.update(zip(p[:-1], p[1:]))
+    return nodes, edges
+
+
+def subgraph_from_paths(edge_table, paths, *, src: str = "src", dst: str = "dst"):
+    """Edge rows touched by the paths — the semi-join form of the reference's
+    ``get_subgraph_from_paths``. Accepts a Dataset (broadcast filter) or a
+    DataFrame."""
+    _, eset = graph_elements_from_paths(paths)
+    pairs = {frozenset(e) for e in eset}
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = [frozenset((s, d)) in pairs
+                for s, d in zip(batch[src], batch[dst])]
+        return batch[np.asarray(mask, dtype=bool)]
+
+    if isinstance(edge_table, ray.data.Dataset):
+        return edge_table.map_batches(keep, batch_format="pandas", batch_size=None)
+    return keep(_as_pdf(edge_table))
+
+
+def pretty_print_paths(paths, as_repr: bool = False):
+    """Console rendering of same-endpoint paths: the shared source/target on
+    the first line, one interior route per following line (matches the
+    reference's layout, core/analyse/paths.py:24-41)."""
+    first, last = paths[0][0], paths[0][-1]
+    head = f"{first} <-> "
+    routes = [" <-> ".join(p[1:-1]) for p in paths]
+    width = max(len(r) for r in routes)
+    lines = [f"{head}{' ' * width} <-> {last}"]
+    lines += [f"{' ' * len(head)}{r}" for r in routes]
+    text = "\n".join(lines)
+    if as_repr:
+        return text
+    print(text)
+
+
+def pretty_print_tripaths(a, b, c, n, a_b_paths, b_c_paths, as_repr: bool = False):
+    """Console rendering of A->B->C tripaths: two aligned route columns
+    (reference core/analyse/paths.py:43-76)."""
+    left = [" -> ".join(p[1:-1]) for p in a_b_paths]
+    right = [" -> ".join(p[1:-1]) for p in b_c_paths]
+    wl = max(len(r) for r in left) if left else 0
+    wr = max(len(r) for r in right) if right else 0
+    a_repr, b_repr = f"{a} ->", f"-> {b} ->"
+    lines = [f"{a_repr}{' ' * wl}{b_repr}{' ' * wr}-> {c}"]
+    for i in range(n):
+        if i >= len(left) and i >= len(right):
+            break
+        lt = left[i] if i < len(left) else ""
+        rt = right[i] if i < len(right) else ""
+        lines.append(f"{' ' * len(a_repr)}{lt:<{wl}}{' ' * len(b_repr)}{rt}")
+    text = "\n".join(lines)
+    if as_repr:
+        return text
+    print(text)

@@ -108,3 +108,62 @@ def test_negative_sampling_and_edge_predictor():
 
     with pytest.raises(ValueError):
         downstream.edge_features(emb, df, operator="bogus")
+
+
+def test_louvain_per_component_uses_global_2m():
+    """Per-component fan-out must equal single-shot louvain on the whole
+    multi-component graph — both normalize modularity gain by the GLOBAL 2m
+    (python-louvain semantics; see stages/louvain.py)."""
+    from bluegraph_ray.stages.louvain import louvain, louvain_per_component
+
+    # two disconnected karate clubs (prefixed node names)
+    g = nx.karate_club_graph()
+    rows = [(f"a{u}", f"a{v}") for u, v in g.edges()]
+    rows += [(f"b{u}", f"b{v}") for u, v in g.edges()]
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+    whole = louvain(df)
+    fan = louvain_per_component(ray.data.from_pandas(df), n_partitions=4)
+    assert fan == whole
+
+
+def test_mst_deterministic_under_equal_weights():
+    """All-equal-weight graph: the Kruskal tie-break (distance, src, dst) must
+    make the MST edge set identical across runs and block layouts."""
+    from bluegraph_ray.stages.paths import minimum_spanning_tree
+
+    df, _ = karate()
+    df = df.assign(distance=1.0)
+    picks = []
+    for npart in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(npart)
+        mst = minimum_spanning_tree(ds, distance="distance")
+        picks.append(sorted(zip(mst["src"], mst["dst"])))
+    assert picks[0] == picks[1]
+    assert len(picks[0]) == 33  # n-1 edges, karate is connected
+
+
+def test_negative_edges_deterministic_counter_scheme():
+    """Counter-based sampling: same seed -> identical output, and the scheme
+    matches its closed-form definition (sha256_64('{seed}:{j}') mod n)."""
+    import hashlib
+
+    df, g = karate()
+    ds = ray.data.from_pandas(df)
+    neg1 = downstream.generate_negative_edges(ds, n_samples=40, seed=11)
+    neg2 = downstream.generate_negative_edges(ds, n_samples=40, seed=11)
+    pd.testing.assert_frame_equal(neg1, neg2)
+
+    nodes = np.sort(pd.unique(pd.concat([df["src"], df["dst"]]).to_numpy()))
+    n = len(nodes)
+    eset = {frozenset(e) for e in g.edges}
+
+    def h(j):
+        return int.from_bytes(hashlib.sha256(f"11:{j}".encode()).digest()[:8], "big") % n
+
+    want, i = [], 0
+    while len(want) < 40:
+        a, b = nodes[h(2 * i)], nodes[h(2 * i + 1)]
+        if a != b and frozenset((a, b)) not in eset:
+            want.append((a, b))
+        i += 1
+    assert list(zip(neg1["src"], neg1["dst"])) == want

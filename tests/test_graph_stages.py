@@ -195,3 +195,14 @@ def test_pagerank_checkpoint_resume_bitwise(tmp_path):
     assert resumed.converged and fresh.converged
     np.testing.assert_array_equal(fresh.values, resumed.values)  # bitwise
     assert resumed.iterations == fresh.iterations
+
+
+def test_shm_exchange_bitwise_equals_plasma(karate_handle):
+    """The node-local shared-segment superstep exchange must produce bitwise
+    identical PageRank to the plasma broadcast path (same kernels, same
+    order — stages/pagerank._ShmExchange)."""
+    _, handle = karate_handle
+    a = pagerank(handle, exchange="plasma")
+    b = pagerank(handle, exchange="shm")
+    np.testing.assert_array_equal(a.values, b.values)
+    assert a.iterations == b.iterations

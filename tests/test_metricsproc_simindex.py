@@ -89,3 +89,46 @@ def test_cc_lpa_checkpoint_resume(tmp_path):
     resumed = label_propagation_communities(handle, checkpoint_dir=str(tmp_path / "lp"),
                                             checkpoint_every=1, resume=True)
     np.testing.assert_array_equal(fresh_lpa.values, resumed.values)
+
+
+def test_embedding_pipeline_fit_query_save_load(tmp_path):
+    """EmbeddingPipeline lifecycle (reference downstream/pipelines.py:27-240):
+    fit -> full embedding table -> similar-point queries -> save/load round
+    trip; deterministic across reruns at fixed n_partitions."""
+    import networkx as nx
+
+    from bluegraph_ray.pipelines.embedpipe import EmbeddingPipeline, PropagationEmbedder
+
+    g = nx.karate_club_graph()
+    df = pd.DataFrame([(f"n{u}", f"n{v}") for u, v in g.edges()],
+                      columns=["src", "dst"])
+    ds = ray.data.from_pandas(df)
+
+    pipe = EmbeddingPipeline(embedder=PropagationEmbedder(dimension=16, iters=3, seed=5))
+    pipe.run_fitting(ds, n_partitions=4)
+    assert len(pipe.embeddings) == g.number_of_nodes()
+    assert all(len(e) == 16 for e in pipe.embeddings["embedding"])
+
+    # transductive contract: every node retrievable, unknown -> None
+    vecs = pipe.retrieve_embeddings(["n0", "nope"])
+    assert vecs[0] is not None and vecs[1] is None
+
+    sim = pipe.get_similar_points(["n0", "n33"], k=5)
+    assert set(sim) == {"n0", "n33"} and all(len(v) == 5 for v in sim.values())
+    # self is its own nearest neighbour under cosine
+    assert sim["n0"][0] == "n0"
+
+    # determinism: rerun equals first run
+    pipe2 = EmbeddingPipeline(embedder=PropagationEmbedder(dimension=16, iters=3, seed=5))
+    pipe2.run_fitting(ds, n_partitions=4)
+    a = np.stack(pipe.embeddings.sort_values("node")["embedding"].to_numpy())
+    b = np.stack(pipe2.embeddings.sort_values("node")["embedding"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+
+    # save/load round trip preserves embeddings and query results
+    p = str(tmp_path / "pipe")
+    pipe.save(p)
+    loaded = EmbeddingPipeline.load(p)
+    np.testing.assert_array_equal(
+        np.stack(loaded.embeddings.sort_values("node")["embedding"].to_numpy()), a)
+    assert loaded.get_similar_points(["n0"], k=5) == {"n0": sim["n0"]}

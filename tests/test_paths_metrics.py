@@ -109,3 +109,29 @@ def test_modularity_coverage_performance_vs_nx():
     want_cov, want_perf = nx.community.partition_quality(g, comms)
     assert got_cov == pytest.approx(want_cov, abs=1e-9)
     assert got_perf == pytest.approx(want_perf, abs=1e-9)
+
+
+def test_path_set_utilities(f3_edges):
+    """graph_elements_from_paths / subgraph_from_paths semi-join /
+    pretty-print renderings (reference core/analyse/paths.py:24-93)."""
+    ps = [("A", "B", "D"), ("A", "E", "D")]
+    nodes, edges = paths.graph_elements_from_paths(ps)
+    assert nodes == {"A", "B", "D", "E"}
+    assert edges == {("A", "B"), ("B", "D"), ("A", "E"), ("E", "D")}
+
+    sub = paths.subgraph_from_paths(f3_edges, ps)
+    got = {frozenset((r.src, r.dst)) for r in sub.itertuples()}
+    assert got == {frozenset(e) for e in edges}
+    # Dataset path agrees
+    sub_ds = paths.subgraph_from_paths(ray.data.from_pandas(f3_edges), ps).to_pandas()
+    assert {frozenset((r.src, r.dst)) for r in sub_ds.itertuples()} == got
+
+    txt = paths.pretty_print_paths(ps, as_repr=True)
+    head = txt.splitlines()[0]
+    assert head.startswith("A <-> ") and head.endswith("<-> D")
+    assert "B" in txt and "E" in txt
+
+    tri = paths.pretty_print_tripaths(
+        "A", "B", "D", 2, [("A", "C", "B")], [("B", "E", "D")], as_repr=True)
+    assert tri.splitlines()[0].startswith("A ->")
+    assert "C" in tri and "E" in tri

@@ -157,3 +157,25 @@ def test_multimodal_plumbing():
             multimodal.ImageDecodeStub, batch_format="pyarrow",
             fn_constructor_kwargs={"strict": True}, batch_size=8, concurrency=1,
         ).materialize()
+
+
+def test_simhash_and_minhash_match_duckdb_oracle():
+    """The sha256-prefix hashing was chosen so DuckDB can replicate the exact
+    sketches — engine vs oracle_sql() on the sf0.001 documents table."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'")
+
+    got = m.queries()["simhash_docs"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.sql(m.oracle_sql()["simhash_docs"]).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = m.queries()["minhash_candidates"](sf).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    want = con.sql(m.oracle_sql()["minhash_candidates"]).df().sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
