@@ -135,7 +135,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     t0 = time.perf_counter()
     actors = make_partition_actors(handle, num_cpus=0.9)
-    out_weights(handle, actors)  # warm the actors (parquet load happens here)
+    # warm the actors explicitly (parquet load happens on first call;
+    # out_weights may be served from build-time sidecars and not touch them)
+    ray.get([a.num_arcs.remote() for a in actors])
+    out_weights(handle, actors)
     queries["graph_build"] = round(time.perf_counter() - t0, 3)
 
     # ---- headline: PageRank supersteps -----------------------------------

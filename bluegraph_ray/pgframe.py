@@ -66,6 +66,8 @@ class RayPGFrame:
             edges = pd.DataFrame(edges, columns=[SRC, DST])
         self._nodes = _to_ds(nodes)
         self._edges = _to_ds(edges)
+        self._node_prop_types: dict = {}
+        self._edge_prop_types: dict = {}
 
     # -- basic accessors ----------------------------------------------------
 
@@ -93,6 +95,120 @@ class RayPGFrame:
 
     def edge_properties(self) -> list:
         return [c for c in self._edges.schema().names if c not in (SRC, DST)]
+
+    # -- per-property type system (reference core/io.py:248-346) -----------
+    # Three declared-or-inferred types per property: "numeric" | "text" |
+    # "category". Declared via ``*_prop_as_*`` (validated against the Arrow
+    # schema — no data scan); inferred default = numeric for Arrow numeric
+    # columns, category otherwise (reference ``_set_default_prop_types``,
+    # core/io.py:262-275). The registry is metadata on this frame object;
+    # derived frames re-infer unless re-declared.
+
+    def _col_kind(self, which: str, prop: str) -> str:
+        """-> "numeric" | "text" | "other" from the schema (Arrow type or
+        numpy dtype depending on the block format — no data scan)."""
+        import pyarrow as pa
+        import pyarrow.types as pt
+
+        ds = self._nodes if which == "node" else self._edges
+        schema = ds.schema()
+        t = schema.types[schema.names.index(prop)]
+        if isinstance(t, pa.DataType):
+            if pt.is_integer(t) or pt.is_floating(t) or pt.is_decimal(t):
+                return "numeric"
+            if pt.is_string(t) or pt.is_large_string(t):
+                return "text"
+            if pt.is_null(t):
+                return "unknown"
+            return "other"
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            return "unknown"
+        if np.issubdtype(dt, np.number):
+            return "numeric"
+        if np.issubdtype(dt, np.str_):
+            return "text"
+        # object dtype: pandas stores strings (and set-cells) as object —
+        # the schema can't distinguish, so validation is best-effort
+        if dt == object:
+            return "unknown"
+        return "other"
+
+    def _prop_type_valid(self, which: str, prop: str, prop_type: str) -> bool:
+        """Best-effort schema validation: reject only when the schema
+        CONTRADICTS the declaration (the reference scans values,
+        core/io.py:248-260; a lazy Dataset's schema may be object/unknown —
+        then the declaration is trusted)."""
+        if prop_type == "category":
+            return True
+        if prop_type not in ("numeric", "text"):
+            raise ValueError(f"unknown property type {prop_type!r}")
+        kind = self._col_kind(which, prop)
+        return kind in (prop_type, "unknown")
+
+    def _set_prop_type(self, which: str, prop: str, prop_type: str) -> None:
+        props = self.node_properties() if which == "node" else self.edge_properties()
+        if prop not in props:
+            raise ValueError(f"unknown {which} property {prop!r}")
+        if not self._prop_type_valid(which, prop, prop_type):
+            raise ValueError(
+                f"Cannot cast the values of the {which} property "
+                f"{prop!r} to {prop_type!r}")
+        reg = self._node_prop_types if which == "node" else self._edge_prop_types
+        reg[prop] = prop_type
+
+    def _get_prop_type(self, which: str, prop: str) -> str:
+        reg = self._node_prop_types if which == "node" else self._edge_prop_types
+        if prop in reg:
+            return reg[prop]
+        if prop == TYPE:
+            return "category"
+        # inferred default: numeric columns are numeric, all else category
+        # (reference _set_default_prop_types, core/io.py:262-275)
+        return "numeric" if self._col_kind(which, prop) == "numeric" else "category"
+
+    def node_prop_type(self, prop: str) -> str:
+        return self._get_prop_type("node", prop)
+
+    def edge_prop_type(self, prop: str) -> str:
+        return self._get_prop_type("edge", prop)
+
+    def node_prop_as_category(self, prop: str) -> None:
+        self._set_prop_type("node", prop, "category")
+
+    def node_prop_as_text(self, prop: str) -> None:
+        self._set_prop_type("node", prop, "text")
+
+    def node_prop_as_numeric(self, prop: str) -> None:
+        self._set_prop_type("node", prop, "numeric")
+
+    def edge_prop_as_category(self, prop: str) -> None:
+        self._set_prop_type("edge", prop, "category")
+
+    def edge_prop_as_text(self, prop: str) -> None:
+        self._set_prop_type("edge", prop, "text")
+
+    def edge_prop_as_numeric(self, prop: str) -> None:
+        self._set_prop_type("edge", prop, "numeric")
+
+    def is_numeric_node_prop(self, prop: str) -> bool:
+        return self.node_prop_type(prop) == "numeric"
+
+    def is_text_node_prop(self, prop: str) -> bool:
+        return self.node_prop_type(prop) == "text"
+
+    def is_categorical_node_prop(self, prop: str) -> bool:
+        return self.node_prop_type(prop) == "category"
+
+    def is_numeric_edge_prop(self, prop: str) -> bool:
+        return self.edge_prop_type(prop) == "numeric"
+
+    def is_text_edge_prop(self, prop: str) -> bool:
+        return self.edge_prop_type(prop) == "text"
+
+    def is_categorical_edge_prop(self, prop: str) -> bool:
+        return self.edge_prop_type(prop) == "category"
 
     # -- construction / mutation (returns new frames; Datasets are immutable)
 
@@ -122,10 +238,19 @@ class RayPGFrame:
                     batch = batch.drop(columns=[cn])
             return batch
 
-        return RayPGFrame(joined.map_batches(resolve, batch_format="pandas", batch_size=None),
-                          self._edges)
+        out = RayPGFrame(joined.map_batches(resolve, batch_format="pandas", batch_size=None),
+                         self._edges)
+        out._node_prop_types = dict(self._node_prop_types)
+        out._edge_prop_types = dict(self._edge_prop_types)
+        if prop_type is not None:
+            # declared at ingest time (reference add_node_properties,
+            # core/io.py:300-320) — recorded directly: the post-join schema
+            # may show float64 for all-NaN blocks of a text column
+            for c in new_cols:
+                out._node_prop_types[c] = prop_type
+        return out
 
-    def add_edge_properties(self, props) -> "RayPGFrame":
+    def add_edge_properties(self, props, prop_type: str | None = None) -> "RayPGFrame":
         props_ds = _to_ds(props)
         new_cols = [c for c in props_ds.schema().names if c not in (SRC, DST)]
         joined = hash_join(self._edges, props_ds, [SRC, DST], how="outer",
@@ -139,8 +264,14 @@ class RayPGFrame:
                     batch = batch.drop(columns=[cn])
             return batch
 
-        return RayPGFrame(self._nodes,
-                          joined.map_batches(resolve, batch_format="pandas", batch_size=None))
+        out = RayPGFrame(self._nodes,
+                         joined.map_batches(resolve, batch_format="pandas", batch_size=None))
+        out._node_prop_types = dict(self._node_prop_types)
+        out._edge_prop_types = dict(self._edge_prop_types)
+        if prop_type is not None:
+            for c in new_cols:
+                out._edge_prop_types[c] = prop_type
+        return out
 
     def add_node_types(self, mapping: dict) -> "RayPGFrame":
         df = pd.DataFrame({ID: list(mapping), TYPE: list(mapping.values())})

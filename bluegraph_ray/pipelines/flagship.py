@@ -80,7 +80,8 @@ def run_flagship(
     )
     actors = make_partition_actors(handle, num_cpus=actor_num_cpus)
     try:
-        pr = pagerank(handle, actors, checkpoint_dir=checkpoint_dir)
+        pr = pagerank(handle, actors, checkpoint_dir=checkpoint_dir,
+                      exchange="auto")
         cc = connected_components(handle, actors, checkpoint_dir=checkpoint_dir)
         lpa = label_propagation_communities(handle, actors, checkpoint_dir=checkpoint_dir)
     finally:

@@ -126,3 +126,30 @@ def test_hash_join_basic():
     outer = hash_join(l, r, "k", how="outer").to_pandas().sort_values("k")
     assert list(outer["k"]) == [1, 2, 3, 4]
     assert outer["a"].isna().sum() == 1 and outer["b"].isna().sum() == 1
+
+
+def test_property_type_system():
+    """Per-property declared-or-inferred types (reference core/io.py:248-346):
+    numeric inferred from Arrow schema, category default, text validated."""
+    nodes = pd.DataFrame({"@id": ["a", "b"], "score": [1.0, 2.0],
+                          "label": ["x", "y"]})
+    g = RayPGFrame(nodes, pd.DataFrame({"@source_id": ["a"], "@target_id": ["b"],
+                                        "w": [3]}))
+    # inferred
+    assert g.is_numeric_node_prop("score")
+    assert g.node_prop_type("label") == "category"
+    assert g.edge_prop_type("w") == "numeric"
+    # declared + validated
+    g.node_prop_as_text("label")
+    assert g.is_text_node_prop("label")
+    g.node_prop_as_category("score")
+    assert g.is_categorical_node_prop("score")
+    with pytest.raises(ValueError):
+        g.node_prop_as_text("score")  # float column cannot be text
+    with pytest.raises(ValueError):
+        g.edge_prop_as_numeric("nope")  # unknown property
+    # declaration at add time propagates to the derived frame
+    g2 = g.add_node_properties(pd.DataFrame({"@id": ["a"], "desc": ["hi"]}),
+                               prop_type="text")
+    assert g2.is_text_node_prop("desc")
+    assert g2.is_text_node_prop("label")  # registry carried over
