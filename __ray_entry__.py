@@ -721,6 +721,41 @@ lbl(it, node, l) AS (
 )
 SELECT node, l AS component FROM lbl WHERE it = 64
 """,
+        # all-pairs BFS as a fixed-depth min-relaxation recursive CTE (16
+        # supersteps > diameter 13 at sf0.01 on the deterministic testdata;
+        # the self-loop arcs carry previous distances forward). nx
+        # wf_improved closeness: C(u) = (r-1)/Σd * (r-1)/(n-1). verts needs
+        # the explicit DISTINCT subquery: inside WITH RECURSIVE, DuckDB 1.0
+        # gives a plain `a UNION b` CTE union-all semantics.
+        "closeness_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+fedges AS (SELECT src, dst FROM edges WHERE frequency >= 2),
+verts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM fedges UNION ALL SELECT dst AS v FROM fedges)),
+arcs AS (
+  SELECT src AS u, dst AS v FROM fedges
+  UNION ALL SELECT dst, src FROM fedges
+  UNION ALL SELECT v, v FROM verts
+),
+dist(it, root, node, d) AS (
+  SELECT 0, v, v, 0 FROM verts
+  UNION ALL
+  SELECT it + 1, dist.root, a.v,
+         MIN(dist.d + CASE WHEN a.u = a.v THEN 0 ELSE 1 END)
+  FROM dist JOIN arcs a ON a.u = dist.node
+  WHERE dist.it < 16
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT root, CAST(COUNT(*) - 1 AS DOUBLE) AS r1, CAST(SUM(d) AS DOUBLE) AS tot
+  FROM dist WHERE it = 16 GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) - 1 AS DOUBLE) AS nm1 FROM verts)
+SELECT root AS node,
+  round_even(CASE WHEN r1 > 0 AND tot > 0
+    THEN (r1 / tot) * (r1 / (SELECT nm1 FROM nn)) ELSE 0.0 END, 9) AS closeness
+FROM agg
+""",
         # exactly 20 power supersteps; per-arc term mirrors the engine's
         # w * (x_u * (1/outw_u)) op order, summation order differs -> ROUND 9
         "pagerank_power20": f"""

@@ -119,6 +119,85 @@ def occurrences_from_imports(ds: "ray.data.Dataset", *, factor: str = "repo") ->
         ImportExtractor, batch_format="pandas", concurrency=(1, 4), batch_size=None)
 
 
+def mentions_to_occurrence(
+    ds: "ray.data.Dataset",
+    *,
+    term_column: str = "entity",
+    factor_columns: Sequence[str] = ("factor",),
+    term_cleanup=None,
+    term_filter=None,
+    mention_filter=None,
+    aggregation: str = "set",
+    num_buckets: int = 64,
+):
+    """Raw mentions -> per-term aggregated occurrence table + factor counts.
+
+    The reference's UDF-hook surface (cord19kg/utils.py:163-248): per-term
+    ``term_cleanup`` (value -> value), vectorized ``term_filter`` (Series ->
+    bool mask) and ``mention_filter`` (DataFrame -> bool mask), then a
+    per-term aggregation of each factor column. All three hooks run inside
+    one stateless ``map_batches`` stage; the aggregation is a hash-bucket
+    shuffle (high-cardinality-safe, like ``util.hash_distinct``).
+
+    ``aggregation``: "set" -> canonical sorted-unique list per term (the
+    reference's ``set`` default, canonicalized so output is deterministic
+    under distribution); "list" -> sorted list keeping multiplicity (the
+    reference's ``entity_type`` convention, order canonicalized).
+
+    Returns ``(occurrences, factor_counts)``: a Dataset with one row per
+    distinct term (columns: term + one list column per factor) and a dict
+    of exact distinct-instance counts per factor column (the PMI
+    denominators, reference utils.py:230-232).
+    """
+    if aggregation not in ("set", "list"):
+        raise ValueError(f"aggregation must be 'set' or 'list', got {aggregation!r}")
+    factor_columns = list(factor_columns)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[term_column, *factor_columns]]
+        if term_cleanup is not None:
+            batch = batch.copy()
+            batch[term_column] = batch[term_column].map(term_cleanup)
+        if term_filter is not None:
+            batch = batch[np.asarray(term_filter(batch[term_column]), dtype=bool)]
+        if mention_filter is not None:
+            batch = batch[np.asarray(mention_filter(batch), dtype=bool)]
+        return batch
+
+    cleaned = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = pd.util.hash_pandas_object(batch[term_column], index=False).to_numpy()
+        batch["_bucket"] = (h % num_buckets).astype(np.int64)
+        return batch
+
+    uniq = aggregation == "set"
+
+    def agg_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(term_column, sort=False)
+        out = pd.DataFrame({term_column: list(g.groups)})
+        for f in factor_columns:
+            col = g[f].agg(
+                (lambda s: sorted(set(s))) if uniq else (lambda s: sorted(s)))
+            out[f] = col.to_numpy()
+        return out
+
+    occurrences = (
+        cleaned.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )
+    from bluegraph_ray.util import hash_distinct
+
+    factor_counts = {
+        f: hash_distinct(cleaned.select_columns([f]), f,
+                         num_buckets=num_buckets).count()
+        for f in factor_columns
+    }
+    return occurrences, factor_counts
+
+
 # ---------------------------------------------------------------------------
 # Edge-table builder
 # ---------------------------------------------------------------------------

@@ -127,13 +127,51 @@ def lang_id(ds: "ray.data.Dataset", *, text_col: str = "text", concurrency=None)
     return ds.map_batches(LangId(text_col), batch_format="pandas", batch_size=None)
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _roll_hash_tokens(tokens: list) -> np.int64:
-    h = np.uint64(1469598103934665603)
+    """Reference scalar form (kept for the property test): FNV-1a over each
+    token's bytes followed by a 0x20 separator."""
+    h = int(_FNV_OFFSET)
     for t in tokens:
         for b in t.encode():
-            h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
-        h = (h ^ np.uint64(32)) * np.uint64(1099511628211)
-    return np.int64(h >> np.uint64(1))
+            h = ((h ^ b) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+        h = ((h ^ 32) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    return np.int64(h >> 1)
+
+
+def _roll_hash_batch(texts) -> np.ndarray:
+    """Vectorized :func:`_roll_hash_tokens` for a whole batch.
+
+    Hashing token bytes + 0x20 per token over ``text.split(" ")`` is
+    byte-identical to FNV-1a over ``text + " "`` (single-space split/join
+    round-trips, empties included). The byte recurrence is sequential WITHIN
+    a doc, so we advance all docs one byte POSITION per step (uint64 vector
+    xor-mul across the batch, longest-first so the live prefix shrinks)
+    instead of one byte per Python op."""
+    n = len(texts)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    bufs = [np.frombuffer((t + " ").encode(), dtype=np.uint8) for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), count=n, dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    maxlen = int(slens[0])
+    padded = np.zeros((n, maxlen), dtype=np.uint8)
+    for row, j in enumerate(order):
+        padded[row, : lens[j]] = bufs[j]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            k = int(np.searchsorted(-slens, -(i + 1), side="right"))
+            hk = h[:k]
+            np.multiply(np.bitwise_xor(hk, padded[:k, i].astype(np.uint64)),
+                        _FNV_PRIME, out=hk)
+    out[order] = (h >> np.uint64(1)).astype(np.int64)
+    return out
 
 
 class Fingerprint:
@@ -148,9 +186,7 @@ class Fingerprint:
         out["fingerprint_sha256"] = [
             hashlib.sha256(t.encode()).hexdigest() for t in batch[self.text_col]
         ]
-        out["fingerprint_roll"] = [
-            _roll_hash_tokens(t.split(" ")) for t in batch[self.text_col]
-        ]
+        out["fingerprint_roll"] = _roll_hash_batch(list(batch[self.text_col]))
         return out
 
 

@@ -216,15 +216,16 @@ def _finalize_bucket(path: str, bucket: int) -> int:
     src = tbl.column("src_id").to_numpy()
     dst = tbl.column("dst_id").to_numpy()
     w = tbl.column("w").to_numpy()
-    order = np.argsort(dst, kind="stable")
-    src, dst, w = src[order], dst[order], w[order]
-    tmp = os.path.join(pdir, "_sorted.tmp")
-    pq.write_table(pa.table({"src_id": src, "dst_id": dst, "w": w}), tmp,
-                   row_group_size=4_000_000)
-    for f in os.listdir(pdir):
-        if f != "_sorted.tmp":
-            os.remove(os.path.join(pdir, f))
-    os.rename(tmp, os.path.join(pdir, "part-sorted.parquet"))
+    if len(dst) and not np.all(np.diff(dst) >= 0):
+        order = np.argsort(dst, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+        tmp = os.path.join(pdir, "_sorted.tmp")
+        pq.write_table(pa.table({"src_id": src, "dst_id": dst, "w": w}), tmp,
+                       row_group_size=4_000_000)
+        for f in os.listdir(pdir):
+            if f != "_sorted.tmp":
+                os.remove(os.path.join(pdir, f))
+        os.rename(tmp, os.path.join(pdir, "part-sorted.parquet"))
     # out-weight partial, computed exactly as CsrPartition.out_weight_partial
     # (stable argsort by src over the dst-sorted arrays + reduceat)
     if len(src):

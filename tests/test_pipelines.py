@@ -179,3 +179,62 @@ def test_simhash_and_minhash_match_duckdb_oracle():
     got = m.queries()["minhash_candidates"](sf).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     want = con.sql(m.oracle_sql()["minhash_candidates"]).df().sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_roll_hash_batch_matches_scalar():
+    import random
+    import string
+
+    from bluegraph_ray.pipelines.text import _roll_hash_batch, _roll_hash_tokens
+
+    rng = random.Random(7)
+    texts = ["", " ", "a", "hello world"]
+    for _ in range(100):
+        toks = [
+            "".join(rng.choices(string.ascii_letters + "äö€", k=rng.randint(0, 8)))
+            for _ in range(rng.randint(0, 10))
+        ]
+        texts.append(" ".join(toks))
+    vec = _roll_hash_batch(texts)
+    ref = np.array([_roll_hash_tokens(t.split(" ")) for t in texts])
+    assert np.array_equal(vec, ref)
+
+
+def test_mentions_to_occurrence_hooks():
+    from bluegraph_ray.pipelines.cooccurrence import mentions_to_occurrence
+
+    df = pd.DataFrame(
+        {
+            "entity": ["Apple", "apple ", "banana", "CHERRY", "apple", "banana", "x"],
+            "factor": ["p1", "p2", "p1", "p3", "p1", "p2", "p4"],
+            "section": ["s1", "s1", "s2", "s2", "s1", "s3", "s4"],
+        }
+    )
+    occ, counts = mentions_to_occurrence(
+        ray.data.from_pandas(df),
+        term_column="entity",
+        factor_columns=["factor", "section"],
+        term_cleanup=lambda t: t.strip().lower(),
+        term_filter=lambda s: s.str.len() > 1,
+        mention_filter=lambda b: b["factor"] != "p3",
+        aggregation="set",
+        num_buckets=4,
+    )
+    out = occ.to_pandas().sort_values("entity").reset_index(drop=True)
+    assert list(out["entity"]) == ["apple", "banana"]
+    assert sorted(out.loc[0, "factor"]) == ["p1", "p2"]
+    assert sorted(out.loc[1, "section"]) == ["s2", "s3"]
+    assert counts == {"factor": 2, "section": 3}
+    # "list" keeps multiplicity
+    occ2, _ = mentions_to_occurrence(
+        ray.data.from_pandas(df),
+        term_column="entity",
+        factor_columns=["factor"],
+        term_cleanup=lambda t: t.strip().lower(),
+        term_filter=lambda s: s.str.len() > 1,
+        mention_filter=lambda b: b["factor"] != "p3",
+        aggregation="list",
+        num_buckets=4,
+    )
+    out2 = occ2.to_pandas().sort_values("entity").reset_index(drop=True)
+    assert sorted(out2.loc[0, "factor"]) == ["p1", "p1", "p2"]
