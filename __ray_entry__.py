@@ -366,6 +366,22 @@ def q_betweenness_parts(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_betweenness_small(sf_dir: str):
+    """Same Brandes pipeline on the freq>=3 subgraph — small enough that the
+    all-pairs recursive-CTE oracle stays tractable, so this one is value-hash
+    verified while betweenness_parts covers the full freq>=2 graph."""
+    from bluegraph_ray.stages.centrality import betweenness_centrality
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 3")
+    out = betweenness_centrality(edges)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["betweenness"] = np.round(batch["betweenness"], 9)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_mst_parts(sf_dir: str):
     """MST over the freq>=2 co-occurrence graph, distance = 1/frequency
     (distance_npmi analog, /root/reference/cord19kg/utils.py:664-671)."""
@@ -444,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": q_order_priority_counts,
         "closeness_parts": q_closeness_parts,
         "betweenness_parts": q_betweenness_parts,
+        "betweenness_small": q_betweenness_small,
         "mst_parts": q_mst_parts,
         "louvain_parts": q_louvain_parts,
         "negative_edges": q_negative_edges,
@@ -462,9 +479,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _OCC = "SELECT DISTINCT l_partkey AS entity, l_orderkey AS factor FROM lineitem"
+# MATERIALIZED matters: several oracles reference these CTEs from INSIDE a
+# recursive CTE, and DuckDB otherwise re-evaluates the whole chain (incl. the
+# occ self-join) once per superstep — 16-64x recompute.
 _EDGES_FREQ = f"""
-occ AS ({_OCC}),
-edges AS (
+occ AS MATERIALIZED ({_OCC}),
+edges AS MATERIALIZED (
   SELECT a.entity AS src, b.entity AS dst, COUNT(*) AS frequency
   FROM occ a JOIN occ b ON a.factor = b.factor AND a.entity < b.entity
   GROUP BY 1, 2
@@ -705,8 +725,8 @@ WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
         # graph diameter at test scale); label = min vertex id in component
         "components_parts": f"""
 WITH RECURSIVE {_EDGES_FREQ},
-verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
-arcs AS (
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+arcs AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM edges
   UNION ALL SELECT dst, src FROM edges
   UNION ALL SELECT v, v FROM verts
@@ -729,10 +749,10 @@ SELECT node, l AS component FROM lbl WHERE it = 64
         # gives a plain `a UNION b` CTE union-all semantics.
         "closeness_parts": f"""
 WITH RECURSIVE {_EDGES_FREQ},
-fedges AS (SELECT src, dst FROM edges WHERE frequency >= 2),
-verts AS (SELECT DISTINCT v FROM
+fedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE frequency >= 2),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
   (SELECT src AS v FROM fedges UNION ALL SELECT dst AS v FROM fedges)),
-arcs AS (
+arcs AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM fedges
   UNION ALL SELECT dst, src FROM fedges
   UNION ALL SELECT v, v FROM verts
@@ -756,17 +776,72 @@ SELECT root AS node,
     THEN (r1 / tot) * (r1 / (SELECT nm1 FROM nn)) ELSE 0.0 END, 9) AS closeness
 FROM agg
 """,
+        # Brandes betweenness on the freq>=3 subgraph: BFS distances (dist),
+        # shortest-path counts (sig: rows born at iteration k ARE depth-k
+        # nodes, so only the target needs a depth check), then dependency
+        # accumulation deepest-level-first with (d, sigma) carried inside the
+        # del tuple; self-loop arcs stream finished rows forward. nx norm:
+        # undirected 1/2 factor x 2/((n-1)(n-2)).
+        "betweenness_small": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+fedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE frequency >= 3),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM fedges UNION ALL SELECT dst AS v FROM fedges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fedges
+  UNION ALL SELECT dst, src FROM fedges
+  UNION ALL SELECT v, v FROM verts),
+dist(it, root, node, d) AS (
+  SELECT 0, v, v, 0 FROM verts
+  UNION ALL
+  SELECT it + 1, dist.root, a.v,
+         MIN(dist.d + CASE WHEN a.u = a.v THEN 0 ELSE 1 END)
+  FROM dist JOIN arcs a ON a.u = dist.node
+  WHERE dist.it < 16
+  GROUP BY 1, 2, 3),
+fdist AS MATERIALIZED (SELECT root, node, d FROM dist WHERE it = 16),
+sig(it, root, node, s) AS (
+  SELECT 0, v, v, CAST(1 AS DOUBLE) FROM verts
+  UNION ALL
+  SELECT sig.it + 1, sig.root, a.v, SUM(sig.s)
+  FROM sig
+  JOIN arcs a ON a.u = sig.node AND a.u <> a.v
+  JOIN fdist dv ON dv.root = sig.root AND dv.node = a.v AND dv.d = sig.it + 1
+  WHERE sig.it < 16
+  GROUP BY 1, 2, 3),
+fds AS MATERIALIZED (SELECT f.root, f.node, f.d, g.s
+        FROM fdist f JOIN sig g ON g.root = f.root AND g.node = f.node),
+del(it, root, node, d, s, dlt) AS (
+  SELECT 0, root, node, d, s, CAST(0 AS DOUBLE) FROM fds
+  UNION ALL
+  SELECT del.it + 1, del.root, a.v, t.d, t.s,
+    SUM(CASE WHEN a.u = a.v THEN del.dlt
+             WHEN t.d = 16 - del.it AND del.d = t.d + 1
+               THEN (t.s / del.s) * (1 + del.dlt)
+             ELSE 0 END)
+  FROM del
+  JOIN arcs a ON a.u = del.node
+  JOIN fds t ON t.root = del.root AND t.node = a.v
+  WHERE del.it < 16
+  GROUP BY 1, 2, 3, t.d, t.s),
+nn AS (SELECT COUNT(*) AS n FROM verts)
+SELECT node,
+  round_even((SUM(dlt) * CAST(0.5 AS DOUBLE))
+    * (CAST(2.0 AS DOUBLE) / ((SELECT (n-1)*(n-2) FROM nn))), 9) AS betweenness
+FROM del WHERE it = 16 AND node <> root
+GROUP BY node
+""",
         # exactly 20 power supersteps; per-arc term mirrors the engine's
         # w * (x_u * (1/outw_u)) op order, summation order differs -> ROUND 9
         "pagerank_power20": f"""
 WITH RECURSIVE {_EDGES_FREQ},
-arcs AS (
+arcs AS MATERIALIZED (
   SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
   UNION ALL
   SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
 ),
-outw AS (SELECT u, SUM(w) AS ow FROM arcs GROUP BY 1),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
+outw AS MATERIALIZED (SELECT u, SUM(w) AS ow FROM arcs GROUP BY 1),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
 pr(it, node, r) AS (
   SELECT 0, u, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM outw
   UNION ALL
