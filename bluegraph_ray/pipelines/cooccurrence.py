@@ -47,6 +47,19 @@ from bluegraph_ray.functions.pmi import mutual_information
 DEFAULT_STATS = ("frequency", "ppmi", "npmi")
 
 
+def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenated [s, e) aranges — vectorized (no per-range allocation)."""
+    lens = ends - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    seg = np.cumsum(lens) - lens
+    out[0] = starts[0]
+    out[seg[1:]] = starts[1:] - (ends[:-1] - 1)
+    return np.cumsum(out)
+
+
 # ---------------------------------------------------------------------------
 # Occurrence extraction from the source-code table
 # ---------------------------------------------------------------------------
@@ -202,7 +215,8 @@ def mentions_to_occurrence(
 # Edge-table builder
 # ---------------------------------------------------------------------------
 
-def _emit_pair_codes(max_factor_entities, names_ref, num_buckets):
+def _emit_pair_codes(max_factor_entities, names_ref, num_buckets,
+                     dense_max_entities: int = 4096, subs_ref=None):
     """Vectorized multi-factor pair emission over one hash bucket of factors.
 
     Entities are encoded as dense int ids (rank in the sorted global name
@@ -212,51 +226,158 @@ def _emit_pair_codes(max_factor_entities, names_ref, num_buckets):
     ``np.unique(codes, return_counts)`` within the bucket.
     Output: (code:int64, partial:int64, _b2:int64) — _b2 is the bucket key of
     the SECOND shuffle (global pair combine).
+
+    Two kernels, chosen per bucket:
+
+    - **dense (Gram) path** — when the bucket's local entity set is small
+      (≤ ``dense_max_entities``): the partial frequency matrix is the Gram
+      product ``AᵀA`` of the factor×entity 0/1 incidence matrix, one BLAS
+      matmul instead of materializing Σ_f f(f-1)/2 raw pair codes. A hub
+      bucket (few factors × thousands of shared entities) collapses from
+      O(Σ f²) memory traffic to O(F·nb) build + O(nb²) extract; distinct
+      output pairs are identical by construction (C[i,j] = |{factors
+      containing both}|).
+    - **sparse path** — otherwise: O(total_pairs) upper-triangle emission via
+      repeat/arange (no f×f masks), in-place sort, run-length count.
+
+    Hub-bucket skew splitting: when the group carries ``_sub`` (and
+    ``subs_ref`` maps bucket -> sub count S), this task emits ONLY the pairs
+    whose src entity id ≡ _sub (mod S) — the caller replicated the bucket's
+    rows S ways, so the union over sub-tasks is exactly the unsplit output
+    and each pair (with all its factor contributions) appears in exactly one
+    sub-task. This bounds the largest emit task: a hub factor's O(cap²)
+    output no longer serializes on one worker (the north rule's "skew
+    splitting for high-degree hubs", applied to factor hubs).
     """
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(names_ref)
-        n = len(names)
-        eids = np.searchsorted(names, group["entity"].to_numpy().astype(names.dtype))
+        from bluegraph_ray.util import broadcast_get, cached_name_index
+
+        S, t = 1, 0
+        if subs_ref is not None and "_sub" in group.columns and len(group):
+            t = int(group["_sub"].iloc[0])
+            S = int(broadcast_get(subs_ref)[int(group["_bucket"].iloc[0])])
+        idx = cached_name_index(names_ref)
+        n = np.int64(len(idx))
+        eids = idx.get_indexer(group["entity"].to_numpy()).astype(np.int64)
         fcodes = pd.factorize(group["factor"].to_numpy(), use_na_sentinel=False)[0]
         order = np.lexsort((eids, fcodes))
         eids = eids[order]
         fcodes = fcodes[order]
-        boundaries = np.flatnonzero(np.diff(fcodes)) + 1
-        starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [len(fcodes)]))
-        code_parts = []
-        for s, e in zip(starts, ends):
-            f = e - s
-            if f < 2:
-                continue
-            if max_factor_entities is not None and f > max_factor_entities:
-                # hub-factor cap: deterministic truncation to the first
-                # max_factor_entities entities (sorted id order) — the
-                # per-factor analog of the reference's top-k pre-filter
-                # (/root/reference/cord19kg/utils.py:648-651); bounds a hub
-                # factor at O(cap^2) pairs.
-                f = max_factor_entities
-            iu, ju = np.triu_indices(f, k=1)
-            code_parts.append(eids[s + iu].astype(np.int64) * n + eids[s + ju])
-        if not code_parts:
-            empty = np.array([], dtype=np.int64)
-            return pd.DataFrame({"code": empty, "partial": empty, "_b2": empty})
-        codes, counts = np.unique(np.concatenate(code_parts), return_counts=True)
-        return pd.DataFrame(
+        N = len(eids)
+        run_bounds = np.flatnonzero(np.diff(fcodes)) + 1
+        starts = np.concatenate(([0], run_bounds)).astype(np.int64)
+        ends = np.concatenate((run_bounds, [N])).astype(np.int64)
+        # hub-factor cap: deterministic truncation of each factor run to its
+        # first max_factor_entities entities (sorted id order) — the
+        # per-factor analog of the reference's top-k pre-filter
+        # (/root/reference/cord19kg/utils.py:648-651); bounds a hub factor at
+        # O(cap^2) pairs.
+        eff_end = ends if max_factor_entities is None else np.minimum(
+            ends, starts + max_factor_entities)
+
+        # ---- dense (Gram) path -------------------------------------------
+        # local entity compression: the bucket usually touches a subset of
+        # the global vocabulary; the Gram matrix is nb², not n².
+        locals_, inv = np.unique(eids, return_inverse=True)
+        nb = len(locals_)
+        nontrivial = np.flatnonzero(eff_end - starts >= 2)  # runs emitting pairs
+        F = len(nontrivial)
+        if nb <= dense_max_entities and F and F * nb <= (1 << 26):
+            A = np.zeros((F, nb), dtype=np.float32)
+            row_of = np.repeat(np.arange(F), ends[nontrivial] - starts[nontrivial])
+            pos = _ranges_concat(starts[nontrivial], ends[nontrivial])
+            keep = pos < eff_end[nontrivial][row_of]  # hub cap: first cap of each run
+            A[row_of[keep], inv[pos[keep]]] = 1.0
+            if S > 1:
+                # this sub-task owns src rows with id ≡ t (mod S): Gram over
+                # the column slice — 1/S of the compute AND of the output
+                row_ids = np.flatnonzero(locals_ % S == t)
+                C = A[:, row_ids].T @ A           # (nb/S, nb) slice of AᵀA
+            else:
+                row_ids = None
+                C = A.T @ A                       # C[i,j] = shared-factor count
+            # Upper-triangle extraction, CHUNKED by row block: this sandbox
+            # (and any memory-ballooned VM) services first-touch page faults
+            # at single-digit MB/s, so whole-matrix temporaries (np.triu
+            # copy, 2-D nonzero, full-length divmod) dominate wall time.
+            # Row-chunked flatnonzero keeps peak fresh memory at
+            # O(chunk·nb + output); the allocator (mallopt'd, see
+            # bluegraph_ray.__init__) then recycles warm chunk buffers.
+            chunk = max(1, (1 << 21) // max(nb, 1))
+            code_parts, cnt_parts = [], []
+            gl = locals_ * n                       # precomputed row offsets
+            nrows = C.shape[0]
+            for r0 in range(0, nrows, chunk):
+                r1 = min(nrows, r0 + chunk)
+                block = C[r0:r1].ravel()
+                flat = np.flatnonzero(block)
+                if not len(flat):
+                    continue
+                iu, ju = np.divmod(flat, nb)
+                iu += r0
+                if row_ids is not None:
+                    iu = row_ids[iu]              # back to bucket-local index
+                keep2 = iu < ju
+                if not keep2.any():
+                    continue
+                cnt_parts.append(block[flat[keep2]].astype(np.int64))
+                code_parts.append(gl[iu[keep2]] + locals_[ju[keep2]])
+            if not code_parts:
+                e64 = np.empty(0, dtype=np.int64)
+                return pa.table({"code": e64, "partial": e64, "_b2": e64})
+            codes = np.concatenate(code_parts)
+            counts = np.concatenate(cnt_parts)
+            return pa.table(
+                {
+                    "code": codes,
+                    "partial": counts,
+                    "_b2": codes % np.int64(num_buckets),
+                }
+            )
+
+        # ---- sparse path -------------------------------------------------
+        # Vectorized upper-triangle emission across ALL factor runs at once:
+        # position p (src) pairs with positions p+1 .. eff_end(run)-1 of its
+        # run. O(total_pairs) work/memory, no f×f mask materialization
+        # (np.triu_indices builds one, 32 MB per 2000-entity hub) and no
+        # Python loop over factors.
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        pos = np.arange(N, dtype=np.int64)
+        rem = np.maximum(eff_end[run_of] - pos - 1, 0)
+        if S > 1:
+            # skew sub-split: only src positions with id ≡ t (mod S) emit
+            rem = np.where(eids % S == t, rem, 0)
+        total = int(rem.sum())
+        if total == 0:
+            e64 = np.empty(0, dtype=np.int64)
+            return pa.table({"code": e64, "partial": e64, "_b2": e64})
+        src_pos = np.repeat(pos, rem)
+        seg_starts = np.cumsum(rem) - rem
+        local = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, rem)
+        dst_pos = src_pos + 1 + local
+        codes = eids[src_pos] * n + eids[dst_pos]
+        # map-side combine: in-place sort + run-length count (≡ np.unique with
+        # return_counts, minus the extra argsort/copies)
+        codes.sort()
+        bnd = np.flatnonzero(np.diff(codes)) + 1
+        st = np.concatenate(([0], bnd))
+        counts = np.diff(np.concatenate((st, [total])))
+        codes = codes[st]
+        return pa.table(
             {
                 "code": codes,
                 "partial": counts.astype(np.int64),
-                "_b2": (codes % num_buckets).astype(np.int64),
+                "_b2": codes % np.int64(num_buckets),
             }
         )
 
     return emit
 
 
-def _combine_pair_codes(group: pd.DataFrame) -> pd.DataFrame:
+def _combine_pair_codes(group: pd.DataFrame):
     """Final pair combine: segment-sum partial counts per code (all rows for a
-    code meet in one _b2 bucket)."""
+    code meet in one _b2 bucket). Zero-copy Arrow output."""
     codes = group["code"].to_numpy()
     partial = group["partial"].to_numpy()
     order = np.argsort(codes, kind="stable")
@@ -264,7 +385,8 @@ def _combine_pair_codes(group: pd.DataFrame) -> pd.DataFrame:
     pvals = partial[order]
     b = np.flatnonzero(np.diff(c)) + 1
     starts = np.concatenate(([0], b))
-    return pd.DataFrame({"code": c[starts], "frequency": np.add.reduceat(pvals, starts)})
+    return pa.table({"code": c[starts],
+                     "frequency": np.add.reduceat(pvals, starts).astype(np.int64)})
 
 
 def cooccurrence_edges(
@@ -280,6 +402,8 @@ def cooccurrence_edges(
     round_to: int | None = None,
     exact_combine: bool = True,
     decode_names: bool = True,
+    skew_split_target: int | None = 1_000_000,
+    info_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """(entity, factor) occurrence rows -> weighted co-occurrence edge table.
 
@@ -323,6 +447,11 @@ def cooccurrence_edges(
         names = names.astype(str)
     n_ent = len(names)
     names_ref = ray.put(names)
+    if info_out is not None:
+        # callers running ``decode_names=False`` need the id -> name map
+        # (dense ids are ranks in this sorted array)
+        info_out["names"] = names
+        info_out["n"] = n_ent
 
     need_stats = any(s in ("ppmi", "npmi", "expected", "pmi2", "pmi3") for s in statistics)
     s_freq_ref = None
@@ -332,30 +461,74 @@ def cooccurrence_edges(
         # becomes a hash join on src/dst ids instead of a broadcast vector.
         def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
             # sparse (entity, count) partials — see stages/build.degree_partial
-            nm = ray.get(names_ref)
-            eids = np.searchsorted(nm, batch["entity"].to_numpy().astype(nm.dtype))
+            from bluegraph_ray.util import cached_name_index
+
+            idx = cached_name_index(names_ref)
+            eids = idx.get_indexer(batch["entity"].to_numpy())
             u, c = np.unique(eids, return_counts=True)
             return pd.DataFrame({"v": u, "c": c})
 
         parts = distinct.select_columns(["entity"]).map_batches(
-            partial_counts, batch_format="pandas", batch_size=4_000_000).to_pandas()
+            partial_counts, batch_format="pandas", batch_size=262_144).to_pandas()
         s_freq = np.zeros(n_ent, dtype=np.float64)
         np.add.at(s_freq, parts["v"].to_numpy(), parts["c"].to_numpy().astype(np.float64))
         s_freq_ref = ray.put(s_freq)
         if total_factor_instances is None:
             total_factor_instances = len(distinct_values(distinct, "factor"))
 
-    # 3. bucket by hash(factor); per-bucket vectorized pair-code emission with
-    # map-side combine (np.unique) — shuffle #2.
+    # 3a. hub-bucket skew plan: per-bucket pair-mass estimate Σ min(f,cap)²/2
+    # from a per-factor size aggregate (scalable: only num_buckets rows reach
+    # the driver). Buckets whose mass exceeds ``skew_split_target`` get S>1
+    # sub-tasks (split by src-id residue inside the emit kernel).
+    from bluegraph_ray.util import hash_aggregate
+
+    subs = np.ones(num_buckets, dtype=np.int64)
+    if skew_split_target:
+        fsz = hash_aggregate(distinct.select_columns(["factor"]), "factor",
+                             {"sz": (None, "count")}, num_buckets=num_buckets)
+
+        def mass_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            szv = batch["sz"].to_numpy(np.float64)
+            if max_factor_entities is not None:
+                szv = np.minimum(szv, float(max_factor_entities))
+            hb = (pd.util.hash_array(batch["factor"].to_numpy())
+                  % num_buckets).astype(np.int64)
+            m = np.zeros(num_buckets)
+            np.add.at(m, hb, szv * (szv - 1.0) / 2.0)
+            nz = np.flatnonzero(m)
+            return pd.DataFrame({"b": nz, "mass": m[nz]})
+
+        mp = fsz.map_batches(mass_partial, batch_format="pandas",
+                             batch_size=262_144).to_pandas()
+        mass = np.zeros(num_buckets)
+        np.add.at(mass, mp["b"].to_numpy(), mp["mass"].to_numpy())
+        subs = np.clip(np.ceil(mass / float(skew_split_target)), 1, 64).astype(np.int64)
+    subs_ref = ray.put(subs)
+
+    # 3b. bucket by hash(factor) (replicating hub-bucket rows per sub-task);
+    # per-(bucket, sub) vectorized pair-code emission with map-side combine
+    # — shuffle #2.
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(batch["factor"].to_numpy())
-        batch["_bucket"] = (h % num_buckets).astype(np.int64)
+        h = (pd.util.hash_array(batch["factor"].to_numpy())
+             % num_buckets).astype(np.int64)
+        s = subs[h]
+        if (s > 1).any():
+            idx = np.repeat(np.arange(len(batch)), s)
+            seg = np.cumsum(s) - s
+            batch = batch.iloc[idx].reset_index(drop=True)
+            batch["_bucket"] = h[idx]
+            batch["_sub"] = np.arange(len(idx), dtype=np.int64) - np.repeat(seg, s)
+        else:
+            batch = batch.copy()
+            batch["_bucket"] = h
+            batch["_sub"] = np.int64(0)
         return batch
 
     bucketed = distinct.map_batches(add_bucket, batch_format="pandas", batch_size=None)
-    emit = _emit_pair_codes(max_factor_entities, names_ref, num_buckets)
-    pairs = bucketed.groupby("_bucket").map_groups(
-        lambda g: emit(g.drop(columns=["_bucket"])), batch_format="pandas"
+    emit = _emit_pair_codes(max_factor_entities, names_ref, num_buckets,
+                            subs_ref=subs_ref)
+    pairs = bucketed.groupby(["_bucket", "_sub"]).map_groups(
+        emit, batch_format="pandas"
     )
 
     # 4. global combine by pair code -> frequency = |distinct common factors|
@@ -381,7 +554,9 @@ def cooccurrence_edges(
     decode = decode_names
 
     def decode_and_score(batch: pd.DataFrame) -> pd.DataFrame:
-        nm = ray.get(names_ref)
+        from bluegraph_ray.util import broadcast_get
+
+        nm = broadcast_get(names_ref)
         code = batch["code"].to_numpy()
         freq = batch["frequency"].to_numpy()
         if minf > 1:

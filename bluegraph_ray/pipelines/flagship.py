@@ -61,13 +61,19 @@ def run_flagship(
     src = with_sha256(source)
     occ = occurrences_from_source(src, entity=entity, factor=factor)
 
-    # 2. co-occurrence edge table (3 shuffles, see pipelines/cooccurrence.py)
+    # 2. co-occurrence edge table (3 shuffles, see pipelines/cooccurrence.py).
+    # decode_names=False: edges stay dense int ids end-to-end — no string
+    # ever enters the graph build or the shuffles (SURVEY §7.4: "never
+    # shuffle content"; same logic for vertex names).
+    info: dict = {}
     edges = cooccurrence_edges(
         occ,
         statistics=("frequency", "ppmi", "npmi"),
         min_frequency=min_frequency,
         max_factor_entities=max_factor_entities,
         num_buckets=num_buckets,
+        decode_names=False,
+        info_out=info,
     )
     # 3. positive-PMI filter (the reference's remove_zero_mi,
     #    /root/reference/cord19kg/utils.py:661-662)
@@ -77,6 +83,7 @@ def run_flagship(
     handle = build_graph(
         edges, weight="frequency", directed=False,
         n_partitions=n_partitions, path=graph_path,
+        names=info["names"], pre_encoded=True,
     )
     actors = make_partition_actors(handle, num_cpus=actor_num_cpus)
     try:
@@ -91,6 +98,7 @@ def run_flagship(
             _ray.kill(a)
 
     deg = degree_centrality(edges, weight="frequency").to_pandas()
+    deg["node"] = info["names"][deg["node"].to_numpy(dtype=np.int64)]
     vt = pd.DataFrame(
         {
             "node": handle.names,
@@ -100,8 +108,24 @@ def run_flagship(
         }
     ).merge(deg, on="node", how="left")
 
+    # user-facing edge table: decode int ids -> names lazily (only pays the
+    # string materialization if a consumer actually reads it)
+    names_ref = ray.put(info["names"])
+
+    def _decode(batch: pd.DataFrame) -> pd.DataFrame:
+        from bluegraph_ray.util import broadcast_get
+
+        nm = broadcast_get(names_ref)
+        batch = batch.copy()
+        batch["src"] = nm[batch["src"].to_numpy(dtype=np.int64)]
+        batch["dst"] = nm[batch["dst"].to_numpy(dtype=np.int64)]
+        return batch
+
+    edges_named = edges.map_batches(_decode, batch_format="pandas",
+                                    batch_size=262_144)
+
     return FlagshipResult(
-        edges=edges,
+        edges=edges_named,
         vertex_table=vt,
         n=handle.n,
         m_arcs=handle.m,

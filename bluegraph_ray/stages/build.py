@@ -85,12 +85,20 @@ def build_graph(
     n_partitions: int = 16,
     path: str | None = None,
     coalesce: bool = False,
+    names: np.ndarray | None = None,
+    pre_encoded: bool = False,
 ) -> GraphHandle:
     """Edge table Dataset -> CSR partition directories + GraphHandle.
 
     ``edges`` must already be deduplicated per (src, dst) — the co-occurrence
     builder and `aggregate_edges` guarantee that (the reference merges parallel
     edges the same way, /root/reference/bluegraph/core/io.py:1091-1098).
+
+    ``pre_encoded=True``: src/dst columns already hold dense int ids that are
+    ranks in the caller-supplied ``names`` array (the co-occurrence builder's
+    ``decode_names=False`` + ``info_out`` contract) — skips the global
+    distinct pass and the per-row string->id probe entirely, so no string
+    ever moves through this build.
     """
     import tempfile
 
@@ -101,17 +109,51 @@ def build_graph(
     cols = [src, dst] + ([weight] if weight else [])
     e = edges.select_columns(cols)
 
-    # --- dense vertex ids: global distinct names, sorted ------------------
-    # per-batch unique + driver-side merge (util.distinct_values) — the name
-    # set must fit the driver anyway (it IS the id map); no shuffle.
     from bluegraph_ray.util import distinct_values, rename_columns
 
-    srcs = rename_columns(e.select_columns([src]), {src: "v"})
-    dsts = rename_columns(e.select_columns([dst]), {dst: "v"})
-    names = _as_numpy_names(distinct_values(srcs.union(dsts), "v"))
-    n = len(names)
+    if pre_encoded:
+        if names is None:
+            raise ValueError("pre_encoded=True requires the names array")
+        # the caller's id space may contain vertices filtered out of the edge
+        # table (e.g. the ppmi>0 filter) — compact to the PRESENT vertex set
+        # so n (and with it PageRank's teleport/dangling mass) matches a
+        # string-built graph exactly. Int distinct pass, no strings touched.
+        srcs = rename_columns(e.select_columns([src]), {src: "v"})
+        dsts = rename_columns(e.select_columns([dst]), {dst: "v"})
+        present = distinct_values(srcs.union(dsts), "v").astype(np.int64)
+        remap = np.full(len(names), -1, dtype=np.int64)
+        remap[present] = np.arange(len(present), dtype=np.int64)
+        names = np.asarray(names)[present]
+        n = len(names)
+        names_ref = ray.put(remap)
+    else:
+        # --- dense vertex ids: global distinct names, sorted --------------
+        # per-batch unique + driver-side merge (util.distinct_values) — the
+        # name set must fit the driver anyway (it IS the id map); no shuffle.
+        srcs = rename_columns(e.select_columns([src]), {src: "v"})
+        dsts = rename_columns(e.select_columns([dst]), {dst: "v"})
+        names = _as_numpy_names(distinct_values(srcs.union(dsts), "v"))
+        n = len(names)
+        names_ref = ray.put(names)
     P = max(1, min(n_partitions, n))
-    names_ref = ray.put(names)
+
+    # --- encode names -> dense ids (ONE string pass per use) --------------
+    # pd.Index.get_indexer is a C hash-table probe — far faster than
+    # np.searchsorted over numpy unicode arrays, which burns seconds per
+    # million rows on string comparisons. Pre-encoded int inputs only gather
+    # through the compaction remap.
+    def _ids(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        if pre_encoded:
+            from bluegraph_ray.util import broadcast_get
+
+            rm = broadcast_get(names_ref)
+            return (rm[batch[src].to_numpy(dtype=np.int64)],
+                    rm[batch[dst].to_numpy(dtype=np.int64)])
+        from bluegraph_ray.util import cached_name_index
+
+        idx = cached_name_index(names_ref)
+        return (idx.get_indexer(batch[src].to_numpy()).astype(np.int64),
+                idx.get_indexer(batch[dst].to_numpy()).astype(np.int64))
 
     # --- degree-balanced dst-range boundaries -----------------------------
     # Equal VERTEX ranges are badly skewed under zipf degrees (a hub vertex's
@@ -120,20 +162,21 @@ def build_graph(
     # bincounts (n-length vectors), then equal-mass cuts of the cumulative
     # histogram. This is the "skew splitting for high-degree hub vertices"
     # the superstep engine relies on — the BSP barrier is gated by the
-    # LARGEST partition, not the average.
+    # LARGEST partition, not the average. Runs straight off the edge table
+    # (sparse partials only) — the encoded arc table is never materialized
+    # as an intermediate; the single materialization is the partitioned
+    # Parquet layout itself (written by the fused pass below).
     def degree_partial(batch: pd.DataFrame) -> pd.DataFrame:
         # SPARSE partials (vertex, count): dense n-length bincounts per batch
         # amplify to gigabytes when upstream blocks/row-groups are small
-        nm = ray.get(names_ref)
-        d = np.searchsorted(nm, batch[dst].to_numpy().astype(nm.dtype))
+        s, d = _ids(batch)
         if not directed:
-            s = np.searchsorted(nm, batch[src].to_numpy().astype(nm.dtype))
             d = np.concatenate([d, s])
         u, c = np.unique(d, return_counts=True)
         return pd.DataFrame({"v": u, "c": c})
 
     parts_bc = e.map_batches(degree_partial, batch_format="pandas",
-                             batch_size=4_000_000).to_pandas()
+                             batch_size=262_144).to_pandas()
     in_deg = np.zeros(n, dtype=np.int64)
     np.add.at(in_deg, parts_bc["v"].to_numpy(), parts_bc["c"].to_numpy())
     cum = np.cumsum(in_deg)
@@ -143,10 +186,9 @@ def build_graph(
     boundaries = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
     P = len(boundaries) - 1  # may shrink if cuts collide on a mega-hub
 
-    def encode(batch: pd.DataFrame) -> pd.DataFrame:
-        nm = ray.get(names_ref)
-        s = np.searchsorted(nm, batch[src].to_numpy().astype(nm.dtype))
-        d = np.searchsorted(nm, batch[dst].to_numpy().astype(nm.dtype))
+    # --- fused encode + direction-expand + bucket-tag + write -------------
+    def encode_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        s, d = _ids(batch)
         w = (
             batch[weight].to_numpy(dtype=np.float64)
             if weight
@@ -154,18 +196,20 @@ def build_graph(
         )
         if not directed:
             s, d, w = np.concatenate([s, d]), np.concatenate([d, s]), np.concatenate([w, w])
-        bucket = np.searchsorted(boundaries, d.astype(np.int64), side="right") - 1
-        return pd.DataFrame(
-            {"src_id": s.astype(np.int64), "dst_id": d.astype(np.int64), "w": w, "bucket": bucket}
-        )
+        bucket = np.searchsorted(boundaries, d, side="right") - 1
+        return pd.DataFrame({"src_id": s, "dst_id": d, "w": w, "bucket": bucket})
 
     # each bucket dir holds O(input blocks) files; pq.read_table handles
     # multi-file dirs with threaded IO, so the extra repartition pass
     # (a full second data movement) is opt-in only
-    encoded = e.map_batches(encode, batch_format="pandas", batch_size=None)
+    # batch_size caps PER-TASK fresh memory (~25 MB here): a single giant
+    # coalesced batch serializes the whole pass on one worker and pays the
+    # VM's first-touch page-fault cost in one process instead of 32.
+    bucketed = e.map_batches(encode_tag, batch_format="pandas",
+                             batch_size=262_144)
     if coalesce:
-        encoded = encoded.repartition(P)
-    encoded.write_parquet(path, partition_cols=["bucket"])
+        bucketed = bucketed.repartition(P)
+    bucketed.write_parquet(path, partition_cols=["bucket"])
 
     # manifest: per-partition sizes (lineage for resume / skew planning) —
     # derived from the in-degree histogram already in hand (scanning the

@@ -182,6 +182,46 @@ def hash_join(
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
 
 
+_BCAST_CACHE: dict = {}
+
+
+def broadcast_get(ref):
+    """Worker-cached ``ray.get`` for broadcast objects.
+
+    Object-dtype numpy arrays (vertex-name arrays) deserialize NON-zero-copy
+    from plasma — a per-batch ``ray.get`` re-materializes millions of Python
+    strings every call. Caching the deserialized object per worker process
+    makes the cost once-per-worker instead of once-per-batch. Bounded cache:
+    broadcast objects of a finished stage are dropped once 8 newer ones arrive.
+    """
+    if isinstance(ref, (np.ndarray, pd.Index)):
+        return ref
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) > 8:
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def cached_name_index(ref) -> pd.Index:
+    """Per-worker cached ``pd.Index`` over a broadcast name array.
+
+    ``Index.get_indexer`` is a C hash-table probe — far faster than
+    ``np.searchsorted`` over unicode arrays (which burns seconds per million
+    rows on string comparisons) — but building the hash table is itself O(n),
+    so it must happen once per worker, not once per batch.
+    """
+    key = ("idx", ref.hex() if hasattr(ref, "hex") else id(ref))
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) > 8:
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = pd.Index(broadcast_get(ref))
+    return _BCAST_CACHE[key]
+
+
 def distinct_values(ds: "ray.data.Dataset", column: str) -> np.ndarray:
     """Global distinct values of one column, collected to the driver sorted.
 
