@@ -854,6 +854,23 @@ pr(it, node, r) AS (
 )
 SELECT node, round_even(r, 9) AS pagerank FROM pr WHERE it = 20
 """,
+        # FNV-1a document fingerprints: the engine hashes the byte stream of
+        # ``text + ' '`` (token bytes + 0x20 separator ≡ single-space join;
+        # pipelines/text._roll_hash_tokens). DuckDB replays the exact byte
+        # recurrence via list_reduce in HUGEINT mod 2^64 (contents are pure
+        # ASCII, so ord() == byte); final >> 1 == integer-div 2 for the
+        # non-negative accumulator.
+        "doc_fingerprints": """
+SELECT doc_id, sha256(text) AS fingerprint_sha256,
+  CAST(list_reduce(
+    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+      list_transform(range(1, length(text || ' ') + 1),
+                     i -> CAST(ord(substr(text || ' ', i, 1)) AS HUGEINT))),
+    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+               * 1099511628211) % 18446744073709551616
+  ) // 2 AS BIGINT) AS fingerprint_roll
+FROM documents
+""",
         # 64-bit SimHash: token hash = first 8 bytes (big-endian) of sha256,
         # weighted bit-vote over token occurrences, result >> 1 as int64 —
         # exactly dedup.SimHasher.simhash

@@ -283,7 +283,16 @@ def _emit_pair_codes(max_factor_entities, names_ref, num_buckets,
         nb = len(locals_)
         nontrivial = np.flatnonzero(eff_end - starts >= 2)  # runs emitting pairs
         F = len(nontrivial)
-        if nb <= dense_max_entities and F and F * nb <= (1 << 26):
+        # dense only when the raw pair mass is at least ~half the full
+        # triangle (hub buckets): then AᵀA replaces O(Σf²) pair traffic with
+        # O(nb²) output-sized traffic. For many-small-factor buckets
+        # (mass << nb²) the sparse path touches far less memory AND skips
+        # the O(F·nb²) matmul flops; the flop guard caps BLAS time either way.
+        fl = (eff_end[nontrivial] - starts[nontrivial]).astype(np.float64)
+        pair_mass = float((fl * (fl - 1.0)).sum()) / 2.0
+        if (nb <= dense_max_entities and F and F * nb <= (1 << 26)
+                and pair_mass * 2.0 >= float(nb) * nb
+                and float(F) * nb * nb <= 4e9):
             A = np.zeros((F, nb), dtype=np.float32)
             row_of = np.repeat(np.arange(F), ends[nontrivial] - starts[nontrivial])
             pos = _ranges_concat(starts[nontrivial], ends[nontrivial])
@@ -453,6 +462,40 @@ def cooccurrence_edges(
         info_out["names"] = names
         info_out["n"] = n_ent
 
+    # 3a. hub-bucket skew plan: per-bucket pair-mass estimate Σ min(f,cap)²/2
+    # from a per-factor size aggregate (scalable: only num_buckets rows reach
+    # the driver). Buckets whose mass exceeds ``skew_split_target`` get S>1
+    # sub-tasks (split by src-id residue inside the emit kernel). The same
+    # pass also yields the global distinct-factor count (the PMI denominator)
+    # for free.
+    from bluegraph_ray.util import hash_aggregate
+
+    subs = np.ones(num_buckets, dtype=np.int64)
+    if skew_split_target:
+        fsz = hash_aggregate(distinct.select_columns(["factor"]), "factor",
+                             {"sz": (None, "count")}, num_buckets=num_buckets)
+
+        def mass_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            szv = batch["sz"].to_numpy(np.float64)
+            if max_factor_entities is not None:
+                szv = np.minimum(szv, float(max_factor_entities))
+            hb = (pd.util.hash_array(batch["factor"].to_numpy())
+                  % num_buckets).astype(np.int64)
+            m = np.zeros(num_buckets)
+            np.add.at(m, hb, szv * (szv - 1.0) / 2.0)
+            cnt = np.bincount(hb, minlength=num_buckets)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"b": nz, "mass": m[nz], "nfac": cnt[nz]})
+
+        mp = fsz.map_batches(mass_partial, batch_format="pandas",
+                             batch_size=262_144).to_pandas()
+        mass = np.zeros(num_buckets)
+        np.add.at(mass, mp["b"].to_numpy(), mp["mass"].to_numpy())
+        subs = np.clip(np.ceil(mass / float(skew_split_target)), 1, 64).astype(np.int64)
+        if total_factor_instances is None:
+            total_factor_instances = int(mp["nfac"].sum())
+    subs_ref = ray.put(subs)
+
     need_stats = any(s in ("ppmi", "npmi", "expected", "pmi2", "pmi3") for s in statistics)
     s_freq_ref = None
     if need_stats:
@@ -475,35 +518,6 @@ def cooccurrence_edges(
         s_freq_ref = ray.put(s_freq)
         if total_factor_instances is None:
             total_factor_instances = len(distinct_values(distinct, "factor"))
-
-    # 3a. hub-bucket skew plan: per-bucket pair-mass estimate Σ min(f,cap)²/2
-    # from a per-factor size aggregate (scalable: only num_buckets rows reach
-    # the driver). Buckets whose mass exceeds ``skew_split_target`` get S>1
-    # sub-tasks (split by src-id residue inside the emit kernel).
-    from bluegraph_ray.util import hash_aggregate
-
-    subs = np.ones(num_buckets, dtype=np.int64)
-    if skew_split_target:
-        fsz = hash_aggregate(distinct.select_columns(["factor"]), "factor",
-                             {"sz": (None, "count")}, num_buckets=num_buckets)
-
-        def mass_partial(batch: pd.DataFrame) -> pd.DataFrame:
-            szv = batch["sz"].to_numpy(np.float64)
-            if max_factor_entities is not None:
-                szv = np.minimum(szv, float(max_factor_entities))
-            hb = (pd.util.hash_array(batch["factor"].to_numpy())
-                  % num_buckets).astype(np.int64)
-            m = np.zeros(num_buckets)
-            np.add.at(m, hb, szv * (szv - 1.0) / 2.0)
-            nz = np.flatnonzero(m)
-            return pd.DataFrame({"b": nz, "mass": m[nz]})
-
-        mp = fsz.map_batches(mass_partial, batch_format="pandas",
-                             batch_size=262_144).to_pandas()
-        mass = np.zeros(num_buckets)
-        np.add.at(mass, mp["b"].to_numpy(), mp["mass"].to_numpy())
-        subs = np.clip(np.ceil(mass / float(skew_split_target)), 1, 64).astype(np.int64)
-    subs_ref = ray.put(subs)
 
     # 3b. bucket by hash(factor) (replicating hub-bucket rows per sub-task);
     # per-(bucket, sub) vectorized pair-code emission with map-side combine
