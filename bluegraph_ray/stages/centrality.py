@@ -68,6 +68,76 @@ def _sssp(indptr, nbrs, w, source, n):
     return dist, sigma, preds, order
 
 
+def _expand_frontier(indptr, nbrs, frontier):
+    """All (src, neighbour) arcs of a frontier in one shot: concatenated CSR
+    adjacency ranges via the repeat/cumsum trick (no per-node Python loop,
+    zero-length ranges handled). Returns (srcs, targets)."""
+    st = indptr[frontier]
+    en = indptr[frontier + 1]
+    lens = en - st
+    total = int(lens.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    reps = np.repeat(np.arange(len(frontier)), lens)
+    pos = np.ones(total, dtype=np.int64)
+    seg = np.cumsum(lens) - lens
+    nzf = np.flatnonzero(lens)
+    first = seg[nzf]
+    pos[first] = st[nzf]
+    pos[first[1:]] = st[nzf[1:]] - (en[nzf[:-1]] - 1)
+    pos = np.cumsum(pos)
+    return frontier[reps], nbrs[pos]
+
+
+def _bfs_levels(indptr, nbrs, source, n):
+    """Unweighted SSSP: frontier-at-a-time BFS over the CSR, fully
+    vectorized per level (no per-node Python). Returns (dist int32 with -1
+    unreachable, sigma path counts float64, levels list of frontier arrays).
+    """
+    dist = np.full(n, -1, dtype=np.int32)
+    sigma = np.zeros(n)
+    dist[source] = 0
+    sigma[source] = 1.0
+    frontier = np.array([source], dtype=np.int64)
+    levels = [frontier]
+    d = 0
+    while True:
+        srcs, targets = _expand_frontier(indptr, nbrs, frontier)
+        if not len(targets):
+            break
+        d += 1
+        new_mask = dist[targets] == -1
+        if new_mask.any():
+            dist[targets[new_mask]] = d
+        # σ(v) += σ(u) over tree arcs u->v with dist v == d
+        tree = dist[targets] == d
+        np.add.at(sigma, targets[tree], sigma[srcs[tree]])
+        frontier = np.unique(targets[new_mask]) if new_mask.any() else np.empty(0, dtype=np.int64)
+        if not len(frontier):
+            break
+        levels.append(frontier)
+    return dist, sigma, levels
+
+
+def _brandes_unweighted(indptr, nbrs, source, n, acc):
+    """One Brandes source: BFS + level-by-level dependency accumulation,
+    vectorized with np.add.at over the CSR (identical δ recurrence to the
+    predecessor-list form; tree arcs are dist[v] == dist[u]+1)."""
+    dist, sigma, levels = _bfs_levels(indptr, nbrs, source, n)
+    delta = np.zeros(n)
+    for frontier in reversed(levels[1:]):
+        vs, us = _expand_frontier(indptr, nbrs, frontier)
+        if not len(us):
+            continue
+        pred = dist[us] == dist[vs] - 1     # undirected CSR: u->v arc exists
+        contrib = sigma[us[pred]] / sigma[vs[pred]] * (1.0 + delta[vs[pred]])
+        np.add.at(delta, us[pred], contrib)
+    delta[source] = 0.0
+    acc += delta
+    return dist
+
+
 def closeness_centrality(
     edges: "ray.data.Dataset",
     *,
@@ -82,14 +152,23 @@ def closeness_centrality(
     n = len(names)
     graph_ref = ray.put((names, indptr, nbrs, w))
 
+    unweighted = distance is None
+
     def per_sources(batch: pd.DataFrame) -> pd.DataFrame:
-        nm, ip, nb, ww = ray.get(graph_ref)
+        from bluegraph_ray.util import broadcast_get
+
+        nm, ip, nb, ww = broadcast_get(graph_ref)
         out_nodes, out_scores = [], []
         for sid in batch["source"]:
-            dist, _, _, _ = _sssp(ip, nb, ww, int(sid), n)
-            reach = np.isfinite(dist)
+            if unweighted:
+                di, _, _ = _bfs_levels(ip, nb, int(sid), n)
+                reach = di >= 0
+                tot = float(di[reach].sum())
+            else:
+                dist, _, _, _ = _sssp(ip, nb, ww, int(sid), n)
+                reach = np.isfinite(dist)
+                tot = float(dist[reach].sum())
             r = int(reach.sum())
-            tot = float(dist[reach].sum())
             if r > 1 and tot > 0:
                 c = (r - 1) / tot * ((r - 1) / (n - 1))
             else:
@@ -128,11 +207,18 @@ def betweenness_centrality(
         srcs = np.arange(n)
         scale_extra = 1.0
 
+    unweighted = distance is None
+
     def per_sources(batch: pd.DataFrame) -> pd.DataFrame:
-        ip, nb, ww = ray.get(graph_ref)
+        from bluegraph_ray.util import broadcast_get
+
+        ip, nb, ww = broadcast_get(graph_ref)
         acc = np.zeros(n)
         for sid in batch["source"]:
             sid = int(sid)
+            if unweighted:
+                _brandes_unweighted(ip, nb, sid, n, acc)
+                continue
             dist, sigma, preds, order = _sssp(ip, nb, ww, sid, n)
             delta = np.zeros(n)
             for v in reversed(order):
