@@ -244,9 +244,9 @@ def q_order_priority_counts(sf_dir: str):
     return o.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
 
-# --- non-SQL-expressible (rows-only driver check) --------------------------
-
 def q_pagerank_parts(sf_dir: str):
+    """PageRank to convergence (L1 < n·tol) — the headline metric. DuckDB
+    oracle replays the recursion and the stop rule (see oracle_sql)."""
     from bluegraph_ray.stages.build import build_graph
     from bluegraph_ray.stages.pagerank import pagerank
 
@@ -257,9 +257,9 @@ def q_pagerank_parts(sf_dir: str):
 
 
 def q_pagerank_power20(sf_dir: str):
-    """Exactly 20 PageRank supersteps (no stop rule) — SQL-expressible as a
-    recursive CTE, so this variant gets a full value oracle while the
-    convergent ``pagerank_parts`` stays a rows-only check."""
+    """Exactly 20 PageRank supersteps (no stop rule) — a fixed-depth oracle
+    that isolates the superstep kernel from the convergence logic (which
+    ``pagerank_parts``'s oracle verifies separately)."""
     from bluegraph_ray.stages.build import build_graph, make_partition_actors
     from bluegraph_ray.stages.pagerank import power_iterations
 
@@ -853,6 +853,44 @@ pr(it, node, r) AS (
   GROUP BY it + 1, a.v
 )
 SELECT node, round_even(r, 9) AS pagerank FROM pr WHERE it = 20
+""",
+        # PageRank TO CONVERGENCE (the engine's headline metric): same
+        # recursion as pagerank_power20 but capped at 40 supersteps, then the
+        # stop rule L1(x_k - x_{k-1}) < n*tol (tol=1e-6, NetworkX semantics —
+        # stages/pagerank.py:158-166) picks the emitted iteration. This graph
+        # has no dangling vertices (undirected expansion), so no dangling
+        # term is needed.
+        "pagerank_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+),
+outw AS MATERIALIZED (SELECT u, SUM(w) AS ow FROM arcs GROUP BY 1),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
+pr(it, node, r) AS (
+  SELECT 0, u, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM outw
+  UNION ALL
+  SELECT it + 1, a.v,
+    CAST(0.85 AS DOUBLE) * SUM(a.w * (pr.r * (CAST(1.0 AS DOUBLE) / o.ow)))
+      + (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+  FROM pr JOIN arcs a ON a.u = pr.node JOIN outw o ON o.u = pr.node
+  WHERE pr.it < 40
+  GROUP BY it + 1, a.v
+),
+prm AS MATERIALIZED (SELECT * FROM pr),
+deltas AS (
+  SELECT a.it, SUM(ABS(a.r - b.r)) AS delta
+  FROM prm a JOIN prm b ON b.node = a.node AND b.it = a.it - 1
+  GROUP BY a.it
+),
+stop AS (
+  SELECT MIN(it) AS it FROM deltas
+  WHERE delta < (SELECT n FROM nn) * CAST(1e-6 AS DOUBLE)
+)
+SELECT node, round_even(r, 9) AS pagerank
+FROM prm WHERE it = (SELECT it FROM stop)
 """,
         # FNV-1a document fingerprints: the engine hashes the byte stream of
         # ``text + ' '`` (token bytes + 0x20 separator ≡ single-space join;

@@ -84,6 +84,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if cache else None
     )
 
+    einfo: dict = {}
+
     def build_edges():
         src = with_sha256(source_code_table(n_files, seed=42, parallelism=num_cpus * 4))
         occ = occurrences_from_source(src, entity="stem", factor=factor)
@@ -96,11 +98,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 num_buckets=max(64, num_cpus * 4),
                 exact_combine=False, decode_names=False,
             ).materialize()
+        # dense int ids end to end (flagship pattern): no vertex-name string
+        # is decoded, shuffled, or re-encoded anywhere in the bench pipeline
         e = cooccurrence_edges(
             occ,
             statistics=("frequency", "ppmi", "npmi"),
             max_factor_entities=4000,
             num_buckets=max(64, num_cpus * 4),
+            decode_names=False, info_out=einfo,
         )
         return e.filter(expr="ppmi > 0").materialize()
 
@@ -131,6 +136,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         handle = build_graph(
             edges, weight="frequency", directed=False,
             n_partitions=num_cpus, path=gpath,
+            **({"names": einfo["names"], "pre_encoded": True}
+               if "names" in einfo else {}),
         )
 
     t0 = time.perf_counter()
