@@ -892,6 +892,50 @@ stop AS (
 SELECT node, round_even(r, 9) AS pagerank
 FROM prm WHERE it = (SELECT it FROM stop)
 """,
+        # Semi-synchronous weighted LPA, replayed exactly: per iteration each
+        # vertex's incoming (label -> Σw) histogram is built from the PREVIOUS
+        # label vector (full-sync, stages/lpa.py), winner = (max weight, min
+        # label), damping = change only on STRICTLY greater weight than the
+        # current label's neighbourhood weight. Zero-weight self-arcs smuggle
+        # each vertex's own label through the single allowed recursive-table
+        # reference; label-only-via-self groups are excluded from the winner
+        # (the engine's gather sees real arcs only). Int weights -> exact
+        # comparisons; 50 iterations ≡ the engine's fixpoint (stable after
+        # convergence).
+        "communities_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+  UNION ALL SELECT entity, entity, CAST(0 AS DOUBLE)
+  FROM (SELECT DISTINCT src AS entity FROM edges
+        UNION SELECT dst FROM edges)),
+lp(it, node, lab) AS (
+  SELECT 0, u, u FROM (SELECT DISTINCT u FROM arcs)
+  UNION ALL
+  SELECT it + 1, v,
+    CASE WHEN win.w > cur_w THEN win.lab ELSE cur_lab END
+  FROM (
+    SELECT it, v,
+      min(CASE WHEN is_cur THEN struct_pack(w := -wt, lab := lab) END).lab
+        AS cur_lab,
+      COALESCE(max(CASE WHEN is_cur THEN wt END), 0.0) AS cur_w,
+      min(CASE WHEN NOT pure_self
+               THEN struct_pack(w := -wt, lab := lab) END) AS win
+    FROM (
+      SELECT l.it AS it, a.v AS v, l.lab AS lab,
+        SUM(CASE WHEN a.u = a.v THEN 0.0 ELSE a.w END) AS wt,
+        BOOL_AND(a.u = a.v) AS pure_self,
+        BOOL_OR(a.u = a.v) AS is_cur
+      FROM lp l JOIN arcs a ON a.u = l.node
+      WHERE l.it < 50
+      GROUP BY 1, 2, 3
+    )
+    GROUP BY it, v
+  ), LATERAL (SELECT (win).lab AS lab, -(win).w AS w) win
+)
+SELECT node, lab AS community FROM lp WHERE it = 50
+""",
         # FNV-1a document fingerprints: the engine hashes the byte stream of
         # ``text + ' '`` (token bytes + 0x20 separator ≡ single-space join;
         # pipelines/text._roll_hash_tokens). DuckDB replays the exact byte
