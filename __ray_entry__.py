@@ -41,6 +41,20 @@ def _lineitem_occurrences(sf_dir: str) -> "ray.data.Dataset":
 
 
 _EDGE_CACHE: dict = {}
+_GRAPH_CACHE: dict = {}
+
+
+def _cooc_graph(sf_dir: str, *, weight: str | None = "frequency"):
+    """Memoized CSR graph build over the shared co-occurrence edge table —
+    four queries() entries iterate over the identical graph; one build."""
+    from bluegraph_ray.stages.build import build_graph
+
+    key = (sf_dir, weight)
+    if key not in _GRAPH_CACHE:
+        edges = _cooc_edges(sf_dir, statistics=("frequency",))
+        _GRAPH_CACHE[key] = build_graph(
+            edges, weight=weight, directed=False, n_partitions=8)
+    return _GRAPH_CACHE[key]
 
 
 def _cooc_edges(sf_dir: str, *, statistics=("frequency", "ppmi", "npmi")) -> "ray.data.Dataset":
@@ -247,11 +261,9 @@ def q_order_priority_counts(sf_dir: str):
 def q_pagerank_parts(sf_dir: str):
     """PageRank to convergence (L1 < n·tol) — the headline metric. DuckDB
     oracle replays the recursion and the stop rule (see oracle_sql)."""
-    from bluegraph_ray.stages.build import build_graph
     from bluegraph_ray.stages.pagerank import pagerank
 
-    edges = _cooc_edges(sf_dir, statistics=("frequency",))
-    handle = build_graph(edges, weight="frequency", directed=False, n_partitions=8)
+    handle = _cooc_graph(sf_dir)
     res = pagerank(handle)
     return pd.DataFrame({"node": handle.names, "pagerank": np.round(res.values, 9)})
 
@@ -260,11 +272,10 @@ def q_pagerank_power20(sf_dir: str):
     """Exactly 20 PageRank supersteps (no stop rule) — a fixed-depth oracle
     that isolates the superstep kernel from the convergence logic (which
     ``pagerank_parts``'s oracle verifies separately)."""
-    from bluegraph_ray.stages.build import build_graph, make_partition_actors
+    from bluegraph_ray.stages.build import make_partition_actors
     from bluegraph_ray.stages.pagerank import power_iterations
 
-    edges = _cooc_edges(sf_dir, statistics=("frequency",))
-    handle = build_graph(edges, weight="frequency", directed=False, n_partitions=8)
+    handle = _cooc_graph(sf_dir)
     actors = make_partition_actors(handle)
     try:
         res = power_iterations(handle, actors, iters=20)
@@ -277,22 +288,18 @@ def q_pagerank_power20(sf_dir: str):
 
 
 def q_components_parts(sf_dir: str):
-    from bluegraph_ray.stages.build import build_graph
     from bluegraph_ray.stages.components import connected_components
 
-    edges = _cooc_edges(sf_dir, statistics=("frequency",))
-    handle = build_graph(edges, directed=False, n_partitions=8)
+    handle = _cooc_graph(sf_dir, weight=None)
     res = connected_components(handle)
     # canonical label: min vertex NAME (key) of the component
     return pd.DataFrame({"node": handle.names, "component": handle.names[res.values]})
 
 
 def q_communities_parts(sf_dir: str):
-    from bluegraph_ray.stages.build import build_graph
     from bluegraph_ray.stages.lpa import label_propagation_communities
 
-    edges = _cooc_edges(sf_dir, statistics=("frequency",))
-    handle = build_graph(edges, weight="frequency", directed=False, n_partitions=8)
+    handle = _cooc_graph(sf_dir)
     res = label_propagation_communities(handle)
     return pd.DataFrame({"node": handle.names, "community": handle.names[res.values]})
 
