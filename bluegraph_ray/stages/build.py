@@ -453,20 +453,47 @@ class CsrPartition:
         replaces the current label when its weight STRICTLY exceeds the weight
         the current label has in the neighbourhood.
         Returns (local_dst_ids, new_labels), already damped.
+
+        CHUNKED by dst-run boundaries: the kernel's working set is ~10 arrays
+        of arc length; on a fault-bound VM a 10^7-arc partition would touch
+        GBs of fresh pages in one call. Each dst's arcs are contiguous (dst-
+        sorted), so processing ~4M-arc dst-aligned chunks is exact and caps
+        peak fresh memory; the mallopt'd allocator recycles the chunk buffers
+        across chunks and supersteps.
         """
         labels = labels_ref if isinstance(labels_ref, np.ndarray) else ray.get(labels_ref)
         if not len(self.dst):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        # chunk boundaries: positions in self.starts so each chunk has
+        # <= ~4M arcs but never splits a dst run
+        chunk_arcs = getattr(self, "_mode_chunk_arcs", 4_000_000)
+        arc_targets = np.arange(1, 1 + len(self.dst) // chunk_arcs) * chunk_arcs
+        run_cuts = np.unique(np.searchsorted(self.starts, arc_targets))
+        seg_bounds = np.concatenate((
+            [0], self.starts[run_cuts[(run_cuts > 0) & (run_cuts < len(self.starts))]],
+            [len(self.dst)]))
+        seg_bounds = np.unique(seg_bounds)
+        out_ids, out_new = [], []
+        for a, b in zip(seg_bounds[:-1], seg_bounds[1:]):
+            ids, new = self._mode_label_chunk(labels, int(a), int(b))
+            out_ids.append(ids)
+            out_new.append(new)
+        if len(out_ids) == 1:
+            return out_ids[0], out_new[0]
+        return np.concatenate(out_ids), np.concatenate(out_new)
+
+    def _mode_label_chunk(self, labels, a: int, b: int):
+        """Mode-label kernel over the dst-aligned arc slice [a, b)."""
         # pure numpy: encode (dst, label) pairs as int64 codes, one argsort,
         # reduceat per-(dst,label) weight sums, then per-dst argmax with the
         # (max weight, min label) tie-break — ~10x a pandas groupby at 10^7
         # arcs per partition.
         n = np.int64(len(labels))
-        lab = labels[self.src]
-        code = self.dst.astype(np.int64) * n + lab
+        lab = labels[self.src[a:b]]
+        code = self.dst[a:b].astype(np.int64) * n + lab
         order = np.argsort(code, kind="stable")
         c = code[order]
-        w = self.w[order]
+        w = self.w[a:b][order]
         runs = np.flatnonzero(np.diff(c)) + 1
         starts = np.concatenate(([0], runs))
         pair_code = c[starts]
