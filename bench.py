@@ -285,7 +285,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+        print(json.dumps(run_scaling(sf_dir, lo=lo, hi=hi)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, num_cpus)))

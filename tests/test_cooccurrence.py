@@ -137,3 +137,49 @@ def test_min_frequency_and_hub_cap():
     # the first 2 sorted entities {a,c}, so (a,c) survives but (a,d)/(c,d) drop
     df2 = run_pipeline(factor_sets, statistics=["frequency"], max_factor_entities=2)
     assert {(r.src, r.dst) for r in df2.itertuples()} == {("a", "b"), ("a", "c")}
+
+
+def test_dense_gram_path_equals_sparse_path():
+    """The AᵀA dense kernel and the repeat/arange sparse kernel must emit
+    identical (code, partial) rows, with and without the hub cap."""
+    import ray
+
+    from bluegraph_ray.pipelines.cooccurrence import _emit_pair_codes
+
+    rng = np.random.default_rng(3)
+    names = np.array([f"e{i:04d}" for i in range(300)])
+    rows = []
+    for f in range(15):
+        k = int(rng.integers(1, 200))
+        for e in rng.choice(300, k, replace=False):
+            rows.append((names[e], f"f{f}"))
+    df = pd.DataFrame(rows, columns=["entity", "factor"]).drop_duplicates()
+    names_ref = ray.put(np.sort(np.unique(df["entity"].to_numpy().astype(str))))
+    for cap in (None, 50):
+        dense = _emit_pair_codes(cap, names_ref, 16, dense_max_entities=4096)(df).to_pandas()
+        sparse = _emit_pair_codes(cap, names_ref, 16, dense_max_entities=0)(df).to_pandas()
+        d = dense.sort_values("code").reset_index(drop=True)
+        s = sparse.sort_values("code").reset_index(drop=True)
+        assert d.equals(s)
+        assert len(d) > 0
+
+
+def test_skew_split_equals_unsplit():
+    """Hub-bucket sub-splitting must not change the edge table at all."""
+    import ray
+
+    from bluegraph_ray.pipelines.cooccurrence import cooccurrence_edges
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for f in range(12):
+        k = int(rng.integers(2, 150))
+        for e in rng.choice(400, k, replace=False):
+            rows.append((f"e{e:04d}", f"f{f}"))
+    ds = ray.data.from_pandas(pd.DataFrame(rows, columns=["entity", "factor"]))
+    kw = dict(statistics=("frequency", "ppmi", "npmi"), num_buckets=8)
+    a = cooccurrence_edges(ds, skew_split_target=None, **kw).to_pandas()
+    b = cooccurrence_edges(ds, skew_split_target=500, **kw).to_pandas()
+    a = a.sort_values(["src", "dst"], ignore_index=True)
+    b = b.sort_values(["src", "dst"], ignore_index=True)
+    assert a.equals(b)

@@ -206,3 +206,32 @@ def test_shm_exchange_bitwise_equals_plasma(karate_handle):
     b = pagerank(handle, exchange="shm")
     np.testing.assert_array_equal(a.values, b.values)
     assert a.iterations == b.iterations
+
+
+def test_mode_label_gather_chunked_equals_whole():
+    """Dst-run-aligned chunking of the LPA mode-label kernel is exact."""
+    from bluegraph_ray.stages.build import CsrPartition
+
+    cls = CsrPartition.__ray_metadata__.modified_class
+
+    class Fake:
+        pass
+
+    rng = np.random.default_rng(0)
+    n, m = 300, 20000
+    f = Fake()
+    f.dst = np.sort(rng.integers(0, n, m))
+    f.src = rng.integers(0, n, m)
+    f.w = rng.integers(1, 5, m).astype(np.float64)
+    change = np.flatnonzero(np.diff(f.dst)) + 1
+    f.starts = np.concatenate(([0], change))
+    f.uniq_dst = f.dst[f.starts]
+    f._mode_label_chunk = cls._mode_label_chunk.__get__(f)
+    labels = rng.integers(0, n, n).astype(np.int64)
+
+    f._mode_chunk_arcs = 10 ** 9
+    ids1, new1 = cls.mode_label_gather(f, labels)
+    f._mode_chunk_arcs = 1000
+    ids2, new2 = cls.mode_label_gather(f, labels)
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_array_equal(new1, new2)
