@@ -404,6 +404,25 @@ def q_mst_parts(sf_dir: str):
     return minimum_spanning_tree(e, distance="distance")[["src", "dst", "frequency"]]
 
 
+def q_mst_small(sf_dir: str):
+    """Same Kruskal pipeline on the freq>=3 subgraph — small enough that the
+    all-pairs minimax-path doubling oracle stays tractable in pure SQL, so
+    this one is value-hash verified while mst_parts covers the full freq>=2
+    graph. Oracle rule (cycle property, distinct ranks): an edge with rank r
+    (ordered by distance=1/frequency asc, then src, dst) is in the MST/forest
+    iff the minimax path rank between its endpoints equals r."""
+    from bluegraph_ray.stages.paths import minimum_spanning_tree
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 3")
+
+    def dist(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["distance"] = 1.0 / batch["frequency"]
+        return batch
+
+    e = edges.map_batches(dist, batch_format="pandas")
+    return minimum_spanning_tree(e, distance="distance")[["src", "dst", "frequency"]]
+
+
 def q_louvain_parts(sf_dir: str):
     """Deterministic Louvain over the freq>=2 co-occurrence graph."""
     from bluegraph_ray.stages.communities import detect_communities
@@ -469,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_parts": q_betweenness_parts,
         "betweenness_small": q_betweenness_small,
         "mst_parts": q_mst_parts,
+        "mst_small": q_mst_small,
         "louvain_parts": q_louvain_parts,
         "negative_edges": q_negative_edges,
         "pagerank_parts": q_pagerank_parts,
@@ -496,6 +516,15 @@ edges AS MATERIALIZED (
   FROM occ a JOIN occ b ON a.factor = b.factor AND a.entity < b.entity
   GROUP BY 1, 2
 )"""
+
+
+_MM_STEPS = "".join(
+    f""",
+m{k + 1} AS (
+  SELECT a.u AS u, b.v AS v, MIN(GREATEST(a.mr, b.mr)) AS mr
+  FROM m{k} a JOIN m{k} b ON a.v = b.u GROUP BY 1, 2)"""
+    for k in range(7)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -837,6 +866,26 @@ SELECT node,
     * (CAST(2.0 AS DOUBLE) / ((SELECT (n-1)*(n-2) FROM nn))), 9) AS betweenness
 FROM del WHERE it = 16 AND node <> root
 GROUP BY node
+""",
+        # Kruskal MST via the cycle property: rank edges by (distance=1/freq
+        # asc ≡ frequency desc, src, dst); an edge is in the MST/forest iff
+        # the minimax path rank between its endpoints equals its own rank.
+        # All-pairs minimax by 7 doubling joins (2^7 = 128 hops >= the
+        # 119-vertex subgraph's diameter); identity rows make each step a
+        # proper closure.
+        "mst_small": f"""
+WITH {_EDGES_FREQ},
+f3 AS MATERIALIZED (
+  SELECT src, dst, frequency,
+         ROW_NUMBER() OVER (ORDER BY frequency DESC, src, dst) AS r
+  FROM edges WHERE frequency >= 3),
+m0 AS (
+  SELECT src AS u, dst AS v, r AS mr FROM f3
+  UNION ALL SELECT dst, src, r FROM f3
+  UNION ALL SELECT x, x, 0
+    FROM (SELECT src AS x FROM f3 UNION SELECT dst FROM f3)){_MM_STEPS}
+SELECT f.src, f.dst, f.frequency
+FROM f3 f JOIN m7 mm ON mm.u = f.src AND mm.v = f.dst AND mm.mr = f.r
 """,
         # exactly 20 power supersteps; per-arc term mirrors the engine's
         # w * (x_u * (1/outw_u)) op order, summation order differs -> ROUND 9
