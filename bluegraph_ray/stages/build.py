@@ -311,6 +311,40 @@ def load_graph(path: str) -> GraphHandle:
     )
 
 
+def gather_chunked(xw: np.ndarray, src: np.ndarray, w: np.ndarray,
+                   starts: np.ndarray, chunks: np.ndarray, udl: np.ndarray,
+                   out: np.ndarray, scratch: np.ndarray) -> None:
+    """Cache-blocked segment gather: ``out[udl] = Σ_run xw[src]·w``.
+
+    Evaluates the product in ``chunk``-bounded slices so the temp stays in
+    cache instead of round-tripping DRAM; chunk bounds align to dst-run
+    boundaries so each run's left-to-right reduction order — and hence every
+    output bit — is identical to the one-shot kernel (unit-tested)."""
+    nruns, total = len(starts), len(src)
+    for ci in range(len(chunks) - 1):
+        a, b = int(chunks[ci]), int(chunks[ci + 1])
+        arc_lo = int(starts[a])
+        arc_hi = int(starts[b]) if b < nruns else total
+        v = scratch[: arc_hi - arc_lo]
+        np.take(xw, src[arc_lo:arc_hi], out=v)
+        np.multiply(v, w[arc_lo:arc_hi], out=v)
+        out[udl[a:b]] = np.add.reduceat(v, starts[a:b] - arc_lo)
+
+
+def _gather_chunks(starts: np.ndarray, total: int,
+                   chunk_arcs: int = 131_072) -> np.ndarray:
+    """Positions into ``starts`` cutting the arc stream into ~chunk_arcs
+    pieces at dst-run boundaries (no run ever splits, so per-run reduction
+    order — and hence the float result — is unchanged). A single run longer
+    than ``chunk_arcs`` becomes its own chunk."""
+    if not len(starts):
+        return np.zeros(1, dtype=np.int64)
+    targets = np.arange(chunk_arcs, total, chunk_arcs)
+    cuts = np.searchsorted(starts, targets, side="left")
+    bounds = np.unique(np.concatenate(([0], cuts, [len(starts)])))
+    return bounds.astype(np.int64)
+
+
 @ray.remote(max_restarts=2, max_task_retries=2)
 class CsrPartition:
     """One dst-range partition of the arc set, loaded once, reused every superstep.
@@ -358,11 +392,40 @@ class CsrPartition:
         else:
             self.starts = np.empty(0, dtype=np.int64)
             self.uniq_dst = np.empty(0, dtype=np.int64)
-        # reusable per-arc scratch: allocated ONCE — a fresh 10^8-byte numpy
-        # allocation per superstep means an mmap/munmap + page-fault storm on
-        # every call, which in this sandboxed kernel costs more than the
-        # gather itself (observed ~5x superstep inflation)
-        self._vals = np.empty(len(self.dst), dtype=np.float64)
+        # Gather-optimized streams. The PageRank gather is memory-bandwidth
+        # bound: the naive kernel streams src(8B) + w(8B) and round-trips a
+        # full-length f64 product temp through DRAM (~32B+/arc). Three
+        # bitwise-safe reductions (verified: results are IDENTICAL bit for
+        # bit, see test_graph_stages chunked-kernel test):
+        #  - int32 src indices when ids fit (np.take result unchanged);
+        #  - float32 weights ONLY when every value is exactly representable
+        #    (integer frequencies < 2^24 are; the f32->f64 upcast inside the
+        #    f64 multiply is then exact);
+        #  - chunked evaluation at dst-run boundaries so the product temp
+        #    stays inside the CPU cache instead of round-tripping DRAM (run
+        #    reduction order is unchanged — no run ever splits).
+        # Net ~12B/arc: measured 2.7x aggregate superstep throughput at 16
+        # procs on the sandbox host (bench_results/kernel_scale.py probe).
+        if len(self.src) and int(self.src.max()) < 2**31:
+            self._src_ix = self.src.astype(np.int32)
+        else:
+            self._src_ix = self.src
+        _w32 = self.w.astype(np.float32)
+        self._gw = _w32 if np.array_equal(_w32.astype(np.float64), self.w) else self.w
+        self._chunks = _gather_chunks(self.starts, len(self.dst))
+        self._udl = self.uniq_dst - self.lo
+        # reusable scratch: allocated ONCE (a fresh numpy allocation per
+        # superstep means an mmap/munmap + page-fault storm on every call,
+        # observed ~5x superstep inflation), sized to the LARGEST CHUNK —
+        # not the arc count — so resident scratch stays cache-scale.
+        if len(self.dst):
+            cb = self._chunks
+            ends = np.append(self.starts[cb[1:-1]], len(self.dst))
+            begins = self.starts[cb[:-1]]
+            max_chunk = int((ends - begins).max())
+        else:
+            max_chunk = 0
+        self._vals = np.empty(max_chunk, dtype=np.float64)
         self._out = np.zeros(self.hi - self.lo, dtype=np.float64)
 
     def num_arcs(self) -> int:
@@ -387,14 +450,15 @@ class CsrPartition:
 
     def _gather_into(self, xw: np.ndarray, out: np.ndarray) -> None:
         """Σ_{u->v} x(u)/outw(u) * w(u,v) into ``out`` (dense [lo,hi) slice).
-        Uses the preallocated scratch; identical arithmetic/order to the
-        original allocate-per-call kernel (np.take == fancy index)."""
+
+        Chunked at dst-run boundaries so the product temp lives in cache
+        (see the __init__ comment); arithmetic and per-run reduction order
+        are identical to the one-shot kernel, so results are bitwise equal."""
         out[:] = 0.0
-        if len(self.dst):
-            np.take(xw, self.src, out=self._vals)
-            np.multiply(self._vals, self.w, out=self._vals)
-            sums = np.add.reduceat(self._vals, self.starts)
-            out[self.uniq_dst - self.lo] = sums
+        if not len(self.dst):
+            return
+        gather_chunked(xw, self._src_ix, self._gw, self.starts, self._chunks,
+                       self._udl, out, self._vals)
 
     def pr_gather(self, xw_ref) -> np.ndarray:
         """Plasma-path superstep gather — returns the dense [lo,hi) slice."""

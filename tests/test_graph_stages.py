@@ -235,3 +235,33 @@ def test_mode_label_gather_chunked_equals_whole():
     ids2, new2 = cls.mode_label_gather(f, labels)
     np.testing.assert_array_equal(ids1, ids2)
     np.testing.assert_array_equal(new1, new2)
+
+
+def test_gather_chunked_bitwise_equals_oneshot():
+    """The cache-blocked PageRank gather (int32 src, f32-when-exact weights,
+    run-aligned chunks) must reproduce the naive one-shot kernel bit for bit."""
+    from bluegraph_ray.stages.build import _gather_chunks, gather_chunked
+
+    rng = np.random.default_rng(11)
+    n, arcs = 500, 40_000
+    dst = np.sort(rng.integers(0, n, arcs))
+    src = rng.integers(0, n, arcs)
+    w = rng.integers(1, 90, arcs).astype(np.float64)  # integer frequencies
+    xw = rng.random(n)
+    change = np.flatnonzero(np.diff(dst)) + 1
+    starts = np.concatenate(([0], change))
+    uniq = dst[starts]
+
+    want = np.zeros(n)
+    vals = xw[src] * w
+    want[uniq] = np.add.reduceat(vals, starts)
+
+    for chunk_arcs in (7, 100, 4096, 10**9):
+        chunks = _gather_chunks(starts, arcs, chunk_arcs=chunk_arcs)
+        got = np.zeros(n)
+        gather_chunked(xw, src.astype(np.int32), w.astype(np.float32),
+                       starts, chunks, uniq, got, np.empty(arcs))
+        assert (got == want).all(), f"chunk_arcs={chunk_arcs}"
+        # chunk bounds must tile the run index space exactly
+        assert chunks[0] == 0 and chunks[-1] == len(starts)
+        assert (np.diff(chunks) > 0).all()
