@@ -73,6 +73,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     factor = os.environ.get("GRAFT_FACTOR", "dir")
     multigraph = bool(os.environ.get("GRAFT_MULTIGRAPH"))
     cache = os.environ.get("GRAFT_CACHE")
+    # partition count defaults to the cpu budget; the scaling harness PINS it
+    # (GRAFT_PARTITIONS) so both cluster sizes run the SAME job over the SAME
+    # partitioning — on a real cluster the data's partitioning is a property
+    # of the dataset, not of how many nodes happen to execute it
+    n_parts = int(os.environ.get("GRAFT_PARTITIONS", "0")) or num_cpus
     from bluegraph_ray.stages.build import load_graph
 
     edges = None
@@ -80,7 +85,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         f"{cache}/edges_{n_files}_{factor}_{int(multigraph)}" if cache else None
     )
     gpath = (
-        f"{cache}/graph_{n_files}_{factor}_{int(multigraph)}_p{num_cpus}"
+        f"{cache}/graph_{n_files}_{factor}_{int(multigraph)}_p{n_parts}"
         if cache else None
     )
 
@@ -135,13 +140,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             gpath = tempfile.mkdtemp(prefix=f"bgray_bench_{num_cpus}_")
         handle = build_graph(
             edges, weight="frequency", directed=False,
-            n_partitions=num_cpus, path=gpath,
+            n_partitions=n_parts, path=gpath,
             **({"names": einfo["names"], "pre_encoded": True}
                if "names" in einfo else {}),
         )
 
     t0 = time.perf_counter()
-    actors = make_partition_actors(handle, num_cpus=0.9)
+    # per-actor cpu sized so ALL partitions schedule even when the partition
+    # count exceeds the cpu budget (fixed-partitioning scaling runs)
+    actor_cpu = min(0.9, 0.9 * num_cpus / max(1, handle.n_partitions))
+    actors = make_partition_actors(handle, num_cpus=actor_cpu)
     # warm the actors explicitly (parquet load happens on first call;
     # out_weights may be served from build-time sidecars and not touch them)
     ray.get([a.num_arcs.remote() for a in actors])
@@ -237,23 +245,37 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 
     scale_files = os.environ.get("GRAFT_SCALING_FILES", "500000")
 
+    # one partitioning for BOTH levels: the dataset's layout is fixed; only
+    # the executing cluster size changes (default 2x the high level so each
+    # cpu still gets >=2 partitions to smooth stragglers)
+    n_parts = os.environ.get("GRAFT_PARTITIONS", str(2 * hi))
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_N_FILES=scale_files, GRAFT_FACTOR="repo",
                    GRAFT_MULTIGRAPH="1", GRAFT_SKIP_RELATIONAL="1",
-                   GRAFT_SKIP_DEGREE="1",
+                   GRAFT_SKIP_DEGREE="1", GRAFT_PARTITIONS=n_parts,
                    GRAFT_LPA_ITERS=os.environ.get("GRAFT_SCALING_LPA_ITERS", "2"),
                    GRAFT_POWER_ITERS=os.environ.get("GRAFT_SCALING_POWER_ITERS", "60"),
                    GRAFT_CACHE=os.environ.get("GRAFT_CACHE", "/tmp/bgray_scale_cache"))
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # OS-level CPU confinement: ray's num_cpus is a scheduling TOKEN, not
+        # a limit — with more actors than cpus the "small cluster" would
+        # silently spill onto every host core. taskset pins the whole Ray
+        # session (raylet + workers inherit affinity), which is what "a
+        # cluster of N cores" means on one box.
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     if not os.path.isdir(os.path.join(
             os.environ.get("GRAFT_CACHE", "/tmp/bgray_scale_cache"),
-            f"graph_{scale_files}_repo_1_p{hi}")):
+            f"graph_{scale_files}_repo_1_p{n_parts}")):
         one(hi)  # untimed warm-up: builds the shared edge/graph caches
     r_lo = one(lo)
     r_hi = one(hi)
@@ -269,6 +291,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
+        "n_partitions": int(n_parts),
         "edges_per_sec_per_superstep_lo": thr_lo,
         "edges_per_sec_per_superstep_hi": thr_hi,
         "edges_per_sec_per_superstep_mean_lo": r_lo["edges_per_sec_per_superstep"],
