@@ -244,6 +244,18 @@ def q_knn_cosine(sf_dir: str):
     return knn_topk(corpus, qm, qids, k=5)
 
 
+def q_ivf_knn(sf_dir: str):
+    """IVF (Voronoi-segmented) cosine top-k, full probe (nprobe=n_segments):
+    exact, so it shares the brute-force SQL oracle while exercising the
+    kmeans-train / segment-assign / probe machinery end-to-end
+    (reference FaissSimilarityIndex n_segments>1, similarity.py:150-226)."""
+    from bluegraph_ray.pipelines.similarity import ivf_topk
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qm, qids = _emb_queries(sf_dir, 10)
+    return ivf_topk(corpus, qm, qids, k=5, n_segments=16, nprobe=16)
+
+
 def q_top_ppmi_edges(sf_dir: str):
     """Global top-100 by PPMI — distributed sort + limit (top_n analog,
     /root/reference/bluegraph/core/utils.py:98-105)."""
@@ -482,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
+        "ivf_knn": q_ivf_knn,
         "top_ppmi_edges": q_top_ppmi_edges,
         "order_priority_counts": q_order_priority_counts,
         "closeness_parts": q_closeness_parts,
@@ -517,6 +530,21 @@ edges AS MATERIALIZED (
   GROUP BY 1, 2
 )"""
 
+
+_KNN_SQL = """
+-- cosine computed in DOUBLE to match the engine's float64 kernel; ordering
+-- = raw cosine DESC, neighbor id ASC on both sides; ROUND only at emit
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+  round_even(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+WHERE q.vec_id < 10
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])) DESC,
+           e.vec_id) <= 5
+"""
 
 _MM_STEPS = "".join(
     f""",
@@ -688,20 +716,9 @@ SELECT * FROM scored ORDER BY ppmi DESC, src, dst LIMIT 100
         "order_priority_counts": """
 SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
 """,
-        "knn_cosine": """
--- cosine computed in DOUBLE to match the engine's float64 kernel; ordering
--- = raw cosine DESC, neighbor id ASC on both sides; ROUND only at emit
-SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-  round_even(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
-                               CAST(e.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-WHERE q.vec_id < 10
-QUALIFY ROW_NUMBER() OVER (
-  PARTITION BY q.vec_id
-  ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
-                                  CAST(e.embedding AS DOUBLE[])) DESC,
-           e.vec_id) <= 5
-""",
+        "knn_cosine": _KNN_SQL,
+        # full-probe IVF is exact => same oracle as the brute-force knn
+        "ivf_knn": _KNN_SQL,
         # random-hyperplane LSH top-k: corpus bucket = sign pattern of 8
         # plane projections; each query probes its bucket + 7 lowest-|margin|
         # single-bit flips; exact cosine within matched buckets, top-5 by

@@ -13,6 +13,11 @@ this container; the Ray-native re-expression is:
   corpus and queries are bucketed by sign-pattern; only matching buckets are
   scanned (with multi-probe by flipping low-margin bits). Approximate;
   recall/probe tradeoff documented in the test.
+- ``ivf_topk``: trained Voronoi segmentation — the reference's
+  ``FaissSimilarityIndex(n_segments>1)`` (similarity.py:150-226) re-expressed:
+  deterministic spherical k-means centroids fit once on a driver-side sample
+  and broadcast; each corpus batch assigns rows to their nearest centroid and
+  scans a query only against rows in that query's ``nprobe`` closest cells.
 """
 
 from __future__ import annotations
@@ -79,6 +84,113 @@ def knn_topk(
 
     partial = corpus.select_columns([id_col, vec_col]).map_batches(
         block_topk, batch_format="pandas", batch_size=None)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        g["cosine"] = np.round(g["cosine"].to_numpy(), 6)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_segments: int, *, iters: int = 10, seed: int = 17
+) -> np.ndarray:
+    """Deterministic spherical Lloyd: cosine assignment on normalized rows,
+    centroid = renormalized mean. Faiss trains its IVF quantizer the same way
+    (reference similarity.py:213-218 ``index.train``); seeded init + fixed
+    iteration count keep the segmentation reproducible run to run. Empty
+    cells keep their previous centroid."""
+    x = _norm_rows(np.asarray(sample, dtype=np.float64))
+    n_segments = min(n_segments, len(x))
+    rng = np.random.default_rng(seed)
+    cent = x[np.sort(rng.choice(len(x), size=n_segments, replace=False))].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(n_segments):
+            sel = assign == j
+            if sel.any():
+                cent[j] = x[sel].mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def ivf_topk(
+    corpus: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_segments: int = 16,
+    nprobe: int = 4,
+    train_size: int = 4096,
+    seed: int = 17,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """IVF cosine top-k: -> (query_id, neighbor_id, cosine).
+
+    Train once on the driver (first ``train_size`` corpus rows, sorted by id
+    for determinism — a few thousand rows regardless of corpus size), then
+    broadcast (centroids, queries, probe lists) via one ``ray.put``. Each
+    corpus batch computes segment ids with a single (batch × n_segments)
+    matmul and scans each query only against rows whose segment is in the
+    query's probe list, pre-reducing to a local top-k; a small
+    ``groupby(query)`` reduce finishes.
+
+    ``nprobe >= n_segments`` probes every cell and is EXACT (same result and
+    the same ordering contract as ``knn_topk``: raw cosine desc, neighbor_id
+    asc, rounded only at emit). ``nprobe < n_segments`` is the approximate
+    scale path. At 100 TB the segment id doubles as the Parquet partition
+    key so only probed partitions are read at all.
+    """
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    train = (
+        corpus.select_columns([id_col, vec_col])
+        .limit(int(train_size))
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cent = kmeans_centroids(
+        np.stack(train[vec_col].to_numpy()), n_segments, seed=seed)
+    n_segments = len(cent)
+    nprobe = min(nprobe, n_segments)
+    # per-query probe mask over segments: nprobe closest centroids
+    qc = q @ cent.T  # (nq, n_segments)
+    probe_ok = np.zeros((len(q), n_segments), dtype=bool)
+    for i in range(len(q)):
+        probe_ok[i, np.argsort(-qc[i], kind="stable")[:nprobe]] = True
+    bc_ref = ray.put((np.asarray(query_ids), q, cent, probe_ok))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qm, c, pok = ray.get(bc_ref)
+        ids = batch[id_col].to_numpy()
+        m = _norm_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        seg = np.argmax(m @ c.T, axis=1)
+        sims = qm @ m.T
+        rows = []
+        for qi in range(len(qids)):
+            mask = pok[qi][seg]
+            if exclude_self:
+                mask &= ids != qids[qi]
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            s = sims[qi]
+            take = idx[np.lexsort((ids[idx], -s[idx]))[: k]]
+            rows.append(pd.DataFrame({
+                "query_id": qids[qi],
+                "neighbor_id": ids[take],
+                "cosine": s[take],
+            }))
+        if not rows:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        return pd.concat(rows, ignore_index=True)
+
+    partial = corpus.select_columns([id_col, vec_col]).map_batches(
+        scan, batch_format="pandas", batch_size=None)
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True],

@@ -18,13 +18,23 @@ import ray.data
 
 
 class SimilarityProcessor:
-    """Flat exact index over added vectors; queries are blocked matmuls."""
+    """Flat exact index over added vectors; queries are blocked matmuls.
 
-    def __init__(self, dimension: int, similarity: str = "cosine"):
+    ``n_segments > 1`` mirrors the reference's segmented Faiss index
+    (``FaissSimilarityIndex(n_segments=...)``, similarity.py:150-226): a
+    spherical-kmeans quantizer is trained on the first ``add`` (Faiss
+    auto-trains the same way, :196-202) and queries scan only the ``nprobe``
+    closest Voronoi cells. ``nprobe >= n_segments`` stays exact."""
+
+    def __init__(self, dimension: int, similarity: str = "cosine",
+                 n_segments: int = 1, nprobe: int = 1):
         if similarity not in ("cosine", "dot", "euclidean"):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.dimension = dimension
         self.similarity = similarity
+        self.n_segments = int(n_segments)
+        self.nprobe = int(nprobe)
+        self._centroids = None
         self._ids: list = []
         self._vecs: list = []
         self._ref = None
@@ -35,6 +45,10 @@ class SimilarityProcessor:
             raise ValueError(
                 f"expected dim {self.dimension}, got {vectors.shape[1]}"
             )
+        if self.n_segments > 1 and self._centroids is None:
+            from bluegraph_ray.pipelines.similarity import kmeans_centroids
+
+            self._centroids = kmeans_centroids(vectors, self.n_segments)
         self._ids.extend(point_ids)
         self._vecs.append(vectors)
         self._ref = None  # invalidate broadcast
@@ -59,11 +73,23 @@ class SimilarityProcessor:
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         if self.similarity == "euclidean":
             d2 = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
-            order = np.argsort(d2, axis=1)[:, :k]
-            return ids[order], np.sqrt(np.take_along_axis(d2, order, axis=1))
-        sims = q @ mat.T
-        order = np.argsort(-sims, axis=1)[:, :k]
-        return ids[order], np.take_along_axis(sims, order, axis=1)
+            score = -np.sqrt(d2)
+        else:
+            score = q @ mat.T
+        if self._centroids is not None and self.nprobe < len(self._centroids):
+            # probe-limited: mask points outside each query's nprobe cells
+            nq = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            seg = np.argmax(nm @ self._centroids.T, axis=1)
+            qc = nq @ self._centroids.T
+            probed = np.argsort(-qc, axis=1, kind="stable")[:, : self.nprobe]
+            ok = (seg[None, None, :] == probed[:, :, None]).any(axis=1)
+            score = np.where(ok, score, -np.inf)
+        order = np.argsort(-score, axis=1)[:, :k]
+        out = np.take_along_axis(score, order, axis=1)
+        if self.similarity == "euclidean":
+            out = -out
+        return ids[order], out
 
 
 class NodeSimilarityProcessor:

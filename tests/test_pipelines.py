@@ -122,6 +122,54 @@ def test_lsh_topk_recall():
     assert np.mean(recalls) > 0.35
 
 
+def test_ivf_topk_full_probe_exact_and_pruned_recall():
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    qids = ids[:8]
+    exact = similarity.knn_topk(emb, mat[:8], qids, k=5).to_pandas()
+    # nprobe == n_segments probes every Voronoi cell => bitwise-exact
+    ivf = similarity.ivf_topk(emb, mat[:8], qids, k=5,
+                              n_segments=8, nprobe=8).to_pandas()
+    key = ["query_id", "neighbor_id", "cosine"]
+    pd.testing.assert_frame_equal(
+        exact[key].sort_values(key).reset_index(drop=True),
+        ivf[key].sort_values(key).reset_index(drop=True))
+    # pruned probe: recall tracks scanned fraction (random embeddings)
+    pruned = similarity.ivf_topk(emb, mat[:8], qids, k=5,
+                                 n_segments=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(pruned[pruned["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recalls) > 0.3
+    # determinism: same seed => same centroids
+    c1 = similarity.kmeans_centroids(mat[:200], 8)
+    c2 = similarity.kmeans_centroids(mat[:200], 8)
+    assert (c1 == c2).all()
+
+
+def test_similarity_processor_segmented():
+    from bluegraph_ray.pipelines.simindex import SimilarityProcessor
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16))
+    flat = SimilarityProcessor(16, "cosine")
+    flat.add(vecs, list(range(300)))
+    seg = SimilarityProcessor(16, "cosine", n_segments=8, nprobe=8)
+    seg.add(vecs, list(range(300)))
+    q = vecs[:5]
+    fi, fs = flat.query(q, k=4)
+    si, ss = seg.query(q, k=4)
+    assert (fi == si).all() and np.allclose(fs, ss)
+    # pruned probing returns k hits with sane scores
+    seg.nprobe = 2
+    pi, ps = seg.query(q, k=4)
+    assert pi.shape == (5, 4) and np.isfinite(ps).all()
+
+
 def test_tumbling_window_and_sessionize():
     ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
     win = windows.tumbling_window(ev).to_pandas()
