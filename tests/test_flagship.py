@@ -30,11 +30,15 @@ from bluegraph_ray.sources.synthetic import (
 def test_generator_deterministic_across_parallelism():
     a = source_code_table(500, seed=7, parallelism=2).to_pandas()
     b = source_code_table(500, seed=7, parallelism=8).to_pandas()
-    a = a.sort_values("path", kind="mergesort").reset_index(drop=True)
-    b = b.sort_values("path", kind="mergesort").reset_index(drop=True)
+    # sort on ALL columns: paths alone aren't unique and Ray's streaming
+    # executor returns blocks in completion order (preserve_order=False),
+    # so a single-column sort leaves tie order nondeterministic
+    cols = sorted(a.columns)
+    a = a.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     c = source_code_table_arrow(500, seed=7).to_pandas()
-    c = c.sort_values("path", kind="mergesort").reset_index(drop=True)
+    c = c.sort_values(cols, kind="mergesort").reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, c)
 
 
@@ -79,3 +83,36 @@ def test_flagship_end_to_end_matches_networkx(tmp_path):
         ours.setdefault(lab, set()).add(node)
     # vertices in vt but with no edge can't happen (graph built from edges)
     assert {frozenset(v) for v in ours.values()} == nxc
+
+
+def test_cli_flagship_and_pagerank(tmp_path, capsys):
+    """`python -m bluegraph_ray` entrypoints (ray job submit surface): run
+    both subcommands in-process against the session Ray; JSON line out,
+    partitioned parquet written, pagerank output readable and stochastic."""
+    import json
+
+    from bluegraph_ray.__main__ import main
+
+    out = tmp_path / "flag"
+    rc = main([
+        "flagship", "--synthetic", "300", "--factor", "repo",
+        "--n-partitions", "4", "--num-buckets", "8",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_vertices"] > 0 and rep["pagerank_iterations"] > 0
+    edges = ray.data.read_parquet(str(out / "edges")).to_pandas()
+    assert {"src", "dst", "frequency"} <= set(edges.columns) and len(edges) > 0
+
+    pr_out = tmp_path / "pr"
+    rc = main([
+        "pagerank", "--edges", str(out / "edges"), "--weight", "frequency",
+        "--n-partitions", "4", "--output", str(pr_out),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["converged"] is True
+    pr = ray.data.read_parquet(str(pr_out)).to_pandas()
+    assert len(pr) == rep["n_vertices"]
+    assert pr["pagerank"].sum() == pytest.approx(1.0, abs=1e-6)
