@@ -73,11 +73,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     factor = os.environ.get("GRAFT_FACTOR", "dir")
     multigraph = bool(os.environ.get("GRAFT_MULTIGRAPH"))
     cache = os.environ.get("GRAFT_CACHE")
-    # partition count defaults to the cpu budget; the scaling harness PINS it
-    # (GRAFT_PARTITIONS) so both cluster sizes run the SAME job over the SAME
-    # partitioning — on a real cluster the data's partitioning is a property
-    # of the dataset, not of how many nodes happen to execute it
-    n_parts = int(os.environ.get("GRAFT_PARTITIONS", "0")) or num_cpus
+    # partition count: the scaling harness PINS it (GRAFT_PARTITIONS) so both
+    # cluster sizes run the SAME job over the SAME partitioning — on a real
+    # cluster the data's partitioning is a property of the dataset, not of
+    # how many nodes happen to execute it. Unpinned (plain bench), size to
+    # the graph: tiny graphs are barrier-bound at one-partition-per-cpu
+    # (sf0.1: 8 partitions = 11 ms supersteps vs 31 ms at 32).
+    n_parts = (int(os.environ.get("GRAFT_PARTITIONS", "0"))
+               or min(num_cpus, max(4, n_files // 25_000)))
     from bluegraph_ray.stages.build import load_graph
 
     edges = None
