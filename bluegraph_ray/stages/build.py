@@ -496,15 +496,27 @@ class CsrPartition:
         return out
 
     def min_label_gather(self, labels_ref) -> np.ndarray:
-        """min over incoming neighbour labels per local v (hash-min CC step)."""
+        """min over incoming neighbour labels per local v (hash-min CC step).
+
+        Cache-blocked like the PageRank gather (run-aligned chunks, int32
+        src indices): min is order-free so the result is trivially identical;
+        the label temp stays in cache instead of round-tripping DRAM."""
         labels = labels_ref if isinstance(labels_ref, np.ndarray) else ray.get(labels_ref)
         out = labels[self.lo : self.hi].copy()
-        if len(self.dst):
-            if not hasattr(self, "_ivals") or len(self._ivals) != len(self.dst):
-                self._ivals = np.empty(len(self.dst), dtype=np.int64)
-            np.take(labels, self.src, out=self._ivals)
-            mins = np.minimum.reduceat(self._ivals, self.starts)
-            loc = self.uniq_dst - self.lo
+        if not len(self.dst):
+            return out
+        if not hasattr(self, "_ivals") or len(self._ivals) < len(self._vals):
+            self._ivals = np.empty(max(len(self._vals), 1), dtype=np.int64)
+        starts, cb, src = self.starts, self._chunks, self._src_ix
+        nruns, total = len(starts), len(self.dst)
+        for ci in range(len(cb) - 1):
+            a, b = int(cb[ci]), int(cb[ci + 1])
+            arc_lo = int(starts[a])
+            arc_hi = int(starts[b]) if b < nruns else total
+            v = self._ivals[: arc_hi - arc_lo]
+            np.take(labels, src[arc_lo:arc_hi], out=v)
+            mins = np.minimum.reduceat(v, starts[a:b] - arc_lo)
+            loc = self._udl[a:b]
             out[loc] = np.minimum(out[loc], mins)
         return out
 
