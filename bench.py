@@ -205,7 +205,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # ---- degree (pure Ray Data shuffle) ----------------------------------
     if edges is not None and not os.environ.get("GRAFT_SKIP_DEGREE"):
         t0 = time.perf_counter()
-        degree_centrality(edges, weight="frequency").materialize()
+        degree_centrality(edges, weight="frequency",
+                          num_buckets=2 * n_parts).materialize()
         queries["degree"] = round(time.perf_counter() - t0, 3)
 
     # ---- relational stages over $GRAFT_SF_DIR ----------------------------
