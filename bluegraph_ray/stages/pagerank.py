@@ -147,6 +147,19 @@ def pagerank(
                     x = state["rank"]
                     err_history = list(manifest.get("err_history", []))
                     step_secs = list(manifest.get("superstep_seconds", []))
+                    if manifest.get("converged"):
+                        # the job already finished: re-running must return
+                        # the converged state verbatim, not advance it
+                        # another superstep past the stop rule
+                        return SuperstepResult(
+                            values=x,
+                            iterations=start_iter,
+                            converged=True,
+                            err_history=err_history,
+                            superstep_seconds=step_secs,
+                            edges_per_sec=handle.m * len(step_secs)
+                            / (sum(step_secs) or 1e-12),
+                        )
 
         converged = False
         it = start_iter
@@ -166,7 +179,8 @@ def pagerank(
                 converged = True
                 break
         if ckpt:
-            _save(ckpt, it, x, err_history, step_secs, handle)
+            _save(ckpt, it, x, err_history, step_secs, handle,
+                  converged=converged)
         total = sum(step_secs) or 1e-12
         return SuperstepResult(
             values=x,
@@ -223,13 +237,14 @@ def power_iterations(handle: GraphHandle, actors, *, iters: int = 20,
     }
 
 
-def _save(ckpt, it, x, errs, secs, handle):
+def _save(ckpt, it, x, errs, secs, handle, converged=False):
     ckpt.save(
         it,
         {"rank": x},
         {
             "err_history": errs,
             "superstep_seconds": secs,
+            "converged": converged,
             "graph_path": handle.path,
             "n": handle.n,
             "m": handle.m,

@@ -116,3 +116,30 @@ def test_cli_flagship_and_pagerank(tmp_path, capsys):
     pr = ray.data.read_parquet(str(pr_out)).to_pandas()
     assert len(pr) == rep["n_vertices"]
     assert pr["pagerank"].sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cli_pagerank_checkpoint_resume_identical(tmp_path, capsys):
+    """A re-run with the same --checkpoint-dir resumes from the converged
+    checkpoint and emits bitwise-identical pagerank output."""
+    import json
+
+    from bluegraph_ray.__main__ import main
+
+    flag = tmp_path / "f"
+    main(["flagship", "--synthetic", "200", "--n-partitions", "4",
+          "--num-buckets", "8", "--output", str(flag)])
+    capsys.readouterr()
+
+    outs = []
+    for name in ("pr1", "pr2"):
+        rc = main([
+            "pagerank", "--edges", str(flag / "edges"), "--weight", "frequency",
+            "--n-partitions", "4", "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--output", str(tmp_path / name),
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["converged"] is True
+        outs.append(ray.data.read_parquet(str(tmp_path / name)).to_pandas()
+                    .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
