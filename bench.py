@@ -97,13 +97,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     def build_edges():
         src = with_sha256(source_code_table(n_files, seed=42, parallelism=num_cpus * 4))
         occ = occurrences_from_source(src, entity="stem", factor=factor)
+        # bucket count sized to the data, capped by the cpu fan-out: at sf0.1
+        # (200k files) 32 buckets beat 128 by ~30% — each extra bucket is a
+        # fixed per-task cost through THREE shuffle stages
+        n_buckets = max(16, min(max(64, num_cpus * 4), n_files // 5_000))
         if multigraph:
             # scaling instance: multigraph edge table (parallel arcs sum in
             # the CSR kernels — numerically identical PageRank; saves the
             # pair-combine shuffle and the string decode)
             return cooccurrence_edges(
                 occ, statistics=("frequency",), max_factor_entities=2500,
-                num_buckets=max(64, num_cpus * 4),
+                num_buckets=n_buckets,
                 exact_combine=False, decode_names=False,
             ).materialize()
         # dense int ids end to end (flagship pattern): no vertex-name string
@@ -112,7 +116,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             occ,
             statistics=("frequency", "ppmi", "npmi"),
             max_factor_entities=4000,
-            num_buckets=max(64, num_cpus * 4),
+            num_buckets=n_buckets,
             decode_names=False, info_out=einfo,
         )
         return e.filter(expr="ppmi > 0").materialize()
