@@ -210,6 +210,55 @@ def q_events_hourly(sf_dir: str):
     return tumbling_window(ev)
 
 
+def q_events_sliding(sf_dir: str):
+    """1h windows sliding by 15min — each event lands in 4 windows (map-side
+    vectorized repeat), then the same partial-aggregating shuffle as
+    tumbling."""
+    from bluegraph_ray.pipelines.windows import sliding_window
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sliding_window(ev)
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join (DuckDB ASOF JOIN parity): each event picks its user's
+    latest hourly snapshot with snapshot hour <= event ts. The snapshot table
+    derives from events itself, so the query is self-contained."""
+    from bluegraph_ray.pipelines.windows import asof_join
+    from bluegraph_ray.util import hash_aggregate, tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+
+    def hour(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "ts": batch["ts"].dt.floor("h"),
+                             "value": batch["value"]})
+
+    snap = hash_aggregate(
+        ev.map_batches(hour, batch_format="pandas", batch_size=None),
+        ["user_id", "ts"], {"hourly_sum": ("value", "sum")}, num_buckets=16)
+
+    def finish_snap(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["hourly_sum"] = np.round(batch["hourly_sum"], 6)
+        batch["hts"] = batch["ts"]
+        return batch
+
+    snap = snap.map_batches(finish_snap, batch_format="pandas", batch_size=None)
+    out = asof_join(ev.select_columns(["event_id", "ts", "user_id"]), snap,
+                    on="ts", by="user_id", num_buckets=16)
+
+    def fix_dtypes(batch: pd.DataFrame) -> pd.DataFrame:
+        # the tagged-union groupby upcasts int columns that were null on the
+        # other side's rows; restore the parquet dtypes for the oracle compare
+        batch["event_id"] = batch["event_id"].astype(np.int64)
+        batch["user_id"] = batch["user_id"].astype(np.int64)
+        return batch
+
+    return out.map_batches(fix_dtypes, batch_format="pandas", batch_size=None)
+
+
 def q_sessions(sf_dir: str):
     from bluegraph_ray.pipelines.windows import sessionize
 
@@ -489,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
         "sessions": q_sessions,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
@@ -647,6 +698,30 @@ FROM lineitem GROUP BY 1, 2
 SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,
   COUNT(*) AS n_events, round_even(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # each event belongs to 4 sliding windows: floor(ts, 15min) minus
+        # j*15min for j in 0..3 — same vectorized expansion the engine does
+        "events_sliding": """
+SELECT event_type,
+  DATE_TRUNC('hour', ts)
+    + CAST(FLOOR(EXTRACT(minute FROM ts) / 15) AS INT) * INTERVAL 15 MINUTE
+    - j.j * INTERVAL 15 MINUTE AS window_start,
+  COUNT(*) AS n_events, round_even(SUM(value), 6) AS sum_value
+FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS j) AS j
+GROUP BY 1, 2
+""",
+        # native ASOF JOIN: latest per-user hourly snapshot at or before each
+        # event; snapshot sums rounded pre-join on both sides
+        "events_asof": """
+WITH snap AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS ts,
+         DATE_TRUNC('hour', ts) AS hts,
+         round_even(SUM(value), 6) AS hourly_sum
+  FROM events GROUP BY user_id, DATE_TRUNC('hour', ts)
+)
+SELECT e.event_id, e.ts, e.user_id, s.hts, s.hourly_sum
+FROM events e ASOF LEFT JOIN snap s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
 """,
         "sessions": """
 WITH g AS (

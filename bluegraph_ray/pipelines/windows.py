@@ -87,3 +87,117 @@ def sessionize(
     return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
         per_user, batch_format="pandas"
     )
+
+
+def sliding_window(
+    events: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    size: str = "1h",
+    slide: str = "15min",
+) -> "ray.data.Dataset":
+    """-> (key, window_start, n_events, sum_value) per SLIDING window
+    [window_start, window_start + size), stepping by ``slide``.
+
+    ``slide`` must divide ``size``; each event belongs to exactly
+    size/slide windows, materialized map-side as k rows per event (a pure
+    vectorized repeat — no state), then the same partial-aggregating
+    shuffle as tumbling_window. At scale the map-side combine collapses the
+    k-fold blow-up to at most (keys x windows) rows per batch before the
+    exchange."""
+    size_td, slide_td = pd.Timedelta(size), pd.Timedelta(slide)
+    k = size_td // slide_td
+    if k * slide_td != size_td:
+        raise ValueError(f"slide {slide!r} must divide size {size!r}")
+    offsets = slide_td * np.arange(k)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch[ts_col].dt.floor(slide).to_numpy()
+        n = len(batch)
+        # timedelta arithmetic promotes to ns; keep the input's unit so the
+        # output dtype round-trips (parquet timestamps are us)
+        ws = (np.repeat(base, k) - np.tile(offsets, n)).astype(base.dtype)
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(batch[key_col].to_numpy(), k),
+                "window_start": ws,
+                value_col: np.repeat(batch[value_col].to_numpy(), k),
+            }
+        )
+
+    w = events.select_columns([ts_col, key_col, value_col]).map_batches(
+        assign, batch_format="pandas", batch_size=None)
+    out = hash_aggregate(
+        w, [key_col, "window_start"],
+        {"n_events": (None, "count"), "sum_value": (value_col, "sum")},
+    )
+
+    def round_sum(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = np.round(batch["sum_value"], 6)
+        return batch
+
+    return out.map_batches(round_sum, batch_format="pandas", batch_size=None)
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    direction: str = "backward",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Partitioned as-of join: each left row picks the latest right row with
+    ``right.on <= left.on`` (direction="backward"; "forward" = earliest
+    right.on >= left.on) within the same ``by`` key — DuckDB `ASOF JOIN`
+    semantics, oracle-verified.
+
+    Layout mirrors util.hash_join: tag side -> bucket by hash(by) -> one
+    ``pandas.merge_asof`` per bucket over the on-sorted halves. A key's rows
+    always meet in exactly one bucket, so only one bucket pair is in memory
+    per task and both inputs stream. Right-side ties on (by, on) should be
+    pre-aggregated away by the caller (the match among equal timestamps is
+    otherwise positional)."""
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            h = pd.util.hash_pandas_object(batch[by], index=False).to_numpy()
+            batch["_bucket"] = (h % num_buckets).astype(np.int64)
+            batch["_side"] = side
+            return batch
+
+        return f
+
+    both = left.map_batches(tag("l"), batch_format="pandas", batch_size=None).union(
+        right.map_batches(tag("r"), batch_format="pandas", batch_size=None)
+    )
+
+    rename = {c: c + suffix for c in right_cols
+              if c in left_cols and c not in (on, by)}
+    out_cols = left_cols + [rename.get(c, c) for c in right_cols
+                            if c not in (on, by)]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = (group[group["_side"] == "l"].reindex(columns=left_cols)
+             .sort_values(on, kind="mergesort"))
+        r = (group[group["_side"] == "r"].reindex(columns=right_cols)
+             .sort_values(on, kind="mergesort"))
+        if not len(l):
+            # schema must be stable across groups even when a bucket holds
+            # only right-side rows
+            return pd.DataFrame(columns=out_cols)
+        if not len(r):
+            # reindex gave the empty right half object dtypes, which
+            # merge_asof rejects; the join result is just left + NaNs
+            return l.reindex(columns=out_cols)
+        return pd.merge_asof(l, r.rename(columns=rename), on=on, by=by,
+                             direction=direction)[out_cols]
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

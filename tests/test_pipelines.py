@@ -286,3 +286,48 @@ def test_mentions_to_occurrence_hooks():
     )
     out2 = occ2.to_pandas().sort_values("entity").reset_index(drop=True)
     assert sorted(out2.loc[0, "factor"]) == ["p1", "p1", "p2"]
+
+
+def test_sliding_window_matches_pandas():
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = windows.sliding_window(ev, size="1h", slide="15min").to_pandas()
+    pdf = ev.to_pandas()
+    rows = []
+    for j in range(4):
+        rows.append(pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "window_start": pdf["ts"].dt.floor("15min") - j * pd.Timedelta("15min"),
+            "value": pdf["value"],
+        }))
+    want = (pd.concat(rows).groupby(["event_type", "window_start"])
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index())
+    want["sum_value"] = np.round(want["sum_value"], 6)
+    key = ["event_type", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # slide must divide size
+    with pytest.raises(ValueError):
+        windows.sliding_window(ev, size="1h", slide="25min")
+
+
+def test_asof_join_matches_merge_asof():
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = ev.to_pandas()[["event_id", "ts", "user_id", "value"]]
+    snap = (pdf.assign(ts=pdf["ts"].dt.floor("h"))
+            .groupby(["user_id", "ts"], as_index=False)["value"].sum()
+            .rename(columns={"value": "hourly_sum"}))
+    left = ray.data.from_pandas(pdf[["event_id", "ts", "user_id"]])
+    right = ray.data.from_pandas(snap)
+    got = windows.asof_join(left, right, on="ts", by="user_id",
+                            num_buckets=8).to_pandas()
+    want = pd.merge_asof(
+        pdf[["event_id", "ts", "user_id"]].sort_values("ts", kind="mergesort"),
+        snap.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward")
+    key = ["event_id"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["hourly_sum"].notna().all()  # own-hour snapshot always exists
