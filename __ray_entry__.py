@@ -279,6 +279,27 @@ def q_doc_stats(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars", "n_tokens", "n_types", "stop_ratio"])
 
 
+def q_doc_subwords(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (actor-pool stage, regex compiled once
+    per actor); RE2-compatible pattern so DuckDB replays it verbatim."""
+    from bluegraph_ray.pipelines.text import subword_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return subword_counts(docs)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic sha256 train/test split — stable across runs and
+    cluster sizes, no shuffle; SQL-replayable via the sha256-prefix
+    convention."""
+    from bluegraph_ray.pipelines.dedup import hash_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return hash_split(docs, train_pct=80)
+
+
 def q_ngram_jaccard(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import ngram_jaccard_pairs
 
@@ -543,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
+        "doc_subwords": q_doc_subwords,
+        "doc_split": q_doc_split,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
@@ -752,6 +775,20 @@ SELECT doc_id,
   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_types,
   round_even(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN {STOP_SQL}))::DOUBLE
         / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 6) AS stop_ratio
+FROM documents
+""",
+        # BPE-ish pre-tokenizer (lookahead-free so RE2 == Python re here)
+        "doc_subwords": r"""
+SELECT doc_id,
+  CAST(LEN(regexp_extract_all(text,
+       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_subwords
+FROM documents
+""",
+        # sha256-prefix split, same convention as the minhash oracles
+        "doc_split": """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+            % 100 < 80 THEN 'train' ELSE 'test' END AS split
 FROM documents
 """,
         "ngram_jaccard": """

@@ -304,3 +304,30 @@ def embedding_dup_pairs(
         )
 
     return ds.select_columns([id_col, vec_col]).map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic train/test assignment: split = sha256(salt || id) % 100
+    < train_pct. Embarrassingly parallel (no shuffle, no state), stable
+    across runs/cluster sizes, and replayable in SQL via the repo's
+    sha256-prefix convention — the standard way to split a 100 TB corpus
+    without materializing an assignment table."""
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{salt}:{v}".encode() for v in batch[id_col]]
+        h = np.array(
+            [int.from_bytes(hashlib.sha256(k).digest()[:8], "big") for k in keys],
+            dtype=np.uint64,
+        )
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "split": np.where(h % np.uint64(100) < train_pct, "train", "test"),
+        })
+
+    return ds.map_batches(assign, batch_format="pandas", batch_size=None)

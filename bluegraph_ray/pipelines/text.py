@@ -192,3 +192,34 @@ class Fingerprint:
 
 def fingerprints(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.data.Dataset":
     return ds.map_batches(Fingerprint(text_col), batch_format="pandas", batch_size=None)
+
+
+class SubwordStats:
+    """BPE-style pre-tokenizer counts (the GPT-2 pretokenizer shape, without
+    lookahead so DuckDB's RE2 replays it exactly): runs of letters, runs of
+    digits, runs of other non-space, each with an optional leading space,
+    plus whitespace runs. Regex compiled ONCE per actor; counting is one
+    findall per row (no token materialization kept)."""
+
+    PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.rx = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[self.text_col].map(lambda t: len(self.rx.findall(t)))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_subwords": n.astype(np.int64),
+        })
+
+
+def subword_counts(ds: "ray.data.Dataset", *, text_col: str = "text",
+                   concurrency: int = 4) -> "ray.data.Dataset":
+    """-> (doc_id, n_subwords): BPE-ish token counts via an actor pool."""
+    return ds.map_batches(SubwordStats, fn_constructor_kwargs={"text_col": text_col},
+                          concurrency=concurrency, batch_format="pandas",
+                          batch_size=4096)

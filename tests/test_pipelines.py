@@ -331,3 +331,27 @@ def test_asof_join_matches_merge_asof():
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["hourly_sum"].notna().all()  # own-hour snapshot always exists
+
+
+def test_subword_counts_and_hash_split(docs_ds):
+    import hashlib
+    import re
+
+    out = text.subword_counts(docs_ds, concurrency=2).to_pandas().set_index("doc_id")
+    pdf = docs_ds.to_pandas()
+    rx = re.compile(text.SubwordStats.PATTERN)
+    row = pdf.iloc[0]
+    assert out.loc[row["doc_id"], "n_subwords"] == len(rx.findall(row["text"]))
+
+    sp = dedup.hash_split(docs_ds, train_pct=80).to_pandas()
+    assert set(sp["split"]) == {"train", "test"}
+    frac = (sp["split"] == "train").mean()
+    assert 0.7 < frac < 0.9  # ~80% within binomial noise at n=500
+    did = int(sp["doc_id"].iloc[0])
+    h = int.from_bytes(hashlib.sha256(f"split:{did}".encode()).digest()[:8], "big")
+    want = "train" if h % 100 < 80 else "test"
+    assert sp.set_index("doc_id").loc[did, "split"] == want
+    # determinism across invocations
+    sp2 = dedup.hash_split(docs_ds, train_pct=80).to_pandas()
+    pd.testing.assert_frame_equal(sp.sort_values("doc_id").reset_index(drop=True),
+                                  sp2.sort_values("doc_id").reset_index(drop=True))
