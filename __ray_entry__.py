@@ -259,6 +259,29 @@ def q_events_asof(sf_dir: str):
     return out.map_batches(fix_dtypes, batch_format="pandas", batch_size=None)
 
 
+def q_events_sessions(sf_dir: str):
+    """Range join: assign every event its containing session interval
+    (sessionize output joined back), exercising interval_join = as-of match
+    + containment filter. Oracle recomputes the per-event session id with
+    window functions."""
+    from bluegraph_ray.pipelines.windows import interval_join, sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    sess = sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    out = interval_join(ev, sess.select_columns(
+        ["user_id", "session_id", "session_start", "session_end"]))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["event_id", "user_id", "ts", "session_id"]].copy()
+        batch["event_id"] = batch["event_id"].astype(np.int64)
+        batch["user_id"] = batch["user_id"].astype(np.int64)
+        batch["session_id"] = batch["session_id"].astype(np.int64)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def q_sessions(sf_dir: str):
     from bluegraph_ray.pipelines.windows import sessionize
 
@@ -561,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_sessions": q_events_sessions,
         "sessions": q_sessions,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
@@ -745,6 +769,19 @@ WITH snap AS (
 SELECT e.event_id, e.ts, e.user_id, s.hts, s.hourly_sum
 FROM events e ASOF LEFT JOIN snap s
   ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+        # per-event session id via the same gap rule the session table uses
+        "events_sessions": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id, ts,
+  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+FROM g
 """,
         "sessions": """
 WITH g AS (

@@ -201,3 +201,44 @@ def asof_join(
                              direction=direction)[out_cols]
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    start: str = "session_start",
+    end: str = "session_end",
+    how: str = "inner",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Range join: each left row matches the right interval [start, end]
+    containing ``on``, within the same ``by`` key. Intervals must be
+    non-overlapping per key (session tables are by construction).
+
+    Reduction: the containing interval is exactly the LATEST interval whose
+    ``start <= on`` (as-of backward match), kept only if ``on <= end`` —
+    so the whole range join rides the hash-partitioned merge_asof and adds
+    one vectorized containment filter. ``how="left"`` keeps unmatched left
+    rows with nulls."""
+    renamed = right.map_batches(
+        lambda b: b.rename(columns={start: on}) if start != on else b,
+        batch_format="pandas", batch_size=None)
+    out = asof_join(left, renamed, on=on, by=by, direction="backward",
+                    num_buckets=num_buckets)
+
+    left_cols = set(left.schema().names)
+
+    def contain(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = batch[end].notna() & (batch[on] <= batch[end])
+        if how == "inner":
+            return batch[ok]
+        # left join: blank the right-side columns of non-contained rows
+        right_side = [c for c in batch.columns if c not in left_cols]
+        batch = batch.copy()
+        batch.loc[~ok, right_side] = pd.NA
+        return batch
+
+    return out.map_batches(contain, batch_format="pandas", batch_size=None)

@@ -355,3 +355,31 @@ def test_subword_counts_and_hash_split(docs_ds):
     sp2 = dedup.hash_split(docs_ds, train_pct=80).to_pandas()
     pd.testing.assert_frame_equal(sp.sort_values("doc_id").reset_index(drop=True),
                                   sp2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_interval_join_inner_and_left():
+    left = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 01:30",
+                              "2024-01-01 02:30", "2024-01-01 09:00"]),
+        "user_id": [1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13],
+    })
+    right = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "session_id": [1, 2, 1],
+        "session_start": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00",
+                                         "2024-01-01 10:00"]),
+        "session_end": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 03:00",
+                                       "2024-01-01 11:00"]),
+    })
+    inner = windows.interval_join(ray.data.from_pandas(left),
+                                  ray.data.from_pandas(right),
+                                  num_buckets=4).to_pandas()
+    got = dict(zip(inner["event_id"], inner["session_id"]))
+    # 11 falls in the gap between sessions; 13 precedes user 2's session
+    assert got == {10: 1, 12: 2}
+    lj = windows.interval_join(ray.data.from_pandas(left),
+                               ray.data.from_pandas(right),
+                               how="left", num_buckets=4).to_pandas()
+    assert len(lj) == 4
+    assert lj.set_index("event_id")["session_id"].isna().sum() == 2
