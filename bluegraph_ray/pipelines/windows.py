@@ -67,26 +67,50 @@ def sessionize(
 
     A new session starts when the gap to the previous event of the same user
     exceeds ``gap_minutes``. session_id is 1-based per user in ts order
-    (deterministic)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    (deterministic).
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="mergesort")
-        new = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
-        sid = new.cumsum()
-        agg = g.groupby(sid).agg(
+    Keys co-locate by hash(key) % num_buckets (a key's events meet in exactly
+    one bucket) and each bucket sessionizes ALL its users in one vectorized
+    pass — sort by (key, ts), one diff, one cumsum, one groupby-agg — so the
+    work per group is O(bucket), not O(users) Python calls. Ray's per-group
+    Python groupby would be the bottleneck at 10^9-user scale."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+    num_buckets = 16
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[key_col], index=False).to_numpy()
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            ts_col: batch[ts_col],
+            "_bucket": (h % num_buckets).astype(np.int64),
+        })
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="mergesort")
+        ts = g[ts_col]
+        key = g[key_col].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[:1] = True
+        new_key[1:] = key[1:] != key[:-1]
+        new = new_key | (ts.diff() > gap).to_numpy()
+        sid = np.cumsum(new)  # global session index within the bucket
+        frame = pd.DataFrame({key_col: key, "_sid": sid, ts_col: ts.to_numpy()})
+        agg = frame.groupby("_sid", sort=True).agg(
+            **{key_col: (key_col, "first")},
             n_events=(ts_col, "size"),
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
-        )
-        agg = agg.reset_index(drop=True)
-        agg.insert(0, "session_id", np.arange(1, len(agg) + 1, dtype=np.int64))
-        agg.insert(0, key_col, g[key_col].iloc[0])
-        return agg
+        ).reset_index()
+        # per-user 1-based ids: global sid minus the user's first sid
+        first = agg.groupby(key_col, sort=False)["_sid"].transform("min")
+        agg.insert(1, "session_id",
+                   (agg["_sid"] - first + 1).astype(np.int64))
+        return agg.drop(columns=["_sid"])[
+            [key_col, "session_id", "n_events", "session_start", "session_end"]]
 
-    return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
-        per_user, batch_format="pandas"
-    )
+    tagged = events.select_columns([key_col, ts_col]).map_batches(
+        tag, batch_format="pandas", batch_size=None)
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def sliding_window(
