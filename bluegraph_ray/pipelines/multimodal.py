@@ -104,3 +104,100 @@ def extract_features(ds: "ray.data.Dataset", *, dim: int = 32, concurrency=(1, 4
         fn_constructor_kwargs={"dim": dim},
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class ImageResize:
+    """Actor-pool resize stage over DECODED pixel arrays. The kernel is real
+    (vectorized nearest-neighbor index remap — no image library needed); only
+    the upstream decode is stubbed. Input rows: (item_id, pixels:
+    list<uint8> row-major, width, height); output adds resized pixels at
+    (out_w, out_h)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w, self.out_h = int(out_w), int(out_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ow, oh = self.out_w, self.out_h
+        out = []
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        for p, w, h in zip(batch.column("pixels"), widths, heights):
+            img = np.asarray(p.as_py(), dtype=np.uint8).reshape(int(h), int(w))
+            yi = (np.arange(oh) * h) // oh
+            xi = (np.arange(ow) * w) // ow
+            out.append(img[np.ix_(yi, xi)].ravel().tolist())
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "pixels": pa.array(out, pa.list_(pa.uint8())),
+            "width": pa.array([ow] * len(out), pa.int32()),
+            "height": pa.array([oh] * len(out), pa.int32()),
+        })
+
+
+class FrameSample:
+    """Actor-pool frame sampler for video-shaped payloads: the payload byte
+    stream is treated as n_frames fixed-size frames; emit every ``stride``-th
+    frame as its own row (flat_map shape: one input row -> k output rows).
+    Real kernel — only the codec that would PRODUCE frames is stubbed."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4):
+        self.frame_bytes, self.stride = int(frame_bytes), int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for item, p in zip(batch.column("item_id"), batch.column("payload")):
+            buf = np.frombuffer(p.as_py(), dtype=np.uint8)
+            n_frames = len(buf) // self.frame_bytes
+            for j in range(0, n_frames, self.stride):
+                ids.append(item.as_py())
+                idxs.append(j)
+                frames.append(
+                    buf[j * self.frame_bytes:(j + 1) * self.frame_bytes].tolist())
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.list_(pa.uint8())),
+        })
+
+
+def fake_decode_pixels(ds: "ray.data.Dataset", *, concurrency=(1, 4),
+                       batch_size: int = 16) -> "ray.data.Dataset":
+    """Deterministic stand-in for a real decode: payload bytes tiled to the
+    (width x height) pixel grid, so resize has true pixel arrays to chew on."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pixels = []
+        ws = batch.column("width").to_numpy()
+        hs = batch.column("height").to_numpy()
+        for p, w, h in zip(batch.column("payload"), ws, hs):
+            buf = np.frombuffer(p.as_py(), dtype=np.uint8)
+            need = int(w) * int(h)
+            reps = -(-need // len(buf))
+            pixels.append(np.tile(buf, reps)[:need].tolist())
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "pixels": pa.array(pixels, pa.list_(pa.uint8())),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=batch_size)
+
+
+def resize_images(ds: "ray.data.Dataset", *, out_w: int = 32, out_h: int = 32,
+                  concurrency=(1, 4), batch_size: int = 16) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageResize, batch_format="pyarrow",
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def sample_frames(ds: "ray.data.Dataset", *, frame_bytes: int = 256,
+                  stride: int = 4, concurrency=(1, 4),
+                  batch_size: int = 8) -> "ray.data.Dataset":
+    return ds.map_batches(
+        FrameSample, batch_format="pyarrow",
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        batch_size=batch_size, concurrency=concurrency,
+    )

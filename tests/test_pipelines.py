@@ -383,3 +383,32 @@ def test_interval_join_inner_and_left():
                                how="left", num_buckets=4).to_pandas()
     assert len(lj) == 4
     assert lj.set_index("event_id")["session_id"].isna().sum() == 2
+
+
+def test_multimodal_resize_and_frame_sample():
+    tbl = multimodal.make_binary_column_table(12, seed=5)
+    ds = ray.data.from_arrow(tbl)
+    dec = multimodal.fake_decode_pixels(ds)
+    rs = multimodal.resize_images(dec, out_w=8, out_h=6,
+                                  concurrency=(1, 2)).to_pandas()
+    assert len(rs) == 12
+    assert (rs["width"] == 8).all() and (rs["height"] == 6).all()
+    assert rs["pixels"].map(len).eq(48).all()
+    # nearest-neighbor correctness on one row
+    src = tbl.to_pandas().iloc[0]
+    buf = np.frombuffer(src["payload"], dtype=np.uint8)
+    w, h = int(src["width"]), int(src["height"])
+    need = w * h
+    img = np.tile(buf, -(-need // len(buf)))[:need].reshape(h, w)
+    yi = (np.arange(6) * h) // 6
+    xi = (np.arange(8) * w) // 8
+    want = img[np.ix_(yi, xi)].ravel()
+    got = np.asarray(rs.set_index("item_id").loc[0, "pixels"], dtype=np.uint8)
+    assert (got == want).all()
+
+    fr = multimodal.sample_frames(ds, frame_bytes=256, stride=4,
+                                  concurrency=(1, 2)).to_pandas()
+    n0 = len(np.frombuffer(src["payload"], dtype=np.uint8)) // 256
+    assert (fr[fr["item_id"] == 0]["frame_idx"].to_numpy()
+            == np.arange(0, n0, 4)).all()
+    assert fr["frame"].map(len).eq(256).all()
