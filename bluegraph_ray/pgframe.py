@@ -396,6 +396,193 @@ class RayPGFrame:
 
         return list(self._nodes.map_batches(f, batch_format="pandas", batch_size=None).to_pandas()[ID])
 
+    # -- point lookups / typing / convenience surface -----------------------
+    # (reference core/io.py PandasPGFrame method-for-method; point lookups
+    # are broadcast-filter + small take, never a full materialize)
+
+    def get_node(self, n) -> dict:
+        """Node properties as a dict (reference core/io.py get_node)."""
+        ref = ray.put(n)
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch[ID] == ray.get(ref)]
+
+        rows = self._nodes.map_batches(f, batch_format="pandas",
+                                       batch_size=None).take(1)
+        if not rows:
+            raise KeyError(n)
+        d = dict(rows[0])
+        d.pop(ID)
+        return d
+
+    def get_edge(self, source, target) -> dict:
+        ref = ray.put((source, target))
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            s, t = ray.get(ref)
+            return batch[(batch[SRC] == s) & (batch[DST] == t)]
+
+        rows = self._edges.map_batches(f, batch_format="pandas",
+                                       batch_size=None).take(1)
+        if not rows:
+            raise KeyError((source, target))
+        d = dict(rows[0])
+        d.pop(SRC)
+        d.pop(DST)
+        return d
+
+    def neighbors(self, node_id) -> list:
+        """Neighbor ids over the undirected view (both endpoint roles)."""
+        ref = ray.put(node_id)
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            n = ray.get(ref)
+            out = pd.concat([batch.loc[batch[SRC] == n, DST],
+                             batch.loc[batch[DST] == n, SRC]])
+            return pd.DataFrame({"n": out})
+
+        hits = self._edges.select_columns([SRC, DST]).map_batches(
+            f, batch_format="pandas", batch_size=None).to_pandas()
+        return sorted(set(hits["n"]))
+
+    def remove_edges(self, edge_pairs: Iterable[tuple]) -> "RayPGFrame":
+        drop = ray.put({tuple(e) for e in edge_pairs})
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(drop)
+            keep = [
+                (s, t) not in ks
+                for s, t in zip(batch[SRC], batch[DST])
+            ]
+            return batch[np.asarray(keep, dtype=bool)]
+
+        return RayPGFrame(self._nodes,
+                          self._edges.map_batches(f, batch_format="pandas",
+                                                  batch_size=None))
+
+    def remove_node_properties(self, prop_column: str) -> "RayPGFrame":
+        keep = [c for c in self._nodes.schema().names if c != prop_column]
+        return RayPGFrame(self._nodes.select_columns(keep), self._edges)
+
+    def remove_edge_properties(self, prop_column: str) -> "RayPGFrame":
+        keep = [c for c in self._edges.schema().names if c != prop_column]
+        return RayPGFrame(self._nodes, self._edges.select_columns(keep))
+
+    def has_node_types(self) -> bool:
+        return TYPE in self._nodes.schema().names
+
+    def has_edge_types(self) -> bool:
+        return TYPE in self._edges.schema().names
+
+    def node_types(self, flatten: bool = False) -> list:
+        """Distinct @type values; flatten=True unpacks set-valued cells
+        (reference core/io.py node_types)."""
+        if not self.has_node_types():
+            return []
+        vals = self._nodes.select_columns([TYPE]).to_pandas()[TYPE]
+        if flatten:
+            out: list = []
+            for el in vals:
+                for t in sorted(normalize_to_set(el)):
+                    if t not in out:
+                        out.append(t)
+            return out
+        seen: list = []
+        for el in vals:
+            key = tuple(el) if isinstance(el, (list, set, np.ndarray)) else el
+            if key not in seen:
+                seen.append(key)
+        return seen
+
+    def edge_types(self, flatten: bool = False) -> list:
+        if not self.has_edge_types():
+            return []
+        vals = self._edges.select_columns([TYPE]).to_pandas()[TYPE]
+        if flatten:
+            out: list = []
+            for el in vals:
+                for t in sorted(normalize_to_set(el)):
+                    if t not in out:
+                        out.append(t)
+            return out
+        seen: list = []
+        for el in vals:
+            key = tuple(el) if isinstance(el, (list, set, np.ndarray)) else el
+            if key not in seen:
+                seen.append(key)
+        return seen
+
+    def get_node_typing(self, as_dict: bool = False):
+        if not self.has_node_types():
+            raise ValueError("Graph nodes are not typed")
+        pdf = self._nodes.select_columns([ID, TYPE]).to_pandas()
+        ser = pdf.set_index(ID)[TYPE]
+        return ser.to_dict() if as_dict else ser
+
+    def get_edge_typing(self, as_dict: bool = False):
+        if not self.has_edge_types():
+            raise ValueError("Graph edges are not typed")
+        pdf = self._edges.select_columns([SRC, DST, TYPE]).to_pandas()
+        ser = pdf.set_index([SRC, DST])[TYPE]
+        return ser.to_dict() if as_dict else ser
+
+    def edges_of_type(self, type_name: str) -> list:
+        """Subset-semantics membership over edge @type."""
+        if not self.has_edge_types():
+            return []
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch[TYPE].map(lambda t: type_name in normalize_to_set(t))
+            return batch[mask.to_numpy(dtype=bool)][[SRC, DST]]
+
+        pdf = self._edges.map_batches(f, batch_format="pandas",
+                                      batch_size=None).to_pandas()
+        return list(zip(pdf[SRC], pdf[DST]))
+
+    # reference aliases (core/io.py assign_*_types delegate to add_*)
+    def assign_node_types(self, mapping: dict) -> "RayPGFrame":
+        return self.add_node_types(mapping)
+
+    def assign_edge_types(self, mapping: dict) -> "RayPGFrame":
+        return self.add_edge_types(mapping)
+
+    def aggregate_node_properties(self, func, into: str = "aggregation_result"
+                                  ) -> "RayPGFrame":
+        """Row-wise aggregate of all non-@ node property columns into one
+        column (reference core/io.py aggregate_properties), as a vectorized
+        map_batches — never a driver-side apply."""
+        props = [c for c in self._nodes.schema().names if c not in (ID, TYPE)]
+        keep = [c for c in (ID, TYPE) if c in self._nodes.schema().names]
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[keep].copy()
+            out[into] = batch[props].aggregate(func, axis=1)
+            return out
+
+        return RayPGFrame(self._nodes.map_batches(f, batch_format="pandas",
+                                                  batch_size=None), self._edges)
+
+    def aggregate_edge_properties(self, func, into: str = "aggregation_result"
+                                  ) -> "RayPGFrame":
+        props = [c for c in self._edges.schema().names
+                 if c not in (SRC, DST, TYPE)]
+        keep = [c for c in (SRC, DST, TYPE)
+                if c in self._edges.schema().names]
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[keep].copy()
+            out[into] = batch[props].aggregate(func, axis=1)
+            return out
+
+        return RayPGFrame(self._nodes, self._edges.map_batches(
+            f, batch_format="pandas", batch_size=None))
+
+    def copy(self) -> "RayPGFrame":
+        out = RayPGFrame(self._nodes, self._edges)
+        out._node_prop_types = dict(self._node_prop_types)
+        out._edge_prop_types = dict(self._edge_prop_types)
+        return out
+
     # -- contraction (reference cord19kg/utils.py:1026-1108) ----------------
 
     def merge_nodes(self, nodes_to_merge: Iterable, new_name,

@@ -153,3 +153,44 @@ def test_property_type_system():
                                prop_type="text")
     assert g2.is_text_node_prop("desc")
     assert g2.is_text_node_prop("label")  # registry carried over
+
+
+def test_lookup_typing_and_property_surface():
+    nodes = pd.DataFrame({ID: ["a", "b", "c"], "w": [1.0, 2.0, 3.0],
+                          "v": [10.0, 20.0, 30.0]})
+    edges = pd.DataFrame({SRC: ["a", "a", "b"], DST: ["b", "c", "c"],
+                          "f": [5, 6, 7]})
+    g = RayPGFrame(nodes, edges)
+    g = g.add_node_types({"a": "T1", "b": "T2", "c": "T1"})
+    g = g.add_edge_types({("a", "b"): "E1", ("a", "c"): "E2", ("b", "c"): "E1"})
+
+    assert g.get_node("b")["w"] == 2.0
+    assert g.get_edge("a", "c")["f"] == 6
+    with pytest.raises(KeyError):
+        g.get_node("zz")
+    assert g.neighbors("a") == ["b", "c"]
+    assert g.neighbors("c") == ["a", "b"]
+
+    assert g.has_node_types() and g.has_edge_types()
+    assert set(g.node_types(flatten=True)) == {"T1", "T2"}
+    assert set(g.edge_types(flatten=True)) == {"E1", "E2"}
+    assert g.get_node_typing(as_dict=True)["a"] == "T1"
+    assert g.get_edge_typing(as_dict=True)[("b", "c")] == "E1"
+    assert g.edges_of_type("E1") == [("a", "b"), ("b", "c")]
+
+    # removal surfaces
+    g2 = g.remove_edges([("a", "b")])
+    assert g2.number_of_edges() == 2
+    g3 = g.remove_node_properties("v")
+    assert "v" not in g3.node_properties()
+    g4 = g.remove_edge_properties("f")
+    assert "f" not in g4.edge_properties()
+
+    # row-wise aggregation
+    agg = g.aggregate_node_properties("sum", into="total")
+    got = {r[ID]: r["total"] for r in agg._nodes.to_pandas().to_dict("records")}
+    assert got == {"a": 11.0, "b": 22.0, "c": 33.0}
+
+    # copy is independent metadata-wise
+    c = g.copy()
+    assert c.number_of_nodes() == 3 and c.number_of_edges() == 3
