@@ -83,3 +83,43 @@ def test_normalize_to_set_total(value):
         assert out == set(value)
     else:
         assert out == {value}
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_gather_chunk_plan_invariants(run_lengths, chunk_arcs):
+    """Chunk bounds tile the run index space exactly; no chunk is empty; no
+    chunk exceeds chunk_arcs except when a single run is longer."""
+    from bluegraph_ray.stages.build import _gather_chunks
+
+    runs = np.asarray(run_lengths)
+    starts = np.concatenate(([0], np.cumsum(runs)[:-1]))
+    total = int(runs.sum())
+    cb = _gather_chunks(starts, total, chunk_arcs=chunk_arcs)
+    assert cb[0] == 0 and cb[-1] == len(starts)
+    assert (np.diff(cb) > 0).all()
+    ends = np.append(starts[cb[1:-1]], total)
+    begins = starts[cb[:-1]]
+    sizes = ends - begins
+    assert (sizes > 0).all()
+    assert int(sizes.sum()) == total
+    # a chunk may overshoot the target only by the straddling run's length
+    for a, b, sz in zip(cb[:-1], cb[1:], sizes):
+        assert sz <= chunk_arcs + runs[a:b].max() - 1
+
+
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=1, max_value=8))
+@settings(max_examples=50, deadline=None)
+def test_kmeans_centroid_invariants(n_points, n_segments):
+    from bluegraph_ray.pipelines.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(n_points * 131 + n_segments)
+    x = rng.standard_normal((n_points, 6))
+    c = kmeans_centroids(x, n_segments, seed=17)
+    assert c.shape == (min(n_segments, n_points), 6)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    c2 = kmeans_centroids(x, n_segments, seed=17)
+    assert (c == c2).all()
