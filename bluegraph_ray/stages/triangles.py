@@ -9,11 +9,15 @@ standard distributed formulation):
    ordering — every out-adjacency then has size O(sqrt(m)), which bounds the
    wedge explosion regardless of hub vertices (this IS the skew handling);
 3. bucket oriented edges by hash(source); per bucket, vectorized emission of
-   all out-neighbour pairs (wedges) per source run;
-4. close wedges against the oriented edge set — broadcast as a sorted int64
-   pair-code array, membership via ``np.searchsorted`` (at 10^12-edge scale
-   this broadcast becomes a hash-partitioned semi-join on the wedge pair key;
-   same keying, documented here);
+   all out-neighbour pairs (wedges) per source run — a wedge is 16 bytes:
+   (apex rank, endpoint pair code = wb*n + wc);
+4. close wedges with a HASH-PARTITIONED SEMI-JOIN against the oriented edge
+   set: both streams are bucketed by ``pair code % num_buckets`` and meet in
+   per-bucket ``map_groups`` tasks (sorted-code ``np.searchsorted``
+   membership inside each bucket). Neither the wedge stream nor the edge
+   list is ever materialized on the driver or broadcast — the only driver
+   state is the O(n) (degree, id) rank map, the same contract as the dense
+   vertex-id map. Pair codes need n^2 < 2^63, i.e. n < ~3e9 vertices;
 5. every closed wedge (a; b, c) is one triangle {a, b, c}: emit a count for
    each corner, ``groupby(node).sum``.
 
@@ -77,26 +81,23 @@ def triangle_counts(
     oriented = canon_edges.map_batches(orient, batch_format="pandas", batch_size=None).materialize()
 
     n = len(rank)
-    opdf = oriented.to_pandas()
-    codes = np.sort(opdf["a"].to_numpy() * n + opdf["b"].to_numpy())
-    codes_ref = ray.put(codes)
     inv_rank_ref = ray.put(pd.Series(rank.index.to_numpy(), index=rank.to_numpy()))
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_src_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_bucket"] = (
             pd.util.hash_array(batch["a"].to_numpy()) % num_buckets
         ).astype(np.int64)
         return batch
 
-    def close_wedges(group: pd.DataFrame) -> pd.DataFrame:
+    def emit_wedges(group: pd.DataFrame) -> pd.DataFrame:
+        """All out-neighbour pairs per source run -> (apex, pair code)."""
         group = group.sort_values(["a", "b"], kind="mergesort")
         a = group["a"].to_numpy()
         b = group["b"].to_numpy()
-        ecodes = ray.get(codes_ref)
         change = np.flatnonzero(np.diff(a)) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(a)]))
-        corners = []
+        apexes, codes = [], []
         for s, epos in zip(starts, ends):
             f = epos - s
             if f < 2:
@@ -104,23 +105,65 @@ def triangle_counts(
             iu, ju = np.triu_indices(f, k=1)
             wb = b[s + iu]  # wedge endpoints, wb < wc in rank order
             wc = b[s + ju]
-            closed = np.searchsorted(ecodes, wb * n + wc)
-            ok = (closed < len(ecodes)) & (ecodes[np.minimum(closed, len(ecodes) - 1)] == wb * n + wc)
-            if not ok.any():
-                continue
-            apex = np.full(int(ok.sum()), a[s], dtype=np.int64)
-            corners.append(np.concatenate([apex, wb[ok], wc[ok]]))
-        if not corners:
+            apexes.append(np.full(len(wb), a[s], dtype=np.int64))
+            codes.append(wb * n + wc)
+        if not apexes:
+            return pd.DataFrame({"apex": np.array([], dtype=np.int64),
+                                 "code": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"apex": np.concatenate(apexes),
+                             "code": np.concatenate(codes)})
+
+    wedges = (
+        oriented.map_batches(add_src_bucket, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(lambda g: emit_wedges(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+    )
+
+    # semi-join side: oriented edges as pair codes, apex = -1 sentinel
+    def edge_codes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "apex": np.full(len(batch), -1, dtype=np.int64),
+            "code": batch["a"].to_numpy() * n + batch["b"].to_numpy(),
+        })
+
+    def add_code_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_cb"] = (
+            pd.util.hash_array(batch["code"].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return batch
+
+    tagged = wedges.union(
+        oriented.map_batches(edge_codes, batch_format="pandas", batch_size=None)
+    ).map_batches(add_code_bucket, batch_format="pandas", batch_size=None)
+
+    def close_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """Per code-hash bucket: sorted-edge-code membership test for the
+        bucket's wedges; every closed wedge contributes one count to each of
+        its three corners (apex, code//n, code%n)."""
+        apex = group["apex"].to_numpy()
+        code = group["code"].to_numpy()
+        is_edge = apex < 0
+        ecodes = np.sort(code[is_edge])
+        wapex = apex[~is_edge]
+        wcode = code[~is_edge]
+        if not len(wcode) or not len(ecodes):
             return pd.DataFrame({"vrank": np.array([], dtype=np.int64),
                                  "partial": np.array([], dtype=np.int64)})
-        allc = np.concatenate(corners)
-        uniq, cnt = np.unique(allc, return_counts=True)
+        pos = np.searchsorted(ecodes, wcode)
+        ok = (pos < len(ecodes)) & (ecodes[np.minimum(pos, len(ecodes) - 1)] == wcode)
+        if not ok.any():
+            return pd.DataFrame({"vrank": np.array([], dtype=np.int64),
+                                 "partial": np.array([], dtype=np.int64)})
+        closed = wcode[ok]
+        corners = np.concatenate([wapex[ok], closed // n, closed % n])
+        uniq, cnt = np.unique(corners, return_counts=True)
         return pd.DataFrame({"vrank": uniq, "partial": cnt.astype(np.int64)})
 
     counts = (
-        oriented.map_batches(add_bucket, batch_format="pandas", batch_size=None)
-        .groupby("_bucket")
-        .map_groups(lambda g: close_wedges(g.drop(columns=["_bucket"])), batch_format="pandas")
+        tagged.groupby("_cb")
+        .map_groups(lambda g: close_bucket(g.drop(columns=["_cb"])),
+                    batch_format="pandas")
     )
     counts = hash_aggregate(counts, "vrank", {"triangles": ("partial", "sum")},
                             num_buckets=num_buckets)
