@@ -9,10 +9,15 @@ algorithm; `top_neighbors` and MST are the two that stay distributed:
 
 - ``top_neighbors``: grouped top-k over the edge table (sort+limit per node) —
   reference core/analyse/paths.py:150-159;
-- ``minimum_spanning_tree``: Kruskal over the weight-sorted edge stream with
-  driver union-find (V ids fit the driver by construction — same contract as
-  the dense-id map); per-component Kruskal after CC is the sharded variant —
-  reference nx backend paths.py:100-131.
+- ``minimum_spanning_tree``: distributed Borůvka rounds over the edge
+  Dataset — per round, every batch emits its per-component minimum edge
+  under the strict total order (distance, src, dst); a bucketed combine
+  reduces to one min edge per component; the driver merges components with
+  an O(#chosen) union-by-min (total O(V) work across all rounds, never a
+  per-edge loop) and re-broadcasts the O(V) component vector. Distinct edge
+  keys make the MST unique, so the result equals Kruskal's under the same
+  tie-break (verified against the minimax-path oracle). The local-DataFrame
+  path keeps classic Kruskal — reference nx backend paths.py:100-131.
 
 Semantics notes (matching the nx backend):
 - ``exclude_edge=True`` removes the direct s-t edge before searching
@@ -215,29 +220,118 @@ class _UnionFind:
         return True
 
 
-def minimum_spanning_tree(edges, *, distance, src="src", dst="dst") -> pd.DataFrame:
-    """Kruskal over the weight-sorted edge stream (undirected).
+def minimum_spanning_tree(edges, *, distance, src="src", dst="dst",
+                          num_buckets: int = 32) -> pd.DataFrame:
+    """Minimum spanning forest (undirected). Returns the MST edge rows.
 
-    Distributed sort (``Dataset.sort``) feeds a driver union-find — O(V) driver
-    state, edges streamed in weight order. Returns the MST edge rows.
+    Dataset input -> distributed Borůvka; DataFrame input -> local Kruskal.
+    Both use the strict total order (distance, src, dst) on edges —
+    (src, dst) pairs are unique, so edge keys are distinct, the MST/forest
+    is unique, and the two algorithms provably agree (equal-weight ties
+    resolve identically run to run and across block layouts).
 
-    Sort key is (distance, src, dst): equal-weight edges would otherwise
-    arrive in nondeterministic shuffle order and Kruskal's tie-breaking (and
-    hence the MST edge set) would vary run to run.
+    Borůvka round = one streaming pass over the edge Dataset (per-batch
+    vectorized min edge per component: sort + drop_duplicates), one bucketed
+    combine shuffle of <= 2*#components candidate rows, and an O(#chosen)
+    driver union-by-min over component labels. Rounds halve the component
+    count, so O(log V) passes; driver state is the O(V) component vector
+    (the same contract as the dense vertex-id map), never the edge list.
     """
-    if isinstance(edges, ray.data.Dataset):
-        stream = edges.sort([distance, src, dst]).iter_batches(
-            batch_size=65536, batch_format="pandas")
-    else:
-        stream = [_as_pdf(edges).sort_values([distance, src, dst],
-                                             kind="mergesort")]
-    uf = _UnionFind()
-    kept = []
-    for batch in stream:
-        for r in batch.itertuples(index=False):
-            if uf.union(getattr(r, src), getattr(r, dst)):
-                kept.append(r)
-    return pd.DataFrame(kept)
+    if not isinstance(edges, ray.data.Dataset):
+        pdf = _as_pdf(edges).sort_values([distance, src, dst], kind="mergesort")
+        uf = _UnionFind()
+        kept = [r for r in pdf.itertuples(index=False)
+                if uf.union(getattr(r, src), getattr(r, dst))]
+        return pd.DataFrame(kept)
+
+    import ray as _ray
+    from bluegraph_ray.util import broadcast_get, cached_name_index, distinct_values, rename_columns
+
+    srcs = rename_columns(edges.select_columns([src]), {src: "v"})
+    dsts = rename_columns(edges.select_columns([dst]), {dst: "v"})
+    names = distinct_values(srcs.union(dsts), "v")
+    n = len(names)
+    names_ref = _ray.put(names)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_name_index(names_ref)
+        batch = batch.copy()
+        batch["_sid"] = idx.get_indexer(batch[src].to_numpy()).astype(np.int64)
+        batch["_did"] = idx.get_indexer(batch[dst].to_numpy()).astype(np.int64)
+        return batch
+
+    enc = edges.map_batches(encode, batch_format="pandas",
+                            batch_size=None).materialize()
+
+    comp = np.arange(n, dtype=np.int64)
+    chosen_frames: list[pd.DataFrame] = []
+    order_cols = [distance, src, dst]
+
+    for _ in range(max(1, 2 * int(np.ceil(np.log2(max(n, 2)))))):
+        comp_ref = _ray.put(comp)
+
+        def min_edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = broadcast_get(comp_ref)
+            ca = c[batch["_sid"].to_numpy()]
+            cb = c[batch["_did"].to_numpy()]
+            keep = ca != cb
+            if not keep.any():
+                return batch.iloc[:0].assign(_comp=np.array([], dtype=np.int64),
+                                             _bucket=np.array([], dtype=np.int64))
+            sub = batch[keep]
+            cand = pd.concat(
+                [sub.assign(_comp=ca[keep]), sub.assign(_comp=cb[keep])],
+                ignore_index=True)
+            cand = cand.sort_values(["_comp", *order_cols],
+                                    kind="mergesort").drop_duplicates("_comp")
+            cand["_bucket"] = (cand["_comp"].to_numpy() % num_buckets).astype(np.int64)
+            return cand
+
+        def combine(group: pd.DataFrame) -> pd.DataFrame:
+            return (group.drop(columns=["_bucket"])
+                    .sort_values(["_comp", *order_cols], kind="mergesort")
+                    .drop_duplicates("_comp"))
+
+        mins = (enc.map_batches(min_edge_partial, batch_format="pandas",
+                                batch_size=None)
+                .groupby("_bucket").map_groups(combine, batch_format="pandas")
+                .to_pandas())
+        if mins.empty:
+            break
+
+        new_edges = mins.drop_duplicates([src, dst])
+        chosen_frames.append(new_edges.drop(columns=["_comp"]))
+
+        # contract: union-by-min over the chosen edges' component labels —
+        # O(#chosen) per round, summing to O(V) across the whole run
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        ca = comp[new_edges["_sid"].to_numpy()]
+        cb = comp[new_edges["_did"].to_numpy()]
+        touched = set()
+        for a, b in zip(ca.tolist(), cb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+            touched.add(a)
+            touched.add(b)
+        lab_map = np.arange(n, dtype=np.int64)
+        for l in touched:
+            lab_map[l] = find(l)
+        comp = lab_map[comp]
+    if not chosen_frames:
+        return pd.DataFrame(columns=list(edges.schema().names))
+    out = pd.concat(chosen_frames, ignore_index=True)
+    return out.drop(columns=["_sid", "_did"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
