@@ -9,6 +9,14 @@ graph, partial results summed — embarrassingly parallel per source, O(V+E)
 memory per task. ``sample_sources`` bounds cost on big graphs (approximate
 betweenness by source sampling, the standard estimator — results are then
 scaled by n/sample as in nx's ``k`` sampling).
+
+Scale contract: the CSR is assembled by a WORKER task straight from the
+(streamed, pre-encoded) edge Dataset blocks and lives only in the object
+store — the driver holds the O(n) vertex-name array, never the edge list.
+The one-graph-per-task broadcast model still caps graph size at a single
+worker's RAM; that is inherent to all-pairs SSSP — beyond it, use
+``sample_sources`` (estimator) or the per-component fan-out in
+stages/communities.py to shrink each CSR.
 """
 
 from __future__ import annotations
@@ -36,6 +44,64 @@ def _csr_from_edges(pdf: pd.DataFrame, src: str, dst: str, weight: str | None):
     s2, d2, w2 = s2[order], d2[order], w2[order]
     indptr = np.searchsorted(s2, np.arange(len(names) + 1))
     return names, indptr, d2, w2
+
+
+@ray.remote
+def _assemble_csr(block_refs: list, weighted: bool):
+    """Build the undirected CSR from pre-encoded edge blocks INSIDE a worker —
+    the arrays never touch the driver heap; callers get back an ObjectRef to
+    (indptr, nbrs, w) living in the object store."""
+    tables = ray.get(list(block_refs))
+    # empty blocks (e.g. from an upstream filter) arrive schema-less — skip
+    tables = [t for t in tables if t.num_rows and "s" in t.schema.names]
+    if tables:
+        s = np.concatenate([t.column("s").to_numpy() for t in tables])
+        d = np.concatenate([t.column("d").to_numpy() for t in tables])
+        w = (np.concatenate([t.column("w").to_numpy() for t in tables])
+             if weighted else np.ones(len(s)))
+    else:
+        s = d = np.empty(0, dtype=np.int64)
+        w = np.empty(0)
+    n = int(max(s.max(initial=-1), d.max(initial=-1))) + 1
+    s2 = np.concatenate([s, d])
+    d2 = np.concatenate([d, s])
+    w2 = np.concatenate([w, w])
+    order = np.argsort(s2, kind="stable")
+    s2, d2, w2 = s2[order], d2[order], w2[order]
+    indptr = np.searchsorted(s2, np.arange(n + 1))
+    return indptr, d2, w2
+
+
+def _distributed_csr(edges, src: str, dst: str, weight: str | None):
+    """(names, graph_ref): names = sorted distinct vertex set (O(n), driver);
+    graph_ref -> (indptr, nbrs, w) assembled worker-side. DataFrame inputs
+    take the local build."""
+    if not isinstance(edges, ray.data.Dataset):
+        names, indptr, nbrs, w = _csr_from_edges(edges, src, dst, weight)
+        return names, ray.put((indptr, nbrs, w))
+
+    from bluegraph_ray.util import cached_name_index, distinct_values, rename_columns
+
+    srcs = rename_columns(edges.select_columns([src]), {src: "v"})
+    dsts = rename_columns(edges.select_columns([dst]), {dst: "v"})
+    names = distinct_values(srcs.union(dsts), "v")
+    names_ref = ray.put(names)
+    cols = [src, dst] + ([weight] if weight else [])
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_name_index(names_ref)
+        out = pd.DataFrame({
+            "s": idx.get_indexer(batch[src].to_numpy()).astype(np.int64),
+            "d": idx.get_indexer(batch[dst].to_numpy()).astype(np.int64),
+        })
+        if weight:
+            out["w"] = batch[weight].to_numpy(dtype=np.float64)
+        return out
+
+    enc = edges.select_columns(cols).map_batches(
+        encode, batch_format="pandas", batch_size=None)
+    graph_ref = _assemble_csr.remote(enc.to_arrow_refs(), weight is not None)
+    return names, graph_ref
 
 
 def _sssp(indptr, nbrs, w, source, n):
@@ -147,17 +213,17 @@ def closeness_centrality(
 ) -> "ray.data.Dataset":
     """nx semantics incl. the Wasserman-Faust component scaling:
     C(u) = (r-1)/Σd * (r-1)/(n-1), r = |reachable(u)|."""
-    pdf = edges.to_pandas() if hasattr(edges, "to_pandas") else edges
-    names, indptr, nbrs, w = _csr_from_edges(pdf, src, dst, distance)
+    names, graph_ref = _distributed_csr(edges, src, dst, distance)
     n = len(names)
-    graph_ref = ray.put((names, indptr, nbrs, w))
+    names_ref = ray.put(names)
 
     unweighted = distance is None
 
     def per_sources(batch: pd.DataFrame) -> pd.DataFrame:
         from bluegraph_ray.util import broadcast_get
 
-        nm, ip, nb, ww = broadcast_get(graph_ref)
+        nm = broadcast_get(names_ref)
+        ip, nb, ww = broadcast_get(graph_ref)
         out_nodes, out_scores = [], []
         for sid in batch["source"]:
             if unweighted:
@@ -194,10 +260,8 @@ def betweenness_centrality(
     """Brandes fan-out: each source task computes its dependency accumulation;
     partial vectors sum. Exact when sample_sources is None; normalized like
     nx (undirected: 2/((n-1)(n-2)))."""
-    pdf = edges.to_pandas() if hasattr(edges, "to_pandas") else edges
-    names, indptr, nbrs, w = _csr_from_edges(pdf, src, dst, distance)
+    names, graph_ref = _distributed_csr(edges, src, dst, distance)
     n = len(names)
-    graph_ref = ray.put((indptr, nbrs, w))
 
     if sample_sources is not None and sample_sources < n:
         rng = np.random.default_rng(seed)
