@@ -266,44 +266,117 @@ def simhash_signatures(ds: "ray.data.Dataset", *, text_col="text", id_col="doc_i
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _norm_stack(col) -> np.ndarray:
+    m = np.stack(col.to_numpy()).astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_chunks: int = 8,
+    method: str = "exact",
+    n_planes: int = 8,
+    seed: int = 13,
 ) -> "ray.data.Dataset":
-    """Pairs with cosine similarity >= threshold.
+    """Pairs with cosine similarity >= threshold -> (src, dst, cosine).
 
-    Blocked all-pairs: the (normalized) matrix is broadcast once via
-    ``ray.put``; each batch computes its block-row of the similarity matrix
-    with one matmul and emits only pairs over threshold (upper triangle by id).
-    At larger scale the broadcast side is replaced by LSH bucketing
-    (random-hyperplane signs) — see similarity.lsh_topk for that path.
+    ``method="exact"`` (default): bucketed block self-join. Each row is
+    hashed to one of ``n_chunks`` chunks and replicated to its ``n_chunks``
+    unordered chunk-pair tasks (shuffle volume = n_chunks × N rows — the
+    unavoidable cost of an exact all-pairs scan, spread over B(B+1)/2
+    independent tasks); every task holds two chunks, does ONE matmul, and
+    emits only pairs over threshold, upper triangle by id. Nothing is
+    materialized on the driver and nothing is broadcast; peak task memory is
+    2 chunks of vectors, so size ``n_chunks`` to ~(corpus bytes / worker
+    heap). O(N²) similarity compute is inherent to exactness.
+
+    ``method="lsh"``: the approximate scale path — rows are bucketed by their
+    random-hyperplane sign pattern (same family as similarity.lsh_topk) and
+    only WITHIN-bucket pairs are scanned; misses cross-bucket near-dups with
+    probability growing in ``n_planes`` (recall/cost dial).
     """
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = full[id_col].to_numpy()
-    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids, mat))
+    cols = ds.select_columns([id_col, vec_col])
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(mat_ref)
-        q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ all_mat.T
-        qi = batch[id_col].to_numpy()
-        rows, cols = np.nonzero(sims >= threshold)
-        keep = qi[rows] < all_ids[cols]
-        return pd.DataFrame(
-            {
-                "src": qi[rows][keep],
-                "dst": all_ids[cols][keep],
-                "cosine": np.round(sims[rows, cols][keep], 6),
-            }
-        )
+    if method == "lsh":
+        planes: np.ndarray | None = None
 
-    return ds.select_columns([id_col, vec_col]).map_batches(block, batch_format="pandas", batch_size=None)
+        def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+            nonlocal planes
+            m = _norm_stack(batch[vec_col])
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal(
+                    (n_planes, m.shape[1]))
+            batch = batch.copy()
+            batch["_b"] = (((m @ planes.T) > 0)
+                           @ (1 << np.arange(n_planes))).astype(np.int64)
+            return batch
+
+        def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            ids = group[id_col].to_numpy()
+            m = _norm_stack(group[vec_col])
+            sims = m @ m.T
+            rows, cs = np.nonzero(sims >= threshold)
+            keep = ids[rows] < ids[cs]
+            return pd.DataFrame({
+                "src": ids[rows][keep],
+                "dst": ids[cs][keep],
+                "cosine": np.round(sims[rows, cs][keep], 6),
+            })
+
+        return (cols.map_batches(bucketize, batch_format="pandas", batch_size=None)
+                .groupby("_b").map_groups(bucket_pairs, batch_format="pandas"))
+
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}; use 'exact' or 'lsh'")
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        vecs = batch[vec_col].to_numpy()
+        c = (pd.util.hash_array(ids) % n_chunks).astype(np.int64)
+        frames = []
+        for p in range(n_chunks):
+            lo = np.minimum(c, p)
+            hi = np.maximum(c, p)
+            frames.append(pd.DataFrame({
+                id_col: ids, vec_col: vecs, "_c": c,
+                "_pk": lo * n_chunks + hi,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def close_pair(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": np.array([], dtype=np.int64),
+                              "dst": np.array([], dtype=np.int64),
+                              "cosine": np.array([], dtype=np.float64)})
+        if not len(group):
+            return empty
+        pk = int(group["_pk"].iloc[0])
+        lo, hi = pk // n_chunks, pk % n_chunks
+        ids = group[id_col].to_numpy()
+        m = _norm_stack(group[vec_col])
+        c = group["_c"].to_numpy()
+        if lo == hi:
+            sims = m @ m.T
+            rows, cs = np.nonzero(sims >= threshold)
+            keep = ids[rows] < ids[cs]
+            s, d, v = ids[rows][keep], ids[cs][keep], sims[rows, cs][keep]
+        else:
+            a = c == lo
+            b = c == hi
+            if not a.any() or not b.any():
+                return empty
+            sims = m[a] @ m[b].T
+            rows, cs = np.nonzero(sims >= threshold)
+            ia, ib = ids[a][rows], ids[b][cs]
+            s, d = np.minimum(ia, ib), np.maximum(ia, ib)
+            v = sims[rows, cs]
+        return pd.DataFrame({"src": s, "dst": d, "cosine": np.round(v, 6)})
+
+    return (cols.map_batches(replicate, batch_format="pandas", batch_size=None)
+            .groupby("_pk").map_groups(close_pair, batch_format="pandas"))
 
 
 def hash_split(

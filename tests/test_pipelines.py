@@ -412,3 +412,29 @@ def test_multimodal_resize_and_frame_sample():
     assert (fr[fr["item_id"] == 0]["frame_idx"].to_numpy()
             == np.arange(0, n0, 4)).all()
     assert fr["frame"].map(len).eq(256).all()
+
+
+def test_embedding_dup_pairs_exact_and_lsh():
+    """Exact chunk-pair join == brute-force numpy oracle; LSH mode returns a
+    subset of the exact pairs (same-bucket constraint can only drop pairs)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 16))
+    # build near-dup clusters: rows 10+i are tiny perturbations of row i
+    vecs = np.concatenate([base, base + 0.01 * rng.standard_normal((6, 16))])
+    ids = np.arange(len(vecs))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+
+    out = dedup.embedding_dup_pairs(ds, threshold=0.9, n_chunks=3).to_pandas()
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = {(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if sims[i, j] >= 0.9}
+    got = set(zip(out["src"], out["dst"]))
+    assert got == want and len(want) >= 6
+    for r in out.itertuples():
+        assert abs(r.cosine - sims[r.src, r.dst]) < 2e-6
+
+    lsh = dedup.embedding_dup_pairs(ds, threshold=0.9, method="lsh",
+                                    n_planes=4).to_pandas()
+    assert set(zip(lsh["src"], lsh["dst"])) <= want
