@@ -106,11 +106,13 @@ def q_cooc_degree(sf_dir: str):
 def q_graph_density(sf_dir: str):
     """Undirected density = 2m / (n(n-1)) — nx semantics
     (/root/reference/bluegraph/backends/networkx/analyse/metrics.py:26-27)."""
+    from bluegraph_ray.util import distinct_values
+
     edges = _cooc_edges(sf_dir, statistics=("frequency",)).materialize()
     m = edges.count()
-    s = edges.select_columns(["src"]).to_pandas()["src"]
-    d = edges.select_columns(["dst"]).to_pandas()["dst"]
-    n = int(pd.concat([s, d]).nunique())
+    srcs = rename_columns(edges.select_columns(["src"]), {"src": "v"})
+    dsts = rename_columns(edges.select_columns(["dst"]), {"dst": "v"})
+    n = len(distinct_values(srcs.union(dsts), "v"))
     return pd.DataFrame(
         {"n_nodes": [n], "n_edges": [m], "density": [round(2.0 * m / (n * (n - 1)), 9)]}
     )
@@ -123,13 +125,15 @@ def q_isolated_parts(sf_dir: str):
     would make the check degenerate.)"""
     import ray as _ray
 
+    from bluegraph_ray.util import distinct_values
+
     edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(
         expr="frequency >= 2"
     ).materialize()
-    nodes = set(edges.select_columns(["src"]).to_pandas()["src"]) | set(
-        edges.select_columns(["dst"]).to_pandas()["dst"]
-    )
-    ref = _ray.put(nodes)
+    srcs = rename_columns(edges.select_columns(["src"]), {"src": "v"})
+    dsts = rename_columns(edges.select_columns(["dst"]), {"dst": "v"})
+    # map-side unique partials; only the distinct vertex set reaches the driver
+    ref = _ray.put(set(distinct_values(srcs.union(dsts), "v").tolist()))
     parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:

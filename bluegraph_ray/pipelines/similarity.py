@@ -132,8 +132,10 @@ def ivf_topk(
 ) -> "ray.data.Dataset":
     """IVF cosine top-k: -> (query_id, neighbor_id, cosine).
 
-    Train once on the driver (first ``train_size`` corpus rows, sorted by id
-    for determinism — a few thousand rows regardless of corpus size), then
+    Train once on the driver (the ``train_size`` corpus rows with the
+    SMALLEST ids — selected by per-block partial top + driver merge, so the
+    sample is deterministic regardless of streaming-executor block order —
+    a few thousand rows on the driver no matter the corpus size), then
     broadcast (centroids, queries, probe lists) via one ``ray.put``. Each
     corpus batch computes segment ids with a single (batch × n_segments)
     matmul and scans each query only against rows whose segment is in the
@@ -147,11 +149,16 @@ def ivf_topk(
     key so only probed partitions are read at all.
     """
     q = _norm_rows(np.asarray(queries, dtype=np.float64))
+
+    def train_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(id_col).head(int(train_size))
+
     train = (
         corpus.select_columns([id_col, vec_col])
-        .limit(int(train_size))
+        .map_batches(train_partial, batch_format="pandas", batch_size=None)
         .to_pandas()
         .sort_values(id_col)
+        .head(int(train_size))
     )
     cent = kmeans_centroids(
         np.stack(train[vec_col].to_numpy()), n_segments, seed=seed)

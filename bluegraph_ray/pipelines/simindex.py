@@ -66,7 +66,12 @@ class SimilarityProcessor:
         return mat[[pos[p] for p in point_ids]]
 
     def query(self, vectors: np.ndarray, k: int = 10):
-        """-> (ids_matrix, scores_matrix), most-similar first."""
+        """-> (ids_matrix, scores_matrix), most-similar first.
+
+        With ``nprobe < n_segments`` a query's probed cells may hold fewer
+        than k candidates; the tail slots are then flagged — id ``None`` and
+        a non-finite score (-inf similarity / +inf distance) — rather than
+        silently filled with arbitrary points."""
         ids, mat = self._matrix()
         q = np.asarray(vectors, dtype=np.float64)
         if self.similarity == "cosine":
@@ -89,7 +94,12 @@ class SimilarityProcessor:
         out = np.take_along_axis(score, order, axis=1)
         if self.similarity == "euclidean":
             out = -out
-        return ids[order], out
+        ids_out = ids[order]
+        invalid = ~np.isfinite(out)
+        if invalid.any():
+            ids_out = ids_out.astype(object)
+            ids_out[invalid] = None
+        return ids_out, out
 
 
 class NodeSimilarityProcessor:

@@ -62,6 +62,7 @@ def sessionize(
     ts_col: str = "ts",
     key_col: str = "user_id",
     gap_minutes: float = 30.0,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """-> (user_id, session_id, n_events, session_start, session_end).
 
@@ -73,9 +74,10 @@ def sessionize(
     one bucket) and each bucket sessionizes ALL its users in one vectorized
     pass — sort by (key, ts), one diff, one cumsum, one groupby-agg — so the
     work per group is O(bucket), not O(users) Python calls. Ray's per-group
-    Python groupby would be the bottleneck at 10^9-user scale."""
+    Python groupby would be the bottleneck at 10^9-user scale.
+    ``num_buckets`` is the reduce parallelism — size it to the cluster,
+    same dial as asof_join/interval_join."""
     gap = pd.Timedelta(minutes=gap_minutes)
-    num_buckets = 16
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch[key_col], index=False).to_numpy()
