@@ -549,6 +549,85 @@ def q_negative_edges(sf_dir: str):
     return generate_negative_edges(edges, n_samples=500, seed=7)
 
 
+def q_taxonomy_types(sf_dir: str):
+    """resolve_taxonomy_to_types over parts: taxonomy = p_name words when
+    p_size >= 10 (else unlinked), raw NER types = the part's lineitem return
+    flags; rule cascade then majority vote (cord19kg/utils.py:748-819)."""
+    from bluegraph_ray.pipelines.cooccurrence import mentions_to_occurrence
+    from bluegraph_ray.pipelines.linking import resolve_taxonomy_to_types
+    from bluegraph_ray.util import hash_join, tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_returnflag"])
+    mentions = rename_columns(li, {"l_partkey": "entity"})
+    occ, _ = mentions_to_occurrence(
+        mentions, factor_columns=["l_returnflag"], aggregation="list",
+        num_buckets=16)
+    # pandas-side rename: the list column must not round-trip through Arrow
+    # (cells become fixed-size ndarrays that break the tagged-union join)
+    occ = occ.map_batches(
+        lambda b: b.rename(columns={"l_returnflag": "raw_entity_types"}),
+        batch_format="pandas", batch_size=None)
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_name", "p_size"])
+
+    def to_tax(batch: pd.DataFrame) -> pd.DataFrame:
+        tax = [name.split(" ") if size >= 10 else None
+               for name, size in zip(batch["p_name"], batch["p_size"])]
+        return pd.DataFrame({"entity": batch["p_partkey"], "taxonomy": tax})
+
+    taxonomy = part.map_batches(to_tax, batch_format="pandas", batch_size=None)
+    occ = hash_join(occ, taxonomy, on="entity", how="inner", num_buckets=16)
+    mapping = {
+        "widgetlike": {"include": ["widget", "gadget"], "exclude": ["red"]},
+        "fastener": {"include": ["bolt", "nut", "screw"]},
+    }
+    return resolve_taxonomy_to_types(occ, mapping)
+
+
+def q_linked_mentions(sf_dir: str):
+    """merge_with_ontology_linking: per-entity occurrence rows (factor sets +
+    frequency) left-joined to an entity->concept linking (brands of large
+    parts), aggregated per concept with the reference's resolver semantics
+    (cord19kg/utils.py:415-490); scalar projections for the SQL oracle."""
+    from bluegraph_ray.pipelines.cooccurrence import mentions_to_occurrence
+    from bluegraph_ray.pipelines.linking import merge_with_ontology_linking
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    occ, _ = mentions_to_occurrence(_lineitem_occurrences(sf_dir),
+                                    factor_columns=["factor"], num_buckets=16)
+    occ = occ.map_batches(
+        lambda b: b.assign(frequency=np.array([len(x) for x in b["factor"]],
+                                              dtype=np.int64)),
+        batch_format="pandas", batch_size=None)
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand", "p_size"])
+
+    def to_link(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"entity": batch["p_partkey"],
+                             "concept": batch["p_brand"]})
+
+    linking = part.filter(expr="p_size > 25").map_batches(
+        to_link, batch_format="pandas", batch_size=None)
+    linked = merge_with_ontology_linking(
+        occ, linking, factor_columns=["factor"], sum_columns=["frequency"],
+        num_buckets=16)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity": batch["entity"].astype(str),
+            "n_entities": np.array([len(x) for x in batch["aggregated_entities"]],
+                                   dtype=np.int64),
+            "paper_count": np.array([len(x) for x in batch["factor"]],
+                                    dtype=np.int64),
+            "frequency": batch["frequency"].astype(np.int64),
+        })
+
+    return linked.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def q_source_graph(sf_dir: str):
     """Flagship over the synthetic source-code table (size scaled by sf)."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -616,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": q_lsh_knn,
         "lang_quality": q_lang_quality,
         "doc_fingerprints": q_doc_fingerprints,
+        "taxonomy_types": q_taxonomy_types,
+        "linked_mentions": q_linked_mentions,
         "source_graph": q_source_graph,
     }
 
@@ -1280,6 +1361,54 @@ ok AS (
                         OR (fe.src = n.dst AND fe.dst = n.src))
 )
 SELECT src, dst FROM ok ORDER BY i LIMIT 500
+""",
+        # rule cascade over p_name word "taxonomies" (mapping order = CASE
+        # order), fallback majority vote over lineitem return flags with the
+        # deterministic (max count, min type) tie-break
+        "taxonomy_types": """
+WITH raw AS (SELECT l_partkey AS entity, l_returnflag AS t FROM lineitem),
+votes AS (SELECT entity, t, COUNT(*) AS c FROM raw GROUP BY 1, 2),
+fallback AS (
+  SELECT entity, t FROM votes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY entity ORDER BY c DESC, t) = 1
+),
+tax AS (
+  SELECT p_partkey AS entity, p_size,
+    CASE
+      WHEN len(list_filter(string_split(p_name, ' '),
+               x -> x IN ('widget', 'gadget'))) > 0
+       AND len(list_filter(string_split(p_name, ' '),
+               x -> x IN ('red'))) = 0 THEN 'widgetlike'
+      WHEN len(list_filter(string_split(p_name, ' '),
+               x -> x IN ('bolt', 'nut', 'screw'))) > 0 THEN 'fastener'
+      ELSE NULL END AS mtype
+  FROM part)
+SELECT f.entity,
+  COALESCE(CASE WHEN x.p_size >= 10 THEN x.mtype END, f.t) AS type
+FROM fallback f JOIN tax x USING (entity)
+""",
+        # linking left-join + per-concept resolver aggregation: entities list
+        # size, factor set-union size, per-entity distinct-factor counts sum
+        "linked_mentions": """
+WITH occ AS (SELECT DISTINCT l_partkey AS entity, l_orderkey AS factor
+             FROM lineitem),
+link AS (SELECT p_partkey AS entity, lower(p_brand) AS concept
+         FROM part WHERE p_size > 25),
+j AS (
+  SELECT COALESCE(l.concept, CAST(o.entity AS VARCHAR)) AS concept,
+         o.entity, o.factor
+  FROM occ o LEFT JOIN link l ON o.entity = l.entity
+),
+per_entity AS (
+  SELECT concept, entity, COUNT(DISTINCT factor) AS freq FROM j GROUP BY 1, 2
+),
+pc AS (SELECT concept, COUNT(DISTINCT factor) AS paper_count FROM j GROUP BY 1)
+SELECT pe.concept AS entity,
+  COUNT(*) AS n_entities,
+  MIN(pc.paper_count) AS paper_count,
+  CAST(SUM(pe.freq) AS BIGINT) AS frequency
+FROM per_entity pe JOIN pc ON pc.concept = pe.concept
+GROUP BY 1
 """,
         # language-ID marker votes (earliest max in en,fr,de,es order; CJK
         # codepoint ratio gate) + the quality formula of text.QualityScore
