@@ -68,6 +68,50 @@ def test_unknown_strategies_raise():
         communities.detect_communities(ds, strategy="nope")
 
 
+def test_hierarchical_full_partition_and_connected_clusters():
+    """Mirrors the reference's hierarchical shape assertions
+    (/root/reference/tests/analyse/test_communities.py — full partition with
+    the requested cluster count): every node labeled, exactly n clusters,
+    and (the connectivity constraint) every cluster is connected in the
+    graph when the graph itself is connected."""
+    df, g = karate()
+    ds = ray.data.from_pandas(df)
+    part = communities.detect_communities(
+        ds, strategy="hierarchical", n_communities=3, n_partitions=2)
+    assert set(part) == set(g.nodes)
+    assert len(set(part.values())) == 3
+    for nodes in communities.partition_to_sets(part):
+        assert nx.is_connected(g.subgraph(nodes))
+
+
+def test_hierarchical_explicit_features_split_bridge():
+    # two triangles joined by one bridge; features put the triangles at
+    # opposite ends of a line -> average-linkage must cut across the bridge
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    ds = ray.data.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+    feats = {"a": [0.0], "b": [0.1], "c": [0.2],
+             "x": [5.0], "y": [5.1], "z": [5.2]}
+    part = communities.detect_communities(
+        ds, strategy="hierarchical", n_communities=2,
+        feature_vectors=feats)
+    sets = communities.partition_to_sets(part)
+    assert sorted(map(sorted, sets)) == [["a", "b", "c"], ["x", "y", "z"]]
+
+
+def test_hierarchical_linkages_agree_on_clean_split():
+    rows = [("a", "b"), ("b", "c"), ("x", "y"), ("c", "x")]
+    ds = ray.data.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+    feats = {"a": [0.0, 0.0], "b": [0.0, 0.3], "c": [0.3, 0.0],
+             "x": [9.0, 9.0], "y": [9.3, 9.0]}
+    for linkage in ("average", "single", "complete"):
+        part = communities.detect_communities(
+            ds, strategy="hierarchical", n_communities=2,
+            feature_vectors=feats, linkage=linkage)
+        sets = sorted(map(sorted, communities.partition_to_sets(part)))
+        assert sets == [["a", "b", "c"], ["x", "y"]], linkage
+
+
 def test_closeness_matches_nx():
     df, g = karate()
     out = centrality.closeness_centrality(ray.data.from_pandas(df)).to_pandas()
