@@ -131,17 +131,29 @@ def n_shortest_paths(edges, source, target, n, *, distance=None,
                      strategy="naive", exclude_edge=False, directed=False,
                      src="src", dst="dst") -> list:
     pdf = _as_pdf(edges)
+    if n == 1:
+        return [shortest_path(pdf, source, target, distance=distance,
+                              exclude_edge=exclude_edge, directed=directed,
+                              src=src, dst=dst)]
     if strategy == "naive":
-        paths = all_shortest_paths(pdf, source, target, exclude_edge=exclude_edge,
+        # Reference semantics (core/analyse/paths.py:226-245): enumerate all
+        # UNWEIGHTED shortest paths with the direct s-t edge removed, rank by
+        # cumulative distance, and — when exclude_edge is False — add the
+        # direct path back into the ranking if the edge exists.
+        paths = all_shortest_paths(pdf, source, target, exclude_edge=True,
                                    directed=directed, src=src, dst=dst)
-        if distance is None:
-            return paths[:n]
-        adj = _adjacency(pdf, src=src, dst=dst, distance=distance, directed=directed)
-        scored = sorted(
-            paths,
-            key=lambda p: sum(adj[a][b] for a, b in zip(p, p[1:])),
-        )
-        return scored[:n]
+        adj = _adjacency(pdf, src=src, dst=dst, distance=distance,
+                         directed=directed)
+
+        def score(p):
+            return (sum(adj[a][b] for a, b in zip(p, p[1:]))
+                    if distance else float(len(p) - 1))
+
+        ranking = {p: score(p) for p in paths}
+        if not exclude_edge and target in adj.get(source, {}):
+            ranking[(source, target)] = adj[source][target] if distance else 1.0
+        ordered = sorted(ranking.items(), key=lambda kv: (kv[1], kv[0]))
+        return [p for p, _ in ordered[:n]]
     if strategy == "yen":
         import networkx as nx
 
@@ -173,6 +185,40 @@ def nested_shortest_path(edges, source, target, *, depth=1, distance=None,
     return path
 
 
+def n_nested_shortest_paths(edges, source, target, top_level_n, *,
+                            nested_n=None, depth=1, distance=None,
+                            strategy="naive", exclude_edge=False,
+                            directed=False, src="src", dst="dst") -> list:
+    """Top-n nested paths, accumulated across depth levels (reference
+    core/analyse/paths.py:324-379): level 0 finds top_level_n s-t paths,
+    each deeper level expands every consecutive node pair of the previous
+    level's paths into nested_n sub-paths; a visited (s, t) pair is searched
+    only once; the union of all discovered paths is returned."""
+    pdf = _as_pdf(edges)
+    if nested_n is None:
+        nested_n = top_level_n
+    current: list = [[source, target]]
+    all_paths: set = set()
+    visited: set = set()
+    for level in range(depth):
+        new_paths: list = []
+        for path in current:
+            for i in range(1, len(path)):
+                s, t = path[i - 1], path[i]
+                if (s, t) in visited or (t, s) in visited:
+                    continue
+                visited.add((s, t))
+                found = n_shortest_paths(
+                    pdf, s, t, top_level_n if level == 0 else nested_n,
+                    distance=distance, strategy=strategy,
+                    exclude_edge=exclude_edge, directed=directed,
+                    src=src, dst=dst)
+                all_paths.update(found)
+                new_paths += [list(p) for p in found]
+        current = new_paths
+    return list(all_paths)
+
+
 def shortest_tripath(edges, a, b, c, *, distance=None, overlap=True,
                      directed=False, **kw) -> tuple:
     """A->B then B->C; ``overlap=False`` excludes A->B interior nodes from the
@@ -185,6 +231,37 @@ def shortest_tripath(edges, a, b, c, *, distance=None, overlap=True,
         pdf = pdf[mask]
     p2 = shortest_path(pdf, b, c, distance=distance, directed=directed, **kw)
     return p1, p2
+
+
+def n_shortest_tripaths(edges, a, b, c, n, *, distance=None, strategy="naive",
+                        exclude_edge=False, overlap=True, directed=False,
+                        src="src", dst="dst") -> tuple:
+    """n shortest A->B paths, then n shortest B->C paths (reference
+    core/analyse/paths.py:435-497). ``overlap=False`` removes every interior
+    node seen on ANY A->B path (except the intermediary/target themselves)
+    before the B->C search."""
+    pdf = _as_pdf(edges)
+    a_b_paths = n_shortest_paths(pdf, a, b, n, distance=distance,
+                                 strategy=strategy, exclude_edge=exclude_edge,
+                                 directed=directed, src=src, dst=dst)
+    sub = pdf
+    if not overlap:
+        seen: set = set()
+        for p in a_b_paths:
+            seen.update(el for el in list(p)[1:-1] if el != b and el != c)
+        if seen:
+            mask = ~(pdf[src].isin(seen) | pdf[dst].isin(seen))
+            sub = pdf[mask]
+    try:
+        b_c_paths = n_shortest_paths(sub, b, c, n, distance=distance,
+                                     strategy=strategy,
+                                     exclude_edge=exclude_edge,
+                                     directed=directed, src=src, dst=dst)
+    except ValueError as e:
+        raise ValueError(
+            "no paths satisfying the constraints from the intermediary "
+            f"{b!r} to the target {c!r} exist") from e
+    return a_b_paths, b_c_paths
 
 
 def top_neighbors(edges, node, n, *, weight="frequency", src="src", dst="dst"):

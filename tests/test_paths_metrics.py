@@ -44,9 +44,59 @@ def test_all_and_n_shortest(f3_edges):
     top2 = paths.n_shortest_paths(f3_edges, "A", "D", 2, distance="distance",
                                   strategy="yen")
     assert top2[0] == ("A", "B", "D")
-    naive = paths.n_shortest_paths(f3_edges, "A", "D", 2, distance="distance",
+    # reference oracle (/root/reference/tests/analyse/test_paths.py:85-103):
+    # naive = all direct-edge-excluded unweighted shortest paths ranked by
+    # distance, plus the direct path added back when exclude_edge=False
+    naive = paths.n_shortest_paths(f3_edges, "A", "D", 3, distance="distance",
                                    strategy="naive")
-    assert naive[0] == ("A", "D")  # naive ranks only unweighted-shortest paths
+    assert set(naive) == {("A", "B", "D"), ("A", "E", "D"), ("A", "D")}
+    assert naive[0] == ("A", "B", "D")
+    naive4 = paths.n_shortest_paths(f3_edges, "A", "D", 4, distance="distance",
+                                    strategy="naive")
+    assert set(naive4) == {("A", "B", "D"), ("A", "E", "D"), ("A", "D")}
+    ex = paths.n_shortest_paths(f3_edges, "A", "D", 3, distance="distance",
+                                exclude_edge=True)
+    assert set(ex) == {("A", "B", "D"), ("A", "E", "D")}
+    yen4 = paths.n_shortest_paths(f3_edges, "A", "D", 4, distance="distance",
+                                  strategy="yen", exclude_edge=True)
+    assert set(yen4) == {("A", "C", "B", "D"), ("A", "B", "D"),
+                         ("A", "E", "D"), ("A", "E", "C", "B", "D")}
+
+
+def test_n_nested_and_n_tripaths_reference_oracle(f3_edges):
+    """Exact counts/sets from /root/reference/tests/analyse/test_paths.py:120-190."""
+    r = paths.n_nested_shortest_paths(f3_edges, "A", "B", top_level_n=5,
+                                      nested_n=3, depth=2,
+                                      distance="distance", exclude_edge=True)
+    assert len(r) == 8
+    r = paths.n_nested_shortest_paths(f3_edges, "A", "B", top_level_n=3,
+                                      nested_n=2, depth=2, strategy="yen",
+                                      distance="distance", exclude_edge=True)
+    assert len(r) == 15
+
+    a_b, b_d = paths.n_shortest_tripaths(f3_edges, "A", "B", "D", 3,
+                                         distance="distance")
+    assert set(a_b) == {("A", "B"), ("A", "C", "B"), ("A", "D", "B")}
+    assert set(b_d) == {("B", "D"), ("B", "A", "D")}
+    a_b, b_d = paths.n_shortest_tripaths(f3_edges, "A", "B", "D", 3,
+                                         distance="distance",
+                                         exclude_edge=True)
+    assert set(a_b) == {("A", "C", "B"), ("A", "D", "B")}
+    assert set(b_d) == {("B", "A", "D")}
+    a_b, b_d = paths.n_shortest_tripaths(f3_edges, "A", "B", "D", 3,
+                                         distance="distance",
+                                         exclude_edge=True, overlap=False)
+    assert set(a_b) == {("A", "C", "B"), ("A", "D", "B")}
+    assert set(b_d) == {("B", "A", "D")}
+    a_b, b_d = paths.n_shortest_tripaths(f3_edges, "A", "B", "D", 3,
+                                         strategy="yen", distance="distance")
+    assert set(a_b) == {("A", "B"), ("A", "C", "B"), ("A", "E", "D", "B")}
+    assert set(b_d) == {("B", "D"), ("B", "A", "E", "D"), ("B", "C", "E", "D")}
+    a_b, b_d = paths.n_shortest_tripaths(f3_edges, "A", "B", "D", 3,
+                                         strategy="yen", distance="distance",
+                                         overlap=False)
+    assert set(a_b) == {("A", "B"), ("A", "C", "B"), ("A", "E", "D", "B")}
+    assert set(b_d) == {("B", "D"), ("B", "A", "D")}
 
 
 def test_nested_and_disjoint_tripath(f3_edges):
