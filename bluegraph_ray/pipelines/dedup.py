@@ -64,6 +64,139 @@ def _hash64(arr_of_bytes: list) -> np.ndarray:
     )
 
 
+# --- fast (vectorized) sketch hashing -------------------------------------
+#
+# The production path: NO per-shingle Python. All of a batch's texts are
+# joined into one byte buffer; each token hash mixes the token's first 16
+# bytes (two uint64 lanes gathered through a sliding-window view — token
+# starts are sorted, so the gather is a sequential scan) with the token
+# LENGTH through a splitmix64 avalanche; shingle hashes are a Horner combine
+# of k consecutive token hashes. Only same-length tokens sharing a 16-byte
+# prefix collide — harmless at MinHash/SimHash recall levels. Not
+# SQL-replayable; ``hash_mode="sha256"`` stays the default so the DuckDB
+# oracles keep working.
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio constant
+_TOKW = 16                                  # token-prefix bytes hashed
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (wraparound uint64)."""
+    h = h ^ (h >> np.uint64(30))
+    h = h * _MIX1
+    h = h ^ (h >> np.uint64(27))
+    h = h * _MIX2
+    return h ^ (h >> np.uint64(31))
+
+
+def _fast_token_stream(texts) -> tuple:
+    """Vectorized ``split(" ")`` token hashes for a whole batch.
+
+    Returns ``(token_hashes uint64 (T,), tok_bounds int64 (n+1,))``: doc d's
+    tokens occupy ``token_hashes[tok_bounds[d]:tok_bounds[d+1]]``. Matches
+    ``str.split(" ")`` semantics exactly (consecutive separators produce
+    empty tokens; an empty text is one empty token)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    encs = [t.encode() for t in texts]
+    nbytes = np.fromiter(map(len, encs), count=n, dtype=np.int64)
+    buf = np.frombuffer(b" ".join(encs), dtype=np.uint8)
+    total = len(buf)
+    is_sep = buf == 0x20
+    sep_pos = np.flatnonzero(is_sep)
+    tok_starts = np.concatenate((np.zeros(1, np.int64), sep_pos + 1))
+    tok_ends = np.concatenate((sep_pos, np.array([total], dtype=np.int64)))
+    lens = tok_ends - tok_starts
+    with np.errstate(over="ignore"):
+        padbuf = np.concatenate((buf, np.zeros(_TOKW, dtype=np.uint8)))
+        win = np.lib.stride_tricks.sliding_window_view(padbuf, _TOKW)
+        mat = win[tok_starts]                       # (T, 16), sequential gather
+        mat *= (np.arange(_TOKW, dtype=np.int64)[None, :] < lens[:, None])
+        lanes = mat.view(np.uint64)                 # (T, 2) little-endian lanes
+        th = _mix64((lanes[:, 0] * _MIX1)
+                    ^ lanes[:, 1]
+                    ^ ((lens.astype(np.uint64) + np.uint64(1)) * _MIX2))
+    csep = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(is_sep, out=csep[1:])
+    doc_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        doc_starts[1:] = np.cumsum(nbytes[:-1] + 1)
+    doc_ends = doc_starts + nbytes
+    toks_per_doc = 1 + (csep[doc_ends] - csep[doc_starts])
+    tok_bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(toks_per_doc, out=tok_bounds[1:])
+    return th, tok_bounds
+
+
+def _fast_shingle_hashes(texts, k: int) -> tuple:
+    """Hashes of every k-token shingle per doc (short docs collapse to one
+    whole-doc shingle, mirroring ``_token_shingles``) + per-doc bounds.
+    Vectorized except a loop over the (rare) short docs."""
+    th, tb = _fast_token_stream(texts)
+    n = len(texts)
+    counts = np.diff(tb)
+    m = np.where(counts >= k, counts - k + 1, 1)
+    sh_bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(m, out=sh_bounds[1:])
+    t_total = len(th)
+    with np.errstate(over="ignore"):
+        cpow = np.empty(k, dtype=np.uint64)
+        cpow[0] = np.uint64(1)
+        for j in range(1, k):
+            cpow[j] = cpow[j - 1] * _SHINGLE_C
+        if t_total >= k:
+            roll = np.zeros(t_total - k + 1, dtype=np.uint64)
+            for j in range(k):
+                roll += th[j:t_total - k + 1 + j] * cpow[k - 1 - j]
+        else:
+            roll = np.zeros(1, dtype=np.uint64)
+        idx = (np.repeat(tb[:-1], m)
+               + (np.arange(int(m.sum())) - np.repeat(sh_bounds[:-1], m)))
+        sh = roll[np.minimum(idx, len(roll) - 1)]
+        for d in np.flatnonzero(counts < k):
+            h = np.uint64(0)
+            for t in th[tb[d]:tb[d + 1]]:
+                h = h * _SHINGLE_C + t
+            sh[sh_bounds[d]] = h
+        sh = _mix64(sh)
+    return sh, sh_bounds
+
+
+def _segment_affine_min(a: np.ndarray, b: np.ndarray, h: np.ndarray,
+                        bounds: np.ndarray, chunk: int = 1 << 15) -> np.ndarray:
+    """Per-segment minima of the universal hashes ``a_i*h + b_i`` — the
+    MinHash reduction — computed in cache-sized column chunks grouped at
+    segment boundaries (peak memory num_perm × chunk; a fresh full-width
+    (num_perm, S) matrix measured 40× slower on this host)."""
+    n = len(bounds) - 1
+    num_perm = len(a)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        d = 0
+        while d < n:
+            e = d + 1
+            while e < n and bounds[e + 1] - bounds[d] <= chunk:
+                e += 1
+            s0, s1 = int(bounds[d]), int(bounds[e])
+            if s1 - s0 <= chunk:
+                vals = a[:, None] * h[None, s0:s1] + b[:, None]
+                mins = np.minimum.reduceat(
+                    vals, (bounds[d:e] - s0).astype(np.int64), axis=1)
+                out[d:e] = mins.T
+            else:  # one giant doc: sub-chunk with a running min
+                acc = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+                for cs in range(s0, s1, chunk):
+                    ce = min(cs + chunk, s1)
+                    vals = a[:, None] * h[None, cs:ce] + b[:, None]
+                    np.minimum(acc, vals.min(axis=1), out=acc)
+                out[d] = acc
+            d = e
+    return out
+
+
 def _token_shingles(text: str, k: int) -> list:
     toks = text.split(" ")
     if len(toks) < k:
@@ -73,15 +206,27 @@ def _token_shingles(text: str, k: int) -> list:
 
 class MinHasher:
     """Per-batch MinHash signatures: k-token shingles -> 64-bit hashes ->
-    ``num_perm`` universal-hash minima. Deterministic (fixed seed)."""
+    ``num_perm`` universal-hash minima. Deterministic (fixed seed).
 
-    def __init__(self, text_col="text", id_col="doc_id", k=3, num_perm=64, seed=7):
+    ``hash_mode="sha256"`` (default) hashes each shingle with sha256 so the
+    DuckDB oracle can replay signatures byte-for-byte; ``hash_mode="fast"``
+    hashes ALL of a batch's shingles in one vectorized C call and reduces the
+    per-doc minima with ``np.minimum.reduceat`` — the production path (same
+    LSH recall, order-of-magnitude faster sketching, not SQL-replayable)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", k=3, num_perm=64,
+                 seed=7, hash_mode="sha256"):
+        if hash_mode not in ("sha256", "fast"):
+            raise ValueError(f"unknown hash_mode {hash_mode!r}")
         self.text_col, self.id_col, self.k, self.num_perm = text_col, id_col, k, num_perm
+        self.hash_mode = hash_mode
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, np.iinfo(np.int64).max, num_perm, dtype=np.int64).astype(np.uint64) | np.uint64(1)
         self.b = rng.integers(0, np.iinfo(np.int64).max, num_perm, dtype=np.int64).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
+        if self.hash_mode == "fast":
+            return self._signatures_fast([text])[0]
         sh = _token_shingles(text, self.k)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -90,8 +235,18 @@ class MinHasher:
         vals = (np.outer(self.a, h) + self.b[:, None]).astype(np.uint64)
         return vals.min(axis=1)
 
+    def _signatures_fast(self, texts) -> np.ndarray:
+        """Batch-wide sketch: one vectorized pass hashes every shingle of
+        every doc (no per-shingle Python), then cache-blocked segmented
+        affine minima per doc."""
+        sh, bounds = _fast_shingle_hashes(list(texts), self.k)
+        return _segment_affine_min(self.a, self.b, sh, bounds)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+        if self.hash_mode == "fast":
+            sigs = self._signatures_fast(batch[self.text_col])
+        else:
+            sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
         out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
         out["sig"] = list(sigs.astype(np.int64))
         return out
@@ -106,15 +261,20 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
+    hash_mode: str = "sha256",
 ) -> "ray.data.Dataset":
     """MinHash+LSH candidate pairs: shingle -> minhash -> band -> bucket groupby.
 
     Emits (src, dst, est_jaccard) for every pair sharing >=1 LSH band bucket,
     with the MinHash-estimated Jaccard (fraction of equal signature lanes).
+    ``hash_mode="fast"`` switches sketching to the vectorized batch-wide hash
+    (see MinHasher) — same banding/recall behavior, much faster, but the
+    DuckDB oracle can only replay the default sha256 mode.
     """
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
-        MinHasher(text_col, id_col, k, num_perm, seed), batch_format="pandas", batch_size=None)
+        MinHasher(text_col, id_col, k, num_perm, seed, hash_mode),
+        batch_format="pandas", batch_size=None)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         # band bucket key = the band's minhash values joined as a string —
@@ -231,10 +391,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over token hashes (weighted bit-vote)."""
+    """64-bit SimHash over token hashes (weighted bit-vote).
 
-    def __init__(self, text_col="text", id_col="doc_id"):
-        self.text_col, self.id_col = text_col, id_col
+    ``hash_mode="fast"`` hashes every token in the batch with one vectorized
+    call and computes the per-doc bit votes with segmented ``add.reduceat``
+    (production path; default sha256 stays DuckDB-replayable)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", hash_mode="sha256"):
+        if hash_mode not in ("sha256", "fast"):
+            raise ValueError(f"unknown hash_mode {hash_mode!r}")
+        self.text_col, self.id_col, self.hash_mode = text_col, id_col, hash_mode
+
+    @staticmethod
+    def _vote_to_hash(votes: np.ndarray) -> np.int64:
+        out = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            out |= np.uint64(1) << np.uint64(b)
+        return np.int64(out >> np.uint64(1))  # keep in int64 range
 
     @staticmethod
     def simhash(text: str) -> np.int64:
@@ -244,22 +417,64 @@ class SimHasher:
         h = _hash64([t.encode() for t in toks])
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            out |= np.uint64(1) << np.uint64(b)
-        return np.int64(out >> np.uint64(1))  # keep in int64 range
+        return SimHasher._vote_to_hash(votes)
+
+    def _simhashes_fast(self, texts) -> np.ndarray:
+        """Batch-wide simhash: one vectorized token-hash pass, per-doc bit
+        votes via segmented reduceat in cache-sized chunks."""
+        th, tb = _fast_token_stream(list(texts))
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return out
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        chunk = 1 << 15
+        d = 0
+        while d < n:
+            e = d + 1
+            while e < n and tb[e + 1] - tb[d] <= chunk:
+                e += 1
+            s0, s1 = int(tb[d]), int(tb[e])
+            # one C call unpacks all 64 bits of every token hash; majority
+            # vote(b) > 0  <=>  2 * ones(b) > n_tokens, so summing the bit
+            # COUNTS (uint8 -> int32) replaces the ±1 sign matrix entirely
+            if s1 - s0 <= chunk:
+                bits = np.unpackbits(
+                    th[s0:s1, None].view(np.uint8), axis=1, bitorder="little")
+                cnt = np.add.reduceat(bits, (tb[d:e] - s0).astype(np.int64),
+                                      axis=0, dtype=np.int32)
+                ntok = np.diff(tb[d:e + 1]).astype(np.int32)[:, None]
+            else:  # one giant doc: sub-chunk with running counts
+                cnt = np.zeros((1, 64), dtype=np.int64)
+                for cs in range(s0, s1, chunk):
+                    ce = min(cs + chunk, s1)
+                    bits = np.unpackbits(
+                        th[cs:ce, None].view(np.uint8), axis=1, bitorder="little")
+                    cnt[0] += bits.sum(axis=0, dtype=np.int64)
+                ntok = np.array([[s1 - s0]], dtype=np.int64)
+            hu = ((2 * cnt > ntok).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64)
+            out[d:e] = (hu >> np.uint64(1)).astype(np.int64)
+            d = e
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.hash_mode == "fast":
+            hashes = self._simhashes_fast(batch[self.text_col])
+        else:
+            hashes = [self.simhash(t) for t in batch[self.text_col]]
         return pd.DataFrame(
             {
                 self.id_col: batch[self.id_col],
-                "simhash": [self.simhash(t) for t in batch[self.text_col]],
+                "simhash": hashes,
             }
         )
 
 
-def simhash_signatures(ds: "ray.data.Dataset", *, text_col="text", id_col="doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(SimHasher(text_col, id_col), batch_format="pandas", batch_size=None)
+def simhash_signatures(ds: "ray.data.Dataset", *, text_col="text",
+                       id_col="doc_id", hash_mode="sha256") -> "ray.data.Dataset":
+    return ds.map_batches(SimHasher(text_col, id_col, hash_mode),
+                          batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,63 @@ def test_minhash_estimates_jaccard():
     assert abs(pairs[(1, 2)] - ex[(1, 2)]) < 0.25
 
 
+def test_fast_hash_mode_same_candidate_recall():
+    """hash_mode='fast' (vectorized token-prefix hashing) must find the same
+    LSH candidate pairs as the sha256 oracle mode on the near/far fixture,
+    with a comparable Jaccard estimate, and per-doc signature() must equal
+    the batch path."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(55)) + " a b c d e"
+    far = " ".join(f"z{i}" for i in range(60))
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    out = {}
+    for mode in ("sha256", "fast"):
+        cand = dedup.minhash_lsh_candidates(
+            ray.data.from_pandas(df), bands=32, num_perm=64, hash_mode=mode
+        ).to_pandas()
+        out[mode] = {(r.src, r.dst): r.est_jaccard for r in cand.itertuples()}
+    assert set(out["fast"]) == set(out["sha256"])
+    assert abs(out["fast"][(1, 2)] - out["sha256"][(1, 2)]) < 0.25
+
+    m = dedup.MinHasher(hash_mode="fast")
+    batch = m(df)
+    sig7 = m.signature(near).astype(np.int64)
+    assert (np.asarray(batch["sig"].iloc[1]) == sig7).all()
+
+    # simhash: fast mode preserves the hamming ordering (near < far)
+    sims = {}
+    for mode in ("sha256", "fast"):
+        s = dedup.simhash_signatures(
+            ray.data.from_pandas(df), hash_mode=mode).to_pandas().set_index("doc_id")
+        sims[mode] = s
+        d12 = bin(int(s.loc[1, "simhash"]) ^ int(s.loc[2, "simhash"])).count("1")
+        d13 = bin(int(s.loc[1, "simhash"]) ^ int(s.loc[3, "simhash"])).count("1")
+        assert d12 < d13, mode
+    # duplicate docs sketch identically in fast mode
+    dup = dedup.MinHasher(hash_mode="fast")(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, base]}))
+    assert (np.asarray(dup["sig"].iloc[0]) == np.asarray(dup["sig"].iloc[1])).all()
+
+
+def test_fast_token_stream_split_semantics():
+    """_fast_token_stream must reproduce str.split(' ') token counts exactly
+    (empty tokens from doubled/leading/trailing separators included) and give
+    position-independent, content-determined token hashes."""
+    texts = ["a b c", "", "x", "  doubled  spaces ", "trailing ", " leading",
+             "ünïcode tökens here"]
+    th, tb = dedup._fast_token_stream(texts)
+    for d, t in enumerate(texts):
+        assert tb[d + 1] - tb[d] == len(t.split(" "))
+    th2, _ = dedup._fast_token_stream(["a b", "b a"])
+    assert th2[0] == th2[3] and th2[1] == th2[2] and th2[0] != th2[1]
+    # same-prefix different-length long tokens must not collide
+    ta, _ = dedup._fast_token_stream(["abcdefghijklmnopQR abcdefghijklmnopQRS"])
+    assert ta[0] != ta[1]
+    # shared shingle across docs hashes identically
+    sh, sb = dedup._fast_shingle_hashes(["w1 w2 w3 w4", "w2 w3 w4 w5"], 3)
+    assert sh[sb[0] + 1] == sh[sb[1]]
+
+
 def test_simhash_close_docs_close_hashes():
     base = " ".join(f"w{i}" for i in range(100))
     near = " ".join(f"w{i}" for i in range(99)) + " zzz"
