@@ -628,6 +628,41 @@ def q_linked_mentions(sf_dir: str):
     return linked.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def q_word_cooc(sf_dir: str):
+    """Symmetric word-window (w=2) co-occurrence counts over documents —
+    the distributed counting stage of the PPMI-SVD text embedder
+    (pipelines/textembed.py; trainable-text-model slot the reference fills
+    with Doc2Vec, preprocess/utils.py:102-158)."""
+    from bluegraph_ray.pipelines.textembed import window_cooccurrence
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    out = window_cooccurrence(docs, window=2, num_buckets=16)
+    return out.map_batches(
+        lambda b: b.assign(cnt=b["cnt"].astype(np.int64)),
+        batch_format="pandas", batch_size=None)
+
+
+def q_doc_embed(sf_dir: str):
+    """Full PPMI-SVD text-embedder run: fit word vectors on documents, then
+    doc-level inference (mean of known word vectors). SVD is not
+    SQL-expressible — rows-only driver check; geometry is unit-tested
+    (tests/test_metricsproc_simindex.py)."""
+    from bluegraph_ray.pipelines.textembed import PPMISVDEmbedder
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    emb = PPMISVDEmbedder(dimension=16, window=2, seed=0)
+    emb.fit_model(docs)
+    out = emb.doc_embeddings(docs).to_pandas()
+    out["norm"] = [float(np.linalg.norm(v)) for v in out["embedding"]]
+    return out[["doc_id", "norm"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_source_graph(sf_dir: str):
     """Flagship over the synthetic source-code table (size scaled by sf)."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -697,6 +732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "taxonomy_types": q_taxonomy_types,
         "linked_mentions": q_linked_mentions,
+        "word_cooc": q_word_cooc,
+        "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
     }
 
@@ -1409,6 +1446,20 @@ SELECT pe.concept AS entity,
   CAST(SUM(pe.freq) AS BIGINT) AS frequency
 FROM per_entity pe JOIN pc ON pc.concept = pe.concept
 GROUP BY 1
+""",
+        # symmetric window-2 word co-occurrence: positional self-join on the
+        # token stream (unnest pairs align positionally in DuckDB)
+        "word_cooc": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS tok,
+    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+)
+SELECT a.tok AS w, b.tok AS c, COUNT(*)::BIGINT AS cnt
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+GROUP BY 1, 2
 """,
         # language-ID marker votes (earliest max in en,fr,de,es order; CJK
         # codepoint ratio gate) + the quality formula of text.QualityScore

@@ -130,13 +130,18 @@ class EmbeddingPipeline:
         emb.to_parquet(os.path.join(path, "embeddings.parquet"))
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump({"embedder": self.embedder.params(),
+                       "embedder_cls": type(self.embedder).__name__,
                        "similarity": self.similarity}, f)
 
     @classmethod
     def load(cls, path: str) -> "EmbeddingPipeline":
         with open(os.path.join(path, "params.json")) as f:
             params = json.load(f)
-        pipe = cls(embedder=PropagationEmbedder(**params["embedder"]),
+        from bluegraph_ray.pipelines.textembed import PPMISVDEmbedder
+        registry = {"PropagationEmbedder": PropagationEmbedder,
+                    "PPMISVDEmbedder": PPMISVDEmbedder}
+        emb_cls = registry[params.get("embedder_cls", "PropagationEmbedder")]
+        pipe = cls(embedder=emb_cls(**params["embedder"]),
                    similarity=params["similarity"])
         emb = pd.read_parquet(os.path.join(path, "embeddings.parquet"))
         emb["embedding"] = [np.asarray(e) for e in emb["embedding"]]

@@ -132,3 +132,60 @@ def test_embedding_pipeline_fit_query_save_load(tmp_path):
     np.testing.assert_array_equal(
         np.stack(loaded.embeddings.sort_values("node")["embedding"].to_numpy()), a)
     assert loaded.get_similar_points(["n0"], k=5) == {"n0": sim["n0"]}
+
+
+def test_ppmi_svd_text_embedder_topics_and_roundtrip(tmp_path):
+    """PPMI-SVD text embedder (the trainable-text-model slot the reference
+    fills with Doc2Vec, preprocess/utils.py:102-158): two-topic corpus ->
+    within-topic cosine far above cross-topic; deterministic; doc vectors
+    separate the topics; full EmbeddingPipeline save/load round trip."""
+    from bluegraph_ray.pipelines.embedpipe import EmbeddingPipeline
+    from bluegraph_ray.pipelines.textembed import PPMISVDEmbedder
+
+    rng = np.random.default_rng(3)
+    animals = ["cat", "dog", "mouse", "horse", "cow", "sheep"]
+    tech = ["cpu", "gpu", "ram", "disk", "cache", "bus"]
+    docs = [" ".join(rng.choice(animals if i % 2 == 0 else tech, 30))
+            for i in range(200)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+
+    pipe = EmbeddingPipeline(embedder=PPMISVDEmbedder(dimension=8, window=2,
+                                                      seed=0))
+    pipe.run_fitting(ds)
+    assert set(pipe.embeddings["node"]) == set(animals) | set(tech)
+
+    mat = np.stack(pipe.embeddings["embedding"].to_numpy())
+    m = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    wi = {w: i for i, w in enumerate(pipe.embeddings["node"])}
+    sims = m @ m.T
+    within = np.mean([sims[wi[a], wi[b]] for a in animals for b in animals
+                      if a != b])
+    cross = np.mean([sims[wi[a], wi[b]] for a in animals for b in tech])
+    assert within > cross + 0.5
+
+    # neighbors sane: a word's top-2 neighbours share its topic
+    nbrs = pipe.get_similar_points(["cat", "gpu"], k=3)
+    assert set(nbrs["cat"][1:]) <= set(animals)
+    assert set(nbrs["gpu"][1:]) <= set(tech)
+
+    # determinism
+    emb2 = PPMISVDEmbedder(dimension=8, window=2, seed=0)
+    tab2 = emb2.fit_model(ds)
+    np.testing.assert_allclose(np.stack(tab2["embedding"].to_numpy()), mat)
+
+    # doc-level inference separates topics
+    dvec = emb2.doc_embeddings(ds).to_pandas().sort_values("doc_id")
+    dm = np.stack(dvec["embedding"].to_numpy())
+    dm = dm / np.maximum(np.linalg.norm(dm, axis=1, keepdims=True), 1e-12)
+    da, dt = dm[::2].mean(0), dm[1::2].mean(0)
+    assert da @ dt / (np.linalg.norm(da) * np.linalg.norm(dt)) < 0.5
+
+    # save/load round trip restores the right embedder class + vectors
+    p = str(tmp_path / "tpipe")
+    pipe.save(p)
+    loaded = EmbeddingPipeline.load(p)
+    assert isinstance(loaded.embedder, PPMISVDEmbedder)
+    np.testing.assert_array_equal(
+        np.stack(loaded.embeddings.sort_values("node")["embedding"].to_numpy()),
+        np.stack(pipe.embeddings.sort_values("node")["embedding"].to_numpy()))
