@@ -234,6 +234,146 @@ class PCAReducer:
         return ds.map_batches(enc, batch_format="pandas", batch_size=None)
 
 
+class PGFrameEncoder:
+    """Property-graph encoder — the ``SemanticPGEncoder`` /
+    ``ScikitLearnPGEncoder`` surface (reference preprocess/encoders.py:96-358
+    and 412-572): per-property encoders dispatched on the PGFrame's declared
+    property type ("category" -> MultiLabelBinarizer, "text" -> TfIdf,
+    "numeric" -> StandardScaler), concatenated into one ``features`` vector
+    per element.
+
+    ``heterogeneous=True`` (reference encoders.py:173-200, 337-358):
+    ``node_properties`` / ``edge_properties`` are ``{type: [props]}`` and
+    every node/edge type fits its OWN encoder map over the typed subset
+    (subset semantics on ``@type``); transform unions the typed subsets, so
+    feature dimensionality is per-type, as in the reference. A multi-typed
+    element is encoded once per matching type with the first match kept.
+
+    Execution shape: every fit is a distributed aggregate over the typed
+    subset; every transform a ``map_batches`` with ``ray.put``-broadcast
+    state — nothing materializes the element tables on the driver."""
+
+    def __init__(self, node_properties=None, edge_properties=None, *,
+                 heterogeneous: bool = False, edge_features: bool = False,
+                 text_encoding_max_dimension: int = 128,
+                 standardize_numeric: bool = True):
+        if heterogeneous:
+            for props, which in ((node_properties, "node"),
+                                 (edge_properties, "edge")):
+                if props is not None and not isinstance(props, dict):
+                    raise ValueError(
+                        f"Encoder is heterogeneous, specified {which} "
+                        "properties should be a dictionary whose keys are "
+                        f"{which} types and whose values are properties to "
+                        "encode.")
+        self.node_properties = node_properties
+        self.edge_properties = edge_properties
+        self.heterogeneous = heterogeneous
+        self.edge_features = edge_features
+        self.text_encoding_max_dimension = text_encoding_max_dimension
+        self.standardize_numeric = standardize_numeric
+        self._node_encoders: dict = {}
+        self._edge_encoders: dict = {}
+
+    def _make_encoder(self, prop: str, prop_type: str):
+        if prop_type == "category":
+            return MultiLabelBinarizerEncoder(prop, out=f"_enc_{prop}")
+        if prop_type == "text":
+            return TfIdfEncoder(prop, max_features=self.text_encoding_max_dimension,
+                                out=f"_enc_{prop}")
+        if prop_type == "numeric":
+            if not self.standardize_numeric:
+                return None
+            return StandardScalerEncoder([prop])
+        raise ValueError(f"unknown property type {prop_type!r}")
+
+    @staticmethod
+    def _typed_subset(ds: "ray.data.Dataset", type_name) -> "ray.data.Dataset":
+        from bluegraph_ray.pgframe import TYPE
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch[TYPE].map(
+                lambda t: type_name in normalize_to_set(t))
+            return batch[mask.to_numpy(dtype=bool)]
+
+        return ds.map_batches(f, batch_format="pandas", batch_size=None)
+
+    def _fit_side(self, pgframe, which: str, props) -> dict:
+        ds = pgframe._nodes if which == "node" else pgframe._edges
+        get_type = (pgframe.node_prop_type if which == "node"
+                    else pgframe.edge_prop_type)
+        encoders: dict = {}
+        if self.heterogeneous:
+            for t, tprops in props.items():
+                sub = self._typed_subset(ds, t).materialize()
+                encoders[t] = {}
+                for p in tprops:
+                    enc = self._make_encoder(p, get_type(p))
+                    if enc is not None:
+                        encoders[t][p] = enc.fit(sub)
+        else:
+            for p in props:
+                enc = self._make_encoder(p, get_type(p))
+                if enc is not None:
+                    encoders[p] = enc.fit(ds)
+        return encoders
+
+    def fit(self, pgframe) -> "PGFrameEncoder":
+        if self.node_properties is not None:
+            self._node_encoders = self._fit_side(
+                pgframe, "node", self.node_properties)
+        if self.edge_features and self.edge_properties is not None:
+            self._edge_encoders = self._fit_side(
+                pgframe, "edge", self.edge_properties)
+        return self
+
+    @staticmethod
+    def _apply_encoders(ds: "ray.data.Dataset", encoders: dict,
+                        id_cols: list[str]) -> "ray.data.Dataset":
+        outs = []
+        for p, enc in encoders.items():
+            ds = enc.transform(ds)
+            outs.append("scaled" if isinstance(enc, StandardScalerEncoder)
+                        else enc.out)
+        ds = concat_features(ds, outs, out="features")
+        return ds.select_columns([*id_cols, "features"])
+
+    def _transform_side(self, pgframe, which: str) -> "ray.data.Dataset":
+        from bluegraph_ray.pgframe import DST, ID, SRC
+
+        ds = pgframe._nodes if which == "node" else pgframe._edges
+        id_cols = [ID] if which == "node" else [SRC, DST]
+        encoders = (self._node_encoders if which == "node"
+                    else self._edge_encoders)
+        if not self.heterogeneous:
+            return self._apply_encoders(ds, encoders, id_cols)
+        parts = [self._apply_encoders(self._typed_subset(ds, t), encs, id_cols)
+                 for t, encs in encoders.items()]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+
+        # multi-typed elements: keep the first matching type's encoding
+        def dedup(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.drop_duplicates(id_cols, keep="first")
+
+        return out.map_batches(dedup, batch_format="pandas", batch_size=None)
+
+    def transform(self, pgframe):
+        """-> RayPGFrame whose nodes (and edges when ``edge_features``) carry
+        a ``features`` vector column."""
+        from bluegraph_ray.pgframe import RayPGFrame
+
+        nodes = self._transform_side(pgframe, "node")
+        edges = (self._transform_side(pgframe, "edge")
+                 if self.edge_features and self._edge_encoders
+                 else pgframe._edges)
+        return RayPGFrame(nodes=nodes, edges=edges)
+
+    def fit_transform(self, pgframe):
+        return self.fit(pgframe).transform(pgframe)
+
+
 def concat_features(ds: "ray.data.Dataset", columns: list[str],
                     out: str = "features") -> "ray.data.Dataset":
     """Row-wise horizontal concat of vector/scalar columns — the reference's

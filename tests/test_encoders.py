@@ -84,3 +84,61 @@ def test_concat_features():
     out = concat_features(ray.data.from_pandas(df), ["x", "v"]).to_pandas()
     np.testing.assert_array_equal(out["features"].iloc[0], [1.0, 3.0, 4.0])
     np.testing.assert_array_equal(out["features"].iloc[1], [2.0, 5.0, 6.0])
+
+
+def test_pgframe_encoder_homogeneous_and_heterogeneous():
+    """ScikitLearnPGEncoder surface (reference preprocess/encoders.py:96-358,
+    tests/preprocess/test_semantic_pg_encoder.py): homogeneous mode encodes
+    every node with one shared encoder map; heterogeneous mode fits a
+    per-type encoder map over each typed subset (per-type dimensionality);
+    a non-dict property spec under heterogeneous raises."""
+    import pytest
+
+    from bluegraph_ray.pgframe import RayPGFrame
+    from bluegraph_ray.pipelines.encoders import PGFrameEncoder
+
+    nodes = pd.DataFrame({
+        "@id": [f"n{i}" for i in range(8)],
+        "@type": ["Apple"] * 4 + ["Orange"] * 4,
+        "weight": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0],
+        "color": ["red", "green", "red", "blue", "red", "red", "green", "blue"],
+        "desc": [f"some words here number {i} fruit text" for i in range(8)],
+    })
+    edges = pd.DataFrame({"@source_id": ["n0", "n4"],
+                          "@target_id": ["n1", "n5"],
+                          "mi": [0.5, 0.7]})
+    pg = RayPGFrame(nodes=nodes, edges=edges)
+    pg.node_prop_as_numeric("weight")
+    pg.node_prop_as_category("color")
+    pg.node_prop_as_text("desc")
+    pg.edge_prop_as_numeric("mi")
+
+    hom = PGFrameEncoder(node_properties=["weight", "color"],
+                         edge_properties=["mi"], edge_features=True)
+    out = hom.fit_transform(pg)
+    feats = out.nodes_df().set_index("@id")["features"]
+    assert len(feats) == 8
+    dims = {len(v) for v in feats}
+    assert dims == {1 + 3}  # scaled weight + 3 colors, same for every node
+    # standardization is global: mean of the scaled weights ~ 0
+    w = np.stack(feats.to_numpy())[:, 0]
+    assert abs(w.mean()) < 1e-9
+    efeats = out.edges_df()["features"]
+    assert len(efeats) == 2 and all(len(v) == 1 for v in efeats)
+
+    het = PGFrameEncoder(
+        node_properties={"Apple": ["weight", "color"], "Orange": ["color"]},
+        heterogeneous=True)
+    out = het.fit_transform(pg)
+    feats = out.nodes_df().set_index("@id")["features"]
+    assert len(feats) == 8
+    # Apple: scaled weight + its own color vocab (red/green/blue = 3) -> 4
+    # Orange: its own color vocab (red/green/blue = 3) -> 3
+    assert {len(feats[f"n{i}"]) for i in range(4)} == {4}
+    assert {len(feats[f"n{i}"]) for i in range(4, 8)} == {3}
+    # per-type standardization: Apple weights scaled by the APPLE mean (2.5)
+    apple_w = np.stack([feats[f"n{i}"] for i in range(4)])[:, 0]
+    assert abs(apple_w.mean()) < 1e-9
+
+    with pytest.raises(ValueError):
+        PGFrameEncoder(node_properties=["weight"], heterogeneous=True)
