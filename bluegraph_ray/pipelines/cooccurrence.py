@@ -155,15 +155,23 @@ def mentions_to_occurrence(
     ``aggregation``: "set" -> canonical sorted-unique list per term (the
     reference's ``set`` default, canonicalized so output is deterministic
     under distribution); "list" -> sorted list keeping multiplicity (the
-    reference's ``entity_type`` convention, order canonicalized).
+    reference's ``entity_type`` convention, order canonicalized). A dict
+    {column: mode} sets the mode per factor column (the
+    ``aggregate_cord_entities`` shape, utils.py:252-267: factors as sets,
+    entity_type as a list); unlisted columns default to "set".
 
     Returns ``(occurrences, factor_counts)``: a Dataset with one row per
     distinct term (columns: term + one list column per factor) and a dict
     of exact distinct-instance counts per factor column (the PMI
     denominators, reference utils.py:230-232).
     """
-    if aggregation not in ("set", "list"):
-        raise ValueError(f"aggregation must be 'set' or 'list', got {aggregation!r}")
+    if isinstance(aggregation, dict):
+        modes = {f: aggregation.get(f, "set") for f in factor_columns}
+    else:
+        modes = {f: aggregation for f in factor_columns}
+    for f, m in modes.items():
+        if m not in ("set", "list"):
+            raise ValueError(f"aggregation must be 'set' or 'list', got {m!r} for {f!r}")
     factor_columns = list(factor_columns)
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -185,12 +193,11 @@ def mentions_to_occurrence(
         batch["_bucket"] = (h % num_buckets).astype(np.int64)
         return batch
 
-    uniq = aggregation == "set"
-
     def agg_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby(term_column, sort=False)
         out = pd.DataFrame({term_column: list(g.groups)})
         for f in factor_columns:
+            uniq = modes[f] == "set"
             col = g[f].agg(
                 (lambda s: sorted(set(s))) if uniq else (lambda s: sorted(s)))
             out[f] = col.to_numpy()

@@ -122,6 +122,7 @@ def merge_with_ontology_linking(
     factor_columns: Sequence[str] = ("paper",),
     first_columns: Sequence[str] = (),
     sum_columns: Sequence[str] = (),
+    concat_columns: Sequence[str] = (),
     lowercase: bool = True,
     num_buckets: int = 64,
 ) -> "ray.data.Dataset":
@@ -129,10 +130,13 @@ def merge_with_ontology_linking(
     then aggregate per concept. Output columns: ``entity`` (the concept),
     ``aggregated_entities`` (sorted list), each factor column as a sorted
     union list, ``first_columns`` from the smallest entity, ``sum_columns``
-    summed. See module docstring for the reference mapping."""
+    summed, ``concat_columns`` as sorted multiplicity-preserving list
+    concatenation (the reference's ``sum(x, [])`` fallback for untyped list
+    columns, utils.py:463). See module docstring for the reference mapping."""
     factor_columns = list(factor_columns)
     first_columns = list(first_columns)
     sum_columns = list(sum_columns)
+    concat_columns = list(concat_columns)
 
     def norm_linking(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -175,6 +179,9 @@ def merge_with_ontology_linking(
             out[f] = g[f].agg("first").to_numpy()  # smallest entity's value
         for f in sum_columns:
             out[f] = g[f].agg("sum").to_numpy()
+        for f in concat_columns:
+            out[f] = g[f].agg(
+                lambda s: sorted(x for cell in s for x in cell)).to_numpy()
         return out
 
     return (
