@@ -1,0 +1,70 @@
+"""generate_cooccurrence_analysis composition (reference cord19kg/utils.py:
+544-734) — per-factor graph + tree with metrics/communities written back."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from bluegraph_ray.pipelines.analysis import generate_cooccurrence_analysis
+
+
+def _occurrence_fixture():
+    # 6 entities over 4 papers; a/b/c co-occur heavily, x/y/z separately
+    rows = [
+        ("a", ["p1", "p2", "p3"], ["p1:s:0", "p2:s:0", "p3:s:0"]),
+        ("b", ["p1", "p2"], ["p1:s:1", "p2:s:1"]),
+        ("c", ["p1", "p2", "p3"], ["p1:s:2", "p2:s:2", "p3:s:2"]),
+        ("x", ["p4"], ["p4:s:0", "p4:s:1"]),
+        ("y", ["p4"], ["p4:s:2", "p4:s:3"]),
+        ("z", ["p4", "p3"], ["p4:s:4", "p3:s:4"]),
+    ]
+    df = pd.DataFrame(rows, columns=["entity", "paper", "paragraph"])
+    return ray.data.from_pandas(df), {"paper": 4, "paragraph": 12}
+
+
+def test_generate_cooccurrence_analysis_graph_and_tree(tmp_path):
+    occ, counts = _occurrence_fixture()
+    graphs, trees = generate_cooccurrence_analysis(
+        occ, counts, factors=["paper"], communities=True,
+        community_strategy="louvain", num_buckets=4, n_partitions=2,
+        graph_dump_prefix=str(tmp_path / "dump"))
+    g = graphs["paper"]
+    nodes = g.nodes_df().set_index("@id")
+    assert set(nodes.index) == {"a", "b", "c", "x", "y", "z"}
+    # metrics + communities written back as node properties
+    for col in ("degree_frequency", "pagerank_frequency",
+                "community_frequency", "community_npmi", "paper_frequency"):
+        assert col in nodes.columns, col
+    assert nodes.loc["a", "paper_frequency"] == 3
+    edges = g.edges_df()
+    assert {"frequency", "ppmi", "npmi", "distance_npmi"} <= set(edges.columns)
+    pair = edges.set_index(["@source_id", "@target_id"])
+    assert pair.loc[("a", "c"), "frequency"] == 3
+    # tree: spanning forest of the connected components; a-c must be in it
+    t = trees["paper"].edges_df()
+    tp = {frozenset((s, d)) for s, d in zip(t["@source_id"], t["@target_id"])}
+    assert frozenset(("a", "c")) in tp
+    n_nodes = len(nodes)
+    assert len(t) < len(edges)  # strictly sparser than the graph
+    assert len(t) <= n_nodes - 1
+    # dumps exist and round-trip
+    assert (tmp_path / "dump_paper_graph.json").exists()
+    assert (tmp_path / "dump_paper_tree.json").exists()
+
+
+def test_generate_cooccurrence_analysis_topk_and_filters():
+    occ, counts = _occurrence_fixture()
+    graphs, trees = generate_cooccurrence_analysis(
+        occ, counts, factors=["paper"], n_most_frequent=3, keep={"z"},
+        communities=False, remove_zero_mi=True, num_buckets=4,
+        n_partitions=2)
+    nodes = set(graphs["paper"].nodes_df()["@id"])
+    # top-3 by paper_frequency (a:3, c:3, then b/z tie at 2 -> smallest
+    # entity 'b' wins the deterministic tie-break) + kept 'z'
+    assert nodes == {"a", "b", "c", "z"}
+    edges = graphs["paper"].edges_df()
+    assert (edges["ppmi"] > 0).all()
