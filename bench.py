@@ -96,7 +96,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     def build_edges():
         src = with_sha256(source_code_table(n_files, seed=42, parallelism=num_cpus * 4))
+        # generation/sha fan out over num_cpus*4 tiny blocks; the occurrence
+        # table is 1 row/file, so coalesce before the shuffles — groupby cost
+        # scales with (input blocks x reduce partitions), and 129 blocks ->
+        # 32 measured 7.7s -> 2.8s for the whole edge build at sf0.1
         occ = occurrences_from_source(src, entity="stem", factor=factor)
+        occ = occ.materialize().repartition(min(num_cpus, 32)).materialize()
         # bucket count sized to the data, capped by the cpu fan-out: at sf0.1
         # (200k files) 32 buckets beat 128 by ~30% — each extra bucket is a
         # fixed per-task cost through THREE shuffle stages

@@ -60,6 +60,10 @@ def run_flagship(
     # 1. invariant stage + occurrence extraction (content is dropped right after)
     src = with_sha256(source)
     occ = occurrences_from_source(src, entity=entity, factor=factor)
+    # the source table fans out over many small generation/read blocks while
+    # the occurrence table is ~1 row/file — coalesce before the shuffles
+    # (groupby cost scales with input-block x reduce-partition count)
+    occ = occ.materialize().repartition(max(4, num_buckets // 2)).materialize()
 
     # 2. co-occurrence edge table (3 shuffles, see pipelines/cooccurrence.py).
     # decode_names=False: edges stay dense int ids end-to-end — no string
