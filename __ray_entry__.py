@@ -628,6 +628,47 @@ def q_linked_mentions(sf_dir: str):
     return linked.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def q_curation_table(sf_dir: str):
+    """generate_curation_table over lineitem-derived mentions (reference
+    cord19kg/utils.py:270-413): entity=item-<partkey>, occurrence =
+    '<orderkey>:<linenumber>:<suppkey>' ('<paper>:<section>:<paragraph>'
+    shape); per-entity factor sets + curation columns, single-paragraph
+    entities dropped. Scalar projections for the SQL oracle."""
+    from bluegraph_ray.pipelines.curation import generate_curation_table
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag", "l_orderkey", "l_linenumber",
+                 "l_suppkey"])
+
+    def to_mentions(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity": "item-" + batch["l_partkey"].astype(str),
+            "entity_type": batch["l_returnflag"],
+            "occurrence": (batch["l_orderkey"].astype(str) + ":"
+                           + batch["l_linenumber"].astype(str) + ":"
+                           + batch["l_suppkey"].astype(str)),
+        })
+
+    mentions = li.map_batches(to_mentions, batch_format="pandas",
+                              batch_size=None)
+    cur, _counts = generate_curation_table(mentions, num_buckets=16)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity": batch["entity"],
+            "paper_frequency": batch["paper_frequency"].astype(np.int64),
+            "n_sections": batch["section"].map(len).astype(np.int64),
+            "n_paragraphs": batch["paragraph"].map(len).astype(np.int64),
+            "raw_frequency": batch["raw_frequency"].astype(np.int64),
+            "entity_type": batch["entity_type"],
+        })
+
+    return cur.map_batches(project, batch_format="pandas", batch_size=None)
+
+
 def q_word_cooc(sf_dir: str):
     """Symmetric word-window (w=2) co-occurrence counts over documents —
     the distributed counting stage of the PPMI-SVD text embedder
@@ -732,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "taxonomy_types": q_taxonomy_types,
         "linked_mentions": q_linked_mentions,
+        "curation_table": q_curation_table,
         "word_cooc": q_word_cooc,
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
@@ -1446,6 +1488,26 @@ SELECT pe.concept AS entity,
   CAST(SUM(pe.freq) AS BIGINT) AS frequency
 FROM per_entity pe JOIN pc ON pc.concept = pe.concept
 GROUP BY 1
+""",
+        "curation_table": """
+WITH m AS (
+  SELECT 'item-' || l_partkey AS entity,
+         l_returnflag AS entity_type,
+         CAST(l_orderkey AS VARCHAR) AS paper,
+         l_orderkey || ':' || l_linenumber AS section,
+         l_orderkey || ':' || l_linenumber || ':' || l_suppkey AS paragraph
+  FROM lineitem
+),
+agg AS (
+  SELECT entity,
+    COUNT(DISTINCT paper)::BIGINT AS paper_frequency,
+    COUNT(DISTINCT section)::BIGINT AS n_sections,
+    COUNT(DISTINCT paragraph)::BIGINT AS n_paragraphs,
+    COUNT(*)::BIGINT AS raw_frequency,
+    string_agg(DISTINCT entity_type, ', ' ORDER BY entity_type) AS entity_type
+  FROM m GROUP BY 1
+)
+SELECT * FROM agg WHERE n_paragraphs > 1
 """,
         # symmetric window-2 word co-occurrence: positional self-join on the
         # token stream (unnest pairs align positionally in DuckDB)
