@@ -129,6 +129,119 @@ def _agglomerative_constrained(features: np.ndarray, conn: np.ndarray,
     return labels
 
 
+def _dcsbm_loglike(m: np.ndarray, kappa: np.ndarray) -> float:
+    """Degree-corrected SBM log-likelihood (Karrer & Newman 2011):
+    L = sum_rs m_rs * log(m_rs / (kappa_r * kappa_s)) over ordered block
+    pairs (m symmetric with diagonal double-counted — the directed-sum
+    convention; constant terms dropped)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kk = np.outer(kappa, kappa)
+        terms = np.where(m > 0, m * np.log(np.where(m > 0, m, 1.0)
+                                           / np.where(kk > 0, kk, 1.0)), 0.0)
+    return float(terms.sum())
+
+
+def _dcsbm_dl(m: np.ndarray, kappa: np.ndarray, n: int, n_edges: float) -> float:
+    """Description length = -logL + MDL penalty (B(B+1)/2 block-pair params
+    at log E nats each + n block assignments at log B nats). Minimizing this
+    over B is the from-scratch analog of graph-tool's
+    ``minimize_blockmodel_dl`` model selection."""
+    b = len(kappa)
+    penalty = (b * (b + 1) / 2.0) * np.log(max(n_edges, 2.0)) \
+        + n * np.log(max(b, 2))
+    return -_dcsbm_loglike(m, kappa) + penalty
+
+
+def _fit_dcsbm(adj: np.ndarray, b_min: int, b_max: int):
+    """Deterministic DC-SBM fit: agglomerative block merges (greedy best
+    delta-likelihood, ties to the smallest pair) from B=n down to b_min,
+    with a greedy node-move sweep at each candidate B; the B in
+    [b_min, b_max] with the smallest description length wins.
+    O(n^3)-ish — a small-graph point query like the other non-LPA
+    strategies (the reference's graph-tool call is also single-machine)."""
+    n = len(adj)
+    labels = np.arange(n)
+    best = None
+
+    def blocks_state(lab):
+        codes, inv = np.unique(lab, return_inverse=True)
+        b = len(codes)
+        onehot = np.zeros((n, b))
+        onehot[np.arange(n), inv] = 1.0
+        m = onehot.T @ adj @ onehot
+        kappa = m.sum(axis=1)
+        return inv, b, m, kappa
+
+    inv, b, m, kappa = blocks_state(labels)
+    if b <= b_max:  # the B=n (or already-coarse) starting state is a candidate
+        dl = _dcsbm_dl(m, kappa, n, adj.sum() / 2.0)
+        best = (dl, inv.copy())
+    while b > max(b_min, 1):
+        # merge the pair with the best (max) delta log-likelihood
+        base = _dcsbm_loglike(m, kappa)
+        best_delta, best_pair = -np.inf, None
+        for r in range(b):
+            for s in range(r + 1, b):
+                m2 = np.delete(np.delete(m, s, 0), s, 1).copy()
+                row = m[r] + m[s]
+                row2 = np.delete(row, s)
+                m2[r, :] = row2
+                m2[:, r] = row2
+                m2[r, r] = m[r, r] + m[s, s] + m[r, s] + m[s, r]
+                k2 = np.delete(kappa, s).copy()
+                k2[r] = kappa[r] + kappa[s]
+                d = _dcsbm_loglike(m2, k2) - base
+                if d > best_delta + 1e-12:
+                    best_delta, best_pair = d, (r, s)
+        r, s = best_pair
+        inv = np.where(inv == s, r, inv)
+        inv = np.where(inv > s, inv - 1, inv)
+        inv, b, m, kappa = blocks_state(inv)
+        if b <= b_max:
+            ref = _refine_dcsbm(adj, inv.copy(), b)
+            _, b2, m2, k2 = _sbm_counts(adj, ref)
+            dl = _dcsbm_dl(m2, k2, n, adj.sum() / 2.0)
+            if best is None or dl < best[0] - 1e-12:
+                best = (dl, ref)
+    return best[1]
+
+
+def _sbm_counts(adj, lab):
+    n = len(adj)
+    codes, inv = np.unique(lab, return_inverse=True)
+    b = len(codes)
+    onehot = np.zeros((n, b))
+    onehot[np.arange(n), inv] = 1.0
+    m = onehot.T @ adj @ onehot
+    return inv, b, m, m.sum(axis=1)
+
+
+def _refine_dcsbm(adj, labels, b, sweeps: int = 3):
+    """Greedy node moves: sweep nodes in index order, move each to the block
+    that maximizes the DC-SBM likelihood; stop when a sweep changes
+    nothing. Never empties a block."""
+    n = len(adj)
+    for _ in range(sweeps):
+        moved = False
+        for v in range(n):
+            cur = labels[v]
+            if (labels == cur).sum() == 1:
+                continue  # keep all B blocks populated
+            best_l, best_score = cur, -np.inf
+            for cand in range(b):
+                labels[v] = cand
+                _, _, m, k = _sbm_counts(adj, labels)
+                sc = _dcsbm_loglike(m, k)
+                if sc > best_score + 1e-12:
+                    best_score, best_l = sc, cand
+            labels[v] = best_l
+            if best_l != cur:
+                moved = True
+        if not moved:
+            break
+    return labels
+
+
 def detect_communities(
     edges: "ray.data.Dataset",
     *,
@@ -140,6 +253,8 @@ def detect_communities(
     n_partitions: int = 8,
     feature_vectors=None,
     linkage: str = "average",
+    min_communities: int | None = None,
+    max_communities: int | None = None,
 ) -> dict:
     """-> {node: community_label}."""
     if strategy == "lpa":
@@ -195,10 +310,30 @@ def detect_communities(
                                             linkage=linkage)
         return {str(n): int(l) for n, l in zip(nodes, labels)}
     if strategy == "sbm":
-        raise ValueError(
-            f"{strategy} is not implemented by this backend "
-            "(graph-tool is unavailable)"
-        )
+        # from-scratch degree-corrected SBM with MDL model selection — the
+        # engine's analog of the reference's graph-tool
+        # ``minimize_blockmodel_dl(B_min=min_communities,
+        # B_max=max_communities)`` (backends/graph_tool/analyse/
+        # communities.py:51-86). Karrer-Newman likelihood, deterministic
+        # agglomerative merges + greedy node-move refinement.
+        pdf = edges.to_pandas() if hasattr(edges, "to_pandas") else edges
+        nodes = np.sort(pd.unique(pd.concat([pdf[src], pdf[dst]]).to_numpy()))
+        pos = {nd: i for i, nd in enumerate(nodes)}
+        adj = np.zeros((len(nodes), len(nodes)), dtype=np.float64)
+        s = pdf[src].map(pos).to_numpy()
+        t = pdf[dst].map(pos).to_numpy()
+        w = (pdf[weight].to_numpy(dtype=np.float64) if weight
+             else np.ones(len(pdf)))
+        adj[s, t] += w
+        adj[t, s] += w
+        b_min = max(1, min_communities or 1)
+        b_max = min(len(nodes), max_communities or len(nodes))
+        labels = _fit_dcsbm(adj, b_min, b_max)
+        # relabel by each block's smallest member for determinism
+        order = {}
+        for i in np.argsort(nodes, kind="stable"):
+            order.setdefault(labels[i], len(order))
+        return {str(nd): order[l] for nd, l in zip(nodes, labels)}
     raise ValueError(f"unknown community detection strategy {strategy!r}")
 
 

@@ -63,9 +63,42 @@ def test_unknown_strategies_raise():
     df, _ = karate()
     ds = ray.data.from_pandas(df)
     with pytest.raises(ValueError):
-        communities.detect_communities(ds, strategy="sbm")
-    with pytest.raises(ValueError):
         communities.detect_communities(ds, strategy="nope")
+
+
+def test_sbm_recovers_planted_partition():
+    """From-scratch DC-SBM + MDL model selection (the reference's
+    minimize_blockmodel_dl analog, backends/graph_tool/analyse/
+    communities.py:51-86): recovers a 2-block planted partition with the
+    right block count selected from [1, 5], deterministically."""
+    rng = np.random.default_rng(5)
+    nodes = [f"a{i}" for i in range(10)] + [f"b{i}" for i in range(10)]
+    rows = []
+    for i in range(20):
+        for j in range(i + 1, 20):
+            same = (i < 10) == (j < 10)
+            if rng.random() < (0.8 if same else 0.06):
+                rows.append((nodes[i], nodes[j]))
+    ds = ray.data.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+    part = communities.detect_communities(
+        ds, strategy="sbm", min_communities=1, max_communities=5)
+    assert set(part) == set(nodes)
+    assert len(set(part.values())) == 2
+    assert {part[f"a{i}"] for i in range(10)} == {0}
+    assert {part[f"b{i}"] for i in range(10)} == {1}
+    part2 = communities.detect_communities(
+        ds, strategy="sbm", min_communities=1, max_communities=5)
+    assert part == part2
+
+
+def test_sbm_respects_b_bounds():
+    # triangle + triangle + bridge, forced to at least 3 blocks
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    ds = ray.data.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+    part = communities.detect_communities(
+        ds, strategy="sbm", min_communities=3, max_communities=4)
+    assert len(set(part.values())) >= 3
 
 
 def test_hierarchical_full_partition_and_connected_clusters():
