@@ -16,6 +16,8 @@ Parity operators for the reference's io surface, Ray-Data-first:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -165,17 +167,169 @@ def export_to_gephi(frame: RayPGFrame, node_path: str, edge_path: str,
     frame._edges.map_batches(emap, batch_format="pandas", batch_size=None).write_csv(edge_path)
 
 
-# -- ontology (gated) -------------------------------------------------------
+# -- ontology ---------------------------------------------------------------
 
-def frame_from_ontology(path: str) -> RayPGFrame:
-    """OWL/RDF import requires rdflib (reference core/io.py:617-708), which is
-    not in this container."""
-    try:
-        import rdflib  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "from_ontology requires rdflib; install it and wire the triples "
-            "through frame_from_jsonld-style folding (see reference "
-            "core/io.py:617-708 for the class/restriction semantics)"
-        ) from e
-    raise NotImplementedError("rdflib present but wiring not implemented yet")
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+_RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+_OWL_INDIVIDUAL = "http://www.w3.org/2002/07/owl#NamedIndividual"
+_OWL_SOME = "http://www.w3.org/2002/07/owl#someValuesFrom"
+_OWL_ONPROP = "http://www.w3.org/2002/07/owl#onProperty"
+
+_NT_LINE = re.compile(
+    r'^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"'
+    r'(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$')
+_NT_LITERAL = re.compile(r'^"((?:[^"\\]|\\.)*)"')
+
+
+_NT_ESC = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))")
+_NT_SIMPLE = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+              '"': '"', "'": "'", "\\": "\\"}
+
+
+def _nt_unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+
+    def sub(m: "re.Match") -> str:
+        if m.group(1):
+            return chr(int(m.group(1), 16))
+        if m.group(2):
+            return chr(int(m.group(2), 16))
+        return _NT_SIMPLE.get(m.group(3), m.group(3))
+
+    return _NT_ESC.sub(sub, s)
+
+
+def parse_ntriples(text: str) -> list:
+    """Minimal from-scratch N-Triples parser -> (subject, predicate, object,
+    is_literal) tuples. URIs lose their angle brackets; blank nodes keep the
+    ``_:`` prefix; literals are unescaped with datatype/lang tags dropped."""
+    out = []
+    for line in text.splitlines():
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        m = _NT_LINE.match(line)
+        if not m:
+            raise ValueError(f"unparseable N-Triples line: {line!r}")
+        s, p, o = m.groups()
+        s = s[1:-1] if s.startswith("<") else s
+        lit = _NT_LITERAL.match(o)
+        if lit:
+            out.append((s, p, _nt_unescape(lit.group(1)), True))
+        else:
+            out.append((s, p, o[1:-1] if o.startswith("<") else o, False))
+    return out
+
+
+def frame_from_ontology(path: str | None = None, *, triples=None,
+                        format: str = "nt",
+                        remove_prop_uris: bool = False) -> RayPGFrame:
+    """Ontology -> PGFrame with the reference's folding semantics
+    (core/io.py:617-708): labeled owl:Class / owl:NamedIndividual become
+    nodes (by label); rdfs:subClassOf becomes IS_SUBCLASS_OF edges, OWL
+    someValuesFrom/onProperty restrictions become typed edges, other object
+    properties to labeled targets become edges typed by predicate URI;
+    literal predicates become node properties (multi-valued -> list).
+
+    ``format="nt"`` (N-Triples) parses natively — no rdflib needed; other
+    RDF serializations (turtle, xml) require rdflib and stay gated in this
+    container."""
+    if path is None and triples is None:
+        raise ValueError("Ontology source must be specified: both "
+                         "'path' and 'triples' are None")
+    if triples is None:
+        if format != "nt":
+            try:
+                import rdflib  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"from_ontology(format={format!r}) requires rdflib "
+                    "(absent in this container); N-Triples (format='nt') "
+                    "parses natively") from e
+            g = __import__("rdflib").Graph()
+            g.parse(path, format=format)
+            triples = [(str(s), str(p),
+                        o.value if hasattr(o, "value") else str(o),
+                        hasattr(o, "value"))
+                       for s, p, o in g]
+        else:
+            with open(path) as fh:
+                triples = parse_ntriples(fh.read())
+
+    labels: dict = {}
+    types: dict = {}
+    by_subject: dict = {}
+    for s, p, o, lit in triples:
+        by_subject.setdefault(s, []).append((p, o, lit))
+        if p == _RDFS_LABEL and lit and s not in labels:
+            labels[s] = o
+        if p == _RDF_TYPE and not lit:
+            types.setdefault(s, set()).add(o)
+
+    classes = [s for s, ts in types.items()
+               if _OWL_CLASS in ts and s in labels]
+    individuals = [s for s, ts in types.items()
+                   if _OWL_INDIVIDUAL in ts and s in labels]
+
+    edges: dict = {}
+    props: dict = {}
+    for c in classes:
+        node_id = labels[c]
+        for p, o, lit in by_subject.get(c, []):
+            if lit:
+                if p == _RDFS_LABEL:
+                    continue
+                name = labels.get(p, p)
+                cur = props.setdefault(name, {})
+                if node_id in cur:
+                    if isinstance(cur[node_id], list):
+                        cur[node_id].append(o)
+                    else:
+                        cur[node_id] = [cur[node_id], o]
+                else:
+                    cur[node_id] = o
+            elif p == _RDFS_SUBCLASS:
+                if o.startswith("_:"):  # OWL restriction blank node
+                    target = edge_label = None
+                    for pp, oo, _l in by_subject.get(o, []):
+                        if pp == _OWL_SOME and oo in labels:
+                            target = labels[oo]
+                        elif pp == _OWL_ONPROP and oo in labels:
+                            edge_label = labels[oo]
+                    if target:
+                        edges.setdefault((node_id, target), set()).add(edge_label)
+                elif o in labels:
+                    edges.setdefault((node_id, labels[o]), set()).add(
+                        "IS_SUBCLASS_OF")
+            elif p != _RDF_TYPE and o in labels:
+                edges.setdefault((node_id, labels[o]), set()).add(p)
+
+    if remove_prop_uris:
+        # rename BEFORE the property join: a post-hoc column rename
+        # round-trips cells through Arrow, which re-materializes tuple
+        # cells as ragged ndarrays (they then break the block concat)
+        pattern = re.compile(r"(http(s*):\/\/.*)[#|\/](.*)")
+        renamed = {}
+        for p, v in props.items():
+            m = pattern.match(p)
+            renamed[m.groups()[2] if m else p] = v
+        props = renamed
+
+    frame = RayPGFrame(
+        nodes=sorted({labels[el] for el in [*classes, *individuals]}),
+        edges=sorted(edges))
+    if edges:
+        frame = frame.add_edge_types(
+            {k: sorted(v) for k, v in edges.items()})
+    for k, v in props.items():
+        # multi-valued cells as TUPLES: ragged lists/ndarrays trip Ray's
+        # tensor-extension cast when blocks with missing values concat;
+        # tuples stay plain object cells (the reference uses lists — same
+        # content, different container)
+        v = {n: (tuple(x) if isinstance(x, list) else x)
+             for n, x in v.items()}
+        frame = frame.add_node_properties(
+            pd.DataFrame(v.items(), columns=["@id", k]))
+    return frame

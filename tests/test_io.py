@@ -56,6 +56,57 @@ def test_gephi_export(tmp_path):
     )
 
 
-def test_ontology_gated():
+def test_ontology_non_nt_formats_gated():
+    # turtle/xml still require rdflib (absent here); N-Triples parses natively
     with pytest.raises(NotImplementedError):
-        gio.frame_from_ontology("/tmp/nope.ttl")
+        gio.frame_from_ontology("/tmp/nope.ttl", format="turtle")
+
+
+_ONTO_NT = """
+<http://ex.org/onto#Cell> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+<http://ex.org/onto#Cell> <http://www.w3.org/2000/01/rdf-schema#label> "Cell" .
+<http://ex.org/onto#Cell> <http://ex.org/onto#definition> "Basic unit \\"of\\" life" .
+<http://ex.org/onto#Cell> <http://ex.org/onto#synonym> "cellule"@fr .
+<http://ex.org/onto#Cell> <http://ex.org/onto#synonym> "zelle" .
+<http://ex.org/onto#Neuron> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+<http://ex.org/onto#Neuron> <http://www.w3.org/2000/01/rdf-schema#label> "Neuron" .
+<http://ex.org/onto#Neuron> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://ex.org/onto#Cell> .
+<http://ex.org/onto#Neuron> <http://www.w3.org/2000/01/rdf-schema#subClassOf> _:b0 .
+_:b0 <http://www.w3.org/2002/07/owl#someValuesFrom> <http://ex.org/onto#Brain> .
+_:b0 <http://www.w3.org/2002/07/owl#onProperty> <http://ex.org/onto#partOf> .
+<http://ex.org/onto#Brain> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+<http://ex.org/onto#Brain> <http://www.w3.org/2000/01/rdf-schema#label> "Brain" .
+<http://ex.org/onto#partOf> <http://www.w3.org/2000/01/rdf-schema#label> "part_of" .
+<http://ex.org/onto#n1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#NamedIndividual> .
+<http://ex.org/onto#n1> <http://www.w3.org/2000/01/rdf-schema#label> "my neuron" .
+<http://ex.org/onto#Unlabeled> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+"""
+
+
+def test_from_ontology_ntriples(tmp_path):
+    """from_ontology folding semantics (reference core/io.py:617-708) over
+    the native N-Triples path: labeled classes/individuals as nodes,
+    IS_SUBCLASS_OF + OWL-restriction edges, literal props (multi-valued ->
+    collection), unlabeled classes skipped, uri prop names shortened."""
+    p = tmp_path / "onto.nt"
+    p.write_text(_ONTO_NT)
+    f = gio.frame_from_ontology(str(p), remove_prop_uris=True)
+    assert sorted(f.nodes()) == ["Brain", "Cell", "Neuron", "my neuron"]
+    nd = f.nodes_df().set_index("@id")
+    assert nd.loc["Cell", "definition"] == 'Basic unit "of" life'
+    assert sorted(nd.loc["Cell", "synonym"]) == ["cellule", "zelle"]
+    types = {(r["@source_id"], r["@target_id"]): list(r["@type"])
+             for r in f.edges_df().to_dict("records")}
+    assert types == {("Neuron", "Cell"): ["IS_SUBCLASS_OF"],
+                     ("Neuron", "Brain"): ["part_of"]}
+
+
+def test_parse_ntriples_forms():
+    t = gio.parse_ntriples(
+        '<http://a> <http://p> <http://b> .\n'
+        '# comment\n'
+        '_:x <http://p> "lit with \\u00e9"^^<http://www.w3.org/2001/XMLSchema#string> .\n')
+    assert t[0] == ("http://a", "http://p", "http://b", False)
+    assert t[1] == ("_:x", "http://p", "lit with \u00e9", True)
+    with pytest.raises(ValueError):
+        gio.parse_ntriples("not a triple\n")
