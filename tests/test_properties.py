@@ -123,3 +123,74 @@ def test_kmeans_centroid_invariants(n_points, n_segments):
     assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
     c2 = kmeans_centroids(x, n_segments, seed=17)
     assert (c == c2).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+    max_size=12))
+def test_fast_token_stream_matches_split_semantics(texts):
+    """The vectorized tokenizer must agree with str.split(' ') on token
+    COUNTS for arbitrary unicode (empty tokens included), and equal tokens
+    must hash equally across positions and docs."""
+    from bluegraph_ray.pipelines.dedup import _fast_token_stream
+
+    th, tb = _fast_token_stream(texts)
+    assert len(tb) == len(texts) + 1
+    all_toks: list = []
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        assert tb[d + 1] - tb[d] == len(toks)
+        all_toks.extend(toks)
+    assert len(th) == len(all_toks)
+    # content-determined: same token -> same hash, everywhere
+    by_tok: dict = {}
+    for tok, h in zip(all_toks, th):
+        assert by_tok.setdefault(tok, h) == h, tok
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.sampled_from("ab c"), max_size=30), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=4))
+def test_fast_shingle_hashes_match_token_shingles(texts, k):
+    """Shingle hashing must mirror _token_shingles structure: per-doc
+    shingle counts agree, equal shingle strings hash equally across docs,
+    distinct shingles (almost surely) differ."""
+    from bluegraph_ray.pipelines.dedup import (_fast_shingle_hashes,
+                                               _token_shingles)
+
+    sh, sb = _fast_shingle_hashes(texts, k)
+    by_shingle: dict = {}
+    for d, t in enumerate(texts):
+        ref = _token_shingles(t, k)
+        assert sb[d + 1] - sb[d] == len(ref)
+        for s, h in zip(ref, sh[sb[d]:sb[d + 1]]):
+            assert by_shingle.setdefault(s, h) == h, s
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=200),
+       st.lists(st.integers(min_value=1, max_value=30), min_size=1,
+                max_size=12),
+       st.integers(min_value=4, max_value=64))
+def test_segment_affine_min_matches_naive(hashes, seg_sizes, chunk):
+    """Cache-blocked segmented minima == the naive per-segment min for any
+    segment layout and chunk size (incl. chunks smaller than a segment)."""
+    from bluegraph_ray.pipelines.dedup import MinHasher, _segment_affine_min
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    sizes = np.asarray(seg_sizes)
+    sizes = sizes[np.cumsum(sizes) <= len(h)]
+    if len(sizes) == 0:
+        sizes = np.array([len(h)])
+    bounds = np.concatenate(([0], np.cumsum(sizes)))
+    h = h[: bounds[-1]]
+    mh = MinHasher(num_perm=8)
+    got = _segment_affine_min(mh.a[:8], mh.b[:8], h, bounds, chunk=chunk)
+    with np.errstate(over="ignore"):
+        for d in range(len(bounds) - 1):
+            seg = h[bounds[d]:bounds[d + 1]]
+            want = (mh.a[:8, None] * seg[None, :] + mh.b[:8, None]).min(axis=1)
+            assert (got[d] == want).all()
