@@ -343,6 +343,27 @@ def test_mentions_to_occurrence_hooks():
     )
     out2 = occ2.to_pandas().sort_values("entity").reset_index(drop=True)
     assert sorted(out2.loc[0, "factor"]) == ["p1", "p1", "p2"]
+    # per-column modes (the aggregate_cord_entities shape, utils.py:252-267):
+    # factor as a set, section as a multiplicity-keeping list
+    occ3, _ = mentions_to_occurrence(
+        ray.data.from_pandas(df),
+        term_column="entity",
+        factor_columns=["factor", "section"],
+        term_cleanup=lambda t: t.strip().lower(),
+        term_filter=lambda s: s.str.len() > 1,
+        mention_filter=lambda b: b["factor"] != "p3",
+        aggregation={"factor": "set", "section": "list"},
+        num_buckets=4,
+    )
+    out3 = occ3.to_pandas().sort_values("entity").reset_index(drop=True)
+    assert sorted(out3.loc[0, "factor"]) == ["p1", "p2"]
+    assert sorted(out3.loc[0, "section"]) == ["s1", "s1", "s1"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        mentions_to_occurrence(ray.data.from_pandas(df),
+                               factor_columns=["factor"],
+                               aggregation={"factor": "bag"})
 
 
 def test_sliding_window_matches_pandas():
