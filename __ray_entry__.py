@@ -76,7 +76,10 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
     from bluegraph_ray.util import tune_context
 
     tune_context()
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # every consumer computes from text alone and projects afterwards —
+    # prune at the read (lang/source/n_chars never leave storage)
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
 
 
 def _emb_queries(sf_dir: str, k: int = 10):
@@ -210,7 +213,8 @@ def q_pricing_summary(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     from bluegraph_ray.pipelines.windows import tumbling_window
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
     return tumbling_window(ev)
 
 
@@ -220,7 +224,8 @@ def q_events_sliding(sf_dir: str):
     tumbling."""
     from bluegraph_ray.pipelines.windows import sliding_window
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
     return sliding_window(ev)
 
 
@@ -272,7 +277,8 @@ def q_events_sessions(sf_dir: str):
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id"])
-    sess = sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    sess = sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                            columns=["user_id", "ts"]))
     out = interval_join(ev, sess.select_columns(
         ["user_id", "session_id", "session_start", "session_end"]))
 
@@ -289,14 +295,16 @@ def q_events_sessions(sf_dir: str):
 def q_sessions(sf_dir: str):
     from bluegraph_ray.pipelines.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
     return sessionize(ev, gap_minutes=30)
 
 
 def q_dedup_exact(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf_dir))
+    return exact_dedup(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_doc_stats(sf_dir: str):
@@ -330,13 +338,17 @@ def q_doc_split(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.05)
+    return ngram_jaccard_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        k=3, threshold=0.05)
 
 
 def q_knn_cosine(sf_dir: str):
     from bluegraph_ray.pipelines.similarity import knn_topk
 
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
     qm, qids = _emb_queries(sf_dir, 10)
     return knn_topk(corpus, qm, qids, k=5)
 
@@ -348,7 +360,8 @@ def q_ivf_knn(sf_dir: str):
     (reference FaissSimilarityIndex n_segments>1, similarity.py:150-226)."""
     from bluegraph_ray.pipelines.similarity import ivf_topk
 
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
     qm, qids = _emb_queries(sf_dir, 10)
     return ivf_topk(corpus, qm, qids, k=5, n_segments=16, nprobe=16)
 
@@ -416,27 +429,33 @@ def q_communities_parts(sf_dir: str):
 def q_minhash_candidates(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(sf_dir), k=3, num_perm=64, bands=16)
+    return minhash_lsh_candidates(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        k=3, num_perm=64, bands=16)
 
 
 def q_simhash_docs(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import simhash_signatures
 
-    return simhash_signatures(_docs(sf_dir))
+    return simhash_signatures(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_embedding_dups(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]), threshold=0.5
     )
 
 
 def q_lsh_knn(sf_dir: str):
     from bluegraph_ray.pipelines.similarity import lsh_topk
 
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
     qm, qids = _emb_queries(sf_dir, 10)
     return lsh_topk(corpus, qm, qids, k=5)
 
