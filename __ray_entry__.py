@@ -647,6 +647,21 @@ def q_linked_mentions(sf_dir: str):
     return linked.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def q_clean_corpus(sf_dir: str):
+    """Composed LLM training-data pipeline (pipelines/cleaning.clean_corpus):
+    lang filter -> quality floor -> exact dedup -> MinHash-LSH near-dup drop
+    -> sha256 train/test split. Every stage SQL-replayable; the oracle
+    composes the same five stages into one statement."""
+    from bluegraph_ray.pipelines.cleaning import clean_corpus
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return clean_corpus(docs, lang="en", min_quality=0.5,
+                        near_threshold=0.7, num_buckets=16)
+
+
 def q_curation_table(sf_dir: str):
     """generate_curation_table over lineitem-derived mentions (reference
     cord19kg/utils.py:270-413): entity=item-<partkey>, occurrence =
@@ -792,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "taxonomy_types": q_taxonomy_types,
         "linked_mentions": q_linked_mentions,
+        "clean_corpus": q_clean_corpus,
         "curation_table": q_curation_table,
         "word_cooc": q_word_cooc,
         "doc_embed": q_doc_embed,
@@ -856,6 +872,101 @@ def oracle_sql() -> dict[str, str]:
         "({}, [{}])".format(j, ", ".join(repr(float(v)) for v in row))
         for j, row in enumerate(_planes)
     )
+    def _minhash_sql(source: str) -> str:
+        # banded MinHash candidate pairs over any (doc_id, text) relation —
+        # shared by the standalone query and the clean_corpus composition
+        return f"""
+WITH perms(p, a, b) AS (VALUES {_perm_rows}),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {source}),
+sh0 AS (
+  SELECT doc_id, text AS shingle FROM t WHERE len(toks) < 3
+  UNION ALL
+  SELECT doc_id,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hv AS (
+  SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 16))::UBIGINT AS h FROM sh
+),
+lanes AS (
+  SELECT doc_id, p, MIN((a::HUGEINT * h + b) % 18446744073709551616) AS mv
+  FROM hv, perms GROUP BY 1, 2
+),
+slanes AS (
+  SELECT doc_id, p,
+    CAST(CASE WHEN mv >= 9223372036854775808
+              THEN mv - 18446744073709551616 ELSE mv END AS BIGINT) AS sv
+  FROM lanes
+),
+bandkeys AS (
+  SELECT doc_id, p // 4 AS band,
+         STRING_AGG(CAST(sv AS VARCHAR), '-' ORDER BY p) AS bkey
+  FROM slanes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM bandkeys x
+  JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT c.src, c.dst,
+  round_even(AVG(CASE WHEN la.sv = lb.sv THEN CAST(1 AS DOUBLE) ELSE 0 END), 6)
+    AS est_jaccard
+FROM cand c
+JOIN slanes la ON la.doc_id = c.src
+JOIN slanes lb ON lb.doc_id = c.dst AND lb.p = la.p
+GROUP BY 1, 2
+"""
+
+    # language-ID marker votes + the quality formula of text.QualityScore
+    # (shared by the standalone lang_quality oracle and clean_corpus)
+    _lq_sql = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    string_split(text, ' ') AS toks,
+    string_split(lower(text), ' ') AS ltoks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, length(text) AS tlen,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_types,
+    len(list_filter(toks, x -> x IN {STOP_SQL})) AS n_stop,
+    list_distinct(ltoks[1:200]) AS t200,
+    substr(text, 1, 400) AS head
+  FROM t
+),
+m AS (
+  SELECT doc_id, tlen, n_tokens, n_types,
+    round_even(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS stop_ratio,
+    CASE WHEN length(head) = 0 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(length(head) -
+                   length(regexp_replace(head, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                   AS DOUBLE) / length(head) END AS cjk_ratio,
+    len(list_filter(t200, x -> x IN
+        ('the', 'and', 'of', 'a', 'to', 'value', 'table'))) AS h_en,
+    len(list_filter(t200, x -> x IN ('le', 'la', 'et', 'de', 'les'))) AS h_fr,
+    len(list_filter(t200, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS h_de,
+    len(list_filter(t200, x -> x IN ('el', 'la', 'y', 'de', 'los'))) AS h_es
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN tlen = 0 THEN 'unknown'
+       WHEN cjk_ratio > 0.1 THEN 'zh'
+       WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0
+            OR h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+       WHEN h_fr = GREATEST(h_fr, h_de, h_es) THEN 'fr'
+       WHEN h_de = GREATEST(h_de, h_es) THEN 'de'
+       ELSE 'es' END AS pred_lang,
+  round_even(CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + CAST(0.3 AS DOUBLE) * (CAST(n_types AS DOUBLE) / GREATEST(n_tokens, 1))
+      + CAST(0.3 AS DOUBLE) *
+        LEAST(GREATEST(CAST(1.0 AS DOUBLE) - ABS(stop_ratio - CAST(0.08 AS DOUBLE)),
+                       0.0), 1.0), 6) AS quality
+FROM m
+"""
+
     return {
         "cooc_edges": f"""
 WITH {_EDGES_FREQ},
@@ -1385,49 +1496,9 @@ FROM bits GROUP BY doc_id
         # MinHash+LSH: 3-token shingles -> sha256-prefix hash -> 64 universal-
         # hash minima (constants inlined from the seed-7 generator) -> 16
         # 4-lane bands -> bucket pairs -> estimated Jaccard = equal-lane mean
-        "minhash_candidates": f"""
-WITH perms(p, a, b) AS (VALUES {_perm_rows}),
-t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-sh0 AS (
-  SELECT doc_id, text AS shingle FROM t WHERE len(toks) < 3
-  UNION ALL
-  SELECT doc_id,
-    UNNEST(list_transform(range(1, len(toks) - 1),
-           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
-  FROM t WHERE len(toks) >= 3
-),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-hv AS (
-  SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 16))::UBIGINT AS h FROM sh
-),
-lanes AS (
-  SELECT doc_id, p, MIN((a::HUGEINT * h + b) % 18446744073709551616) AS mv
-  FROM hv, perms GROUP BY 1, 2
-),
-slanes AS (
-  SELECT doc_id, p,
-    CAST(CASE WHEN mv >= 9223372036854775808
-              THEN mv - 18446744073709551616 ELSE mv END AS BIGINT) AS sv
-  FROM lanes
-),
-bandkeys AS (
-  SELECT doc_id, p // 4 AS band,
-         STRING_AGG(CAST(sv AS VARCHAR), '-' ORDER BY p) AS bkey
-  FROM slanes GROUP BY 1, 2
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
-  FROM bandkeys x
-  JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-)
-SELECT c.src, c.dst,
-  round_even(AVG(CASE WHEN la.sv = lb.sv THEN CAST(1 AS DOUBLE) ELSE 0 END), 6)
-    AS est_jaccard
-FROM cand c
-JOIN slanes la ON la.doc_id = c.src
-JOIN slanes lb ON lb.doc_id = c.dst AND lb.p = la.p
-GROUP BY 1, 2
-""",
+        "minhash_candidates": _minhash_sql("documents"),
+
+
         # counter-based sampling: endpoint k of candidate i =
         # sha256_64('7:' || (2i+k)) mod n over the rank-ordered vertex list;
         # reject self-pairs and existing edges; first 500 in counter order
@@ -1508,6 +1579,26 @@ SELECT pe.concept AS entity,
 FROM per_entity pe JOIN pc ON pc.concept = pe.concept
 GROUP BY 1
 """,
+        # the five-stage cleaning composition; `lq` replays lang_quality,
+        # `kept/winners/ex` the filters + exact dedup, the minhash helper
+        # runs over the exact survivors, and the split rule closes it
+        "clean_corpus": f"""
+WITH lq AS ({_lq_sql}),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN lq USING (doc_id)
+  WHERE lq.pred_lang = 'en' AND lq.quality >= 0.5
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+ex AS (SELECT k.doc_id, k.text FROM kept k JOIN winners USING (doc_id)),
+cand AS ({_minhash_sql("ex")}),
+losers AS (SELECT DISTINCT dst AS doc_id FROM cand WHERE est_jaccard >= 0.7),
+surv AS (SELECT doc_id FROM ex ANTI JOIN losers USING (doc_id))
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+            % 100 < 80 THEN 'train' ELSE 'test' END AS split
+FROM surv
+""",
         "curation_table": """
 WITH m AS (
   SELECT 'item-' || l_partkey AS entity,
@@ -1544,49 +1635,5 @@ GROUP BY 1, 2
 """,
         # language-ID marker votes (earliest max in en,fr,de,es order; CJK
         # codepoint ratio gate) + the quality formula of text.QualityScore
-        "lang_quality": f"""
-WITH t AS (
-  SELECT doc_id, text,
-    string_split(text, ' ') AS toks,
-    string_split(lower(text), ' ') AS ltoks
-  FROM documents
-),
-s AS (
-  SELECT doc_id, length(text) AS tlen,
-    len(toks) AS n_tokens,
-    len(list_distinct(toks)) AS n_types,
-    len(list_filter(toks, x -> x IN {STOP_SQL})) AS n_stop,
-    list_distinct(ltoks[1:200]) AS t200,
-    substr(text, 1, 400) AS head
-  FROM t
-),
-m AS (
-  SELECT doc_id, tlen, n_tokens, n_types,
-    round_even(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS stop_ratio,
-    CASE WHEN length(head) = 0 THEN CAST(0 AS DOUBLE)
-         ELSE CAST(length(head) -
-                   length(regexp_replace(head, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
-                   AS DOUBLE) / length(head) END AS cjk_ratio,
-    len(list_filter(t200, x -> x IN
-        ('the', 'and', 'of', 'a', 'to', 'value', 'table'))) AS h_en,
-    len(list_filter(t200, x -> x IN ('le', 'la', 'et', 'de', 'les'))) AS h_fr,
-    len(list_filter(t200, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS h_de,
-    len(list_filter(t200, x -> x IN ('el', 'la', 'y', 'de', 'los'))) AS h_es
-  FROM s
-)
-SELECT doc_id,
-  CASE WHEN tlen = 0 THEN 'unknown'
-       WHEN cjk_ratio > 0.1 THEN 'zh'
-       WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0
-            OR h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
-       WHEN h_fr = GREATEST(h_fr, h_de, h_es) THEN 'fr'
-       WHEN h_de = GREATEST(h_de, h_es) THEN 'de'
-       ELSE 'es' END AS pred_lang,
-  round_even(CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-      + CAST(0.3 AS DOUBLE) * (CAST(n_types AS DOUBLE) / GREATEST(n_tokens, 1))
-      + CAST(0.3 AS DOUBLE) *
-        LEAST(GREATEST(CAST(1.0 AS DOUBLE) - ABS(stop_ratio - CAST(0.08 AS DOUBLE)),
-                       0.0), 1.0), 6) AS quality
-FROM m
-""",
+        "lang_quality": _lq_sql,
     }

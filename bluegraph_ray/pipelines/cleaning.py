@@ -1,0 +1,97 @@
+"""End-to-end corpus cleaning — the composed LLM training-data pipeline:
+
+    language filter -> quality floor -> exact dedup -> MinHash-LSH near-dup
+    removal -> deterministic train/test split
+
+Each stage is one of the engine's first-class operators
+(pipelines/text.lang_id + quality_scores, dedup.exact_dedup,
+dedup.minhash_lsh_candidates, dedup.hash_split); this module wires them the
+way a production data pipeline would, keeping every exchange id-only:
+
+- documents stream through the scoring stages once; filters are map-side;
+- exact dedup shuffles (digest, id) — content never moves;
+- near-dup candidates come from the banded LSH groupby (never all pairs);
+  the drop rule is "the LARGER doc id of any candidate pair with estimated
+  Jaccard >= threshold loses" — deterministic under any block layout, no
+  transitive chasing (a chain collapses to its smallest id over repeated
+  application; one pass matches the common map-reduce dedup recipe);
+- survivor selection is a hash semi-join / anti-join on ids, not a
+  broadcast (id sets scale with the corpus);
+- the split is the stateless sha256 rule — no assignment table.
+
+Every stage is DuckDB-replayable in sha256 hash mode, so the whole composed
+pipeline is value-hash-verified end-to-end (__ray_entry__.oracle_sql()
+["clean_corpus"]). ``hash_mode="fast"`` switches the sketch to the
+vectorized production hasher.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from bluegraph_ray.pipelines.dedup import (
+    exact_dedup,
+    hash_split,
+    minhash_lsh_candidates,
+)
+from bluegraph_ray.pipelines.text import lang_id, quality_scores
+from bluegraph_ray.util import hash_join
+
+
+def clean_corpus(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_threshold: float = 0.7,
+    train_pct: int = 80,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    hash_mode: str = "sha256",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """-> Dataset(doc_id, split) of surviving documents."""
+    scored = quality_scores(lang_id(docs, text_col=text_col),
+                            text_col=text_col)
+    kept = scored.filter(
+        expr=f"pred_lang == '{lang}' and quality >= {min_quality}")
+    kept = kept.select_columns([id_col, text_col]).materialize()
+
+    # exact dedup: winner = smallest id per content digest
+    winners = exact_dedup(kept, text_col=text_col, id_col=id_col)
+    exact_survivors = hash_join(
+        kept, winners.select_columns([id_col]), on=id_col, how="inner",
+        num_buckets=num_buckets).materialize()
+
+    # near-dup removal among exact survivors
+    cand = minhash_lsh_candidates(
+        exact_survivors, text_col=text_col, id_col=id_col, k=k,
+        num_perm=num_perm, bands=bands, seed=seed, hash_mode=hash_mode)
+    from bluegraph_ray.util import hash_distinct, rename_columns
+
+    losers = hash_distinct(
+        rename_columns(
+            cand.filter(expr=f"est_jaccard >= {near_threshold}")
+            .select_columns(["dst"]), {"dst": id_col}),
+        id_col, num_buckets=num_buckets)
+    losers = losers.map_batches(
+        lambda b: b.assign(_lose=np.int8(1)), batch_format="pandas",
+        batch_size=None)
+    marked = hash_join(exact_survivors.select_columns([id_col]), losers,
+                       on=id_col, how="left", num_buckets=num_buckets)
+
+    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
+        if "_lose" not in batch.columns:
+            return batch[[id_col]]
+        return batch[batch["_lose"].isna()][[id_col]]
+
+    survivors = marked.map_batches(keep_winners, batch_format="pandas",
+                                   batch_size=None)
+    return hash_split(survivors, id_col=id_col, train_pct=train_pct)

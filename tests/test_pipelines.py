@@ -516,3 +516,32 @@ def test_embedding_dup_pairs_exact_and_lsh():
     lsh = dedup.embedding_dup_pairs(ds, threshold=0.9, method="lsh",
                                     n_planes=4).to_pandas()
     assert set(zip(lsh["src"], lsh["dst"])) <= want
+
+
+def test_clean_corpus_composition():
+    """clean_corpus drops the right docs at each stage: low quality out,
+    exact duplicate keeps the smallest id, near-duplicate keeps the smaller
+    id of the candidate pair, survivors get the deterministic split."""
+    from bluegraph_ray.pipelines.cleaning import clean_corpus
+
+    words = [f"w{i}" for i in range(110)] + ["the", "and", "of", "a", "to"] * 2
+    base = " ".join(words)                        # quality ~0.97, survivor
+    near = " ".join(words[:-10] + [f"x{i}" for i in range(10)])  # near dup
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [base,
+                 base,               # exact dup of 1 -> dropped
+                 near,               # near dup of 1 -> dropped (larger id)
+                 "z z z z z",        # low quality (~0.36) -> dropped
+                 " ".join([f"u{i}" for i in range(100)]
+                          + ["the", "and", "of", "a", "to"] * 2)],  # survivor
+    })
+    out = clean_corpus(ray.data.from_pandas(docs), min_quality=0.5,
+                       near_threshold=0.5, num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 5]
+    assert set(out["split"]) <= {"train", "test"}
+    # deterministic across reruns
+    out2 = clean_corpus(ray.data.from_pandas(docs), min_quality=0.5,
+                        near_threshold=0.5, num_buckets=4).to_pandas()
+    assert (out.sort_values("doc_id").reset_index(drop=True)
+            .equals(out2.sort_values("doc_id").reset_index(drop=True)))
