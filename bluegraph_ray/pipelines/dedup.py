@@ -327,8 +327,10 @@ def ngram_jaccard_pairs(
     shingle explode -> groupby(shingle-hash bucket is NOT enough; pairs must be
     global) — here: explode distinct (doc, shingle) -> self-join via
     groupby(shingle) pair emission -> groupby(pair).count = |intersection| ->
-    join broadcast shingle-set sizes -> jaccard. SQL-expressible; the DuckDB
-    oracle mirrors it 1:1.
+    hash-join the per-doc shingle-set sizes onto each pair endpoint ->
+    jaccard. Everything id-keyed shuffles; the size table never lands on the
+    driver (it scales with the corpus). SQL-expressible; the DuckDB oracle
+    mirrors it 1:1.
     """
     def shingles(batch: pd.DataFrame) -> pd.DataFrame:
         ids, sh = [], []
@@ -339,8 +341,8 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"doc": ids, "shingle": sh})
 
     exploded = ds.map_batches(shingles, batch_format="pandas", batch_size=None).materialize()
-    sizes = hash_aggregate(exploded, "doc", {"sz": (None, "count")}).to_pandas()
-    sizes_ref = ray.put(sizes.set_index("doc")["sz"])
+    sizes = hash_aggregate(exploded, "doc", {"sz": (None, "count")},
+                           num_buckets=num_buckets)
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_b"] = (
@@ -373,15 +375,24 @@ def ngram_jaccard_pairs(
         .groupby("_b")
         .map_groups(lambda g: emit_pairs(g.drop(columns=["_b"])), batch_format="pandas")
     )
-    inter = hash_aggregate(inter, ["src", "dst"], {"inter": ("partial", "sum")})
+    inter = hash_aggregate(inter, ["src", "dst"], {"inter": ("partial", "sum")},
+                           num_buckets=num_buckets)
+
+    from bluegraph_ray.util import hash_join, rename_columns
+
+    inter = hash_join(
+        inter, rename_columns(sizes, {"doc": "src", "sz": "_sz_src"}),
+        on="src", how="inner", num_buckets=num_buckets)
+    inter = hash_join(
+        inter, rename_columns(sizes, {"doc": "dst", "sz": "_sz_dst"}),
+        on="dst", how="inner", num_buckets=num_buckets)
 
     def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
         i = batch["inter"].to_numpy(dtype=np.float64)
-        sa = sz.reindex(batch["src"]).to_numpy(dtype=np.float64)
-        sb = sz.reindex(batch["dst"]).to_numpy(dtype=np.float64)
+        sa = batch["_sz_src"].to_numpy(dtype=np.float64)
+        sb = batch["_sz_dst"].to_numpy(dtype=np.float64)
         batch["jaccard"] = np.round(i / (sa + sb - i), 6)
-        return batch[batch["jaccard"] >= threshold].drop(columns=["inter"])
+        return batch[batch["jaccard"] >= threshold][["src", "dst", "jaccard"]]
 
     return inter.map_batches(jaccard, batch_format="pandas", batch_size=None)
 

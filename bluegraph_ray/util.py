@@ -138,6 +138,27 @@ def hash_distinct(
     )
 
 
+def _schema_np_dtypes(ds: "ray.data.Dataset") -> dict:
+    """{column: numpy dtype} for the int/bool columns of a Dataset schema
+    (Arrow or pandas block format) — the dtypes NaN-union drift destroys."""
+    import pyarrow as pa
+
+    out: dict = {}
+    try:
+        sch = ds.schema()
+        for name, t in zip(sch.names, sch.types):
+            try:
+                dt = (np.dtype(t.to_pandas_dtype())
+                      if isinstance(t, pa.DataType) else np.dtype(t))
+            except (TypeError, NotImplementedError):
+                continue
+            if np.issubdtype(dt, np.integer) or dt == np.bool_:
+                out[name] = dt
+    except Exception:
+        pass
+    return out
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -167,16 +188,35 @@ def hash_join(
 
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
+    left_dtypes = _schema_np_dtypes(left)
+    right_dtypes = _schema_np_dtypes(right)
 
     both = left.map_batches(tag("l"), batch_format="pandas", batch_size=None).union(
         right.map_batches(tag("r"), batch_format="pandas", batch_size=None)
     )
 
+    def _restore(side: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        # the tagged union concatenates both sides into one frame, NaN-filling
+        # each side's missing columns — which silently upcasts int/bool
+        # columns to float for the OTHER side's genuine rows too. After the
+        # side split the NaNs are gone, so cast back (keys especially:
+        # a float64-drifted key never hash-matches its int64 counterpart in
+        # a later join).
+        for c, dt in dtypes.items():
+            if c in side.columns and side[c].dtype != dt:
+                try:
+                    side[c] = side[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass  # genuine NaNs or incompatible values: leave as-is
+        return side
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         # a bucket may hold rows from only one side -> the concatenated group
         # lacks the other side's columns; reindex restores them as NaN
-        l = group[group["_side"] == "l"].reindex(columns=left_cols)
-        r = group[group["_side"] == "r"].reindex(columns=right_cols)
+        l = _restore(group[group["_side"] == "l"].reindex(columns=left_cols),
+                     left_dtypes)
+        r = _restore(group[group["_side"] == "r"].reindex(columns=right_cols),
+                     right_dtypes)
         return l.merge(r, on=on, how=how, suffixes=("", suffix))
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
