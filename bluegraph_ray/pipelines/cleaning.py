@@ -62,7 +62,11 @@ def clean_corpus(
                             text_col=text_col)
     kept = scored.filter(
         expr=f"pred_lang == '{lang}' and quality >= {min_quality}")
-    kept = kept.select_columns([id_col, text_col]).materialize()
+    # coalesce the filtered stream: downstream shuffle cost scales with
+    # input-block x reduce-partition count, and a pruned read often arrives
+    # as many small blocks
+    kept = (kept.select_columns([id_col, text_col])
+            .materialize().repartition(num_buckets).materialize())
 
     # exact dedup: winner = smallest id per content digest
     winners = exact_dedup(kept, text_col=text_col, id_col=id_col)
