@@ -8,6 +8,10 @@ Plain run:     prints ONE JSON line with per-query seconds.
                in-sandbox evidence for the N -> 4N cluster-size criterion
                (ray job submit on a real multi-node cluster would use the same
                entry point; parallelism here maps to partition count).
+--llm:         times the LLM training-data suite over $GRAFT_SF_DIR documents
+               (clean_corpus composition, MinHash sketching sha256 vs fast,
+               simhash, exact ngram Jaccard, PPMI-SVD embedder) — its own
+               JSON line, separate from the headline metric.
 
 The graph input is the deterministic synthetic source-code table (seed 42)
 sized from GRAFT_SF_DIR's sf suffix (sf0.1 -> 200k files); the relational
@@ -321,6 +325,64 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_llm(sf_dir: str, num_cpus: int) -> dict:
+    """Time the LLM training-data suite over the documents table."""
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from bluegraph_ray.pipelines.cleaning import clean_corpus
+    from bluegraph_ray.pipelines.dedup import (minhash_lsh_candidates,
+                                               ngram_jaccard_pairs,
+                                               simhash_signatures)
+    from bluegraph_ray.pipelines.textembed import PPMISVDEmbedder
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+    q: dict = {}
+
+    t0 = time.perf_counter()
+    out = clean_corpus(docs, lang="en", min_quality=0.5, near_threshold=0.7,
+                       num_buckets=16, hash_mode="fast").materialize()
+    q["clean_corpus_fast"] = round(time.perf_counter() - t0, 3)
+    survivors = out.count()
+
+    for mode in ("sha256", "fast"):
+        t0 = time.perf_counter()
+        minhash_lsh_candidates(docs, hash_mode=mode).materialize()
+        q[f"minhash_{mode}"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        simhash_signatures(docs, hash_mode=mode).materialize()
+        q[f"simhash_{mode}"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ngram_jaccard_pairs(docs, threshold=0.1).materialize()
+    q["ngram_jaccard"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    emb = PPMISVDEmbedder(dimension=16, window=2, seed=0)
+    emb.fit_model(docs)
+    emb.doc_embeddings(docs).materialize()
+    q["ppmi_svd_embed"] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "llm_suite_seconds",
+        "value": round(sum(q.values()), 3),
+        "unit": "sec",
+        "queries": q,
+        "n_docs": n_docs,
+        "clean_corpus_survivors": survivors,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "minhash_fast_speedup": round(q["minhash_sha256"] / q["minhash_fast"], 2),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
@@ -333,6 +395,9 @@ if __name__ == "__main__":
         lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
         print(json.dumps(run_scaling(sf_dir, lo=lo, hi=hi)))
+    elif "--llm" in sys.argv:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_llm(sf_dir, num_cpus)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, num_cpus)))

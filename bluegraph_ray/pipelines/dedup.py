@@ -262,6 +262,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 7,
     hash_mode: str = "sha256",
+    num_buckets: int = 16,
 ) -> "ray.data.Dataset":
     """MinHash+LSH candidate pairs: shingle -> minhash -> band -> bucket groupby.
 
@@ -270,11 +271,19 @@ def minhash_lsh_candidates(
     ``hash_mode="fast"`` switches sketching to the vectorized batch-wide hash
     (see MinHasher) — same banding/recall behavior, much faster, but the
     DuckDB oracle can only replay the default sha256 mode.
+
+    The exchange is ONE hash-bucket groupby over hash(band, bhash) — never
+    a native groupby on the (band, bhash) key itself, which at corpus scale
+    means millions of per-group Python calls; each bucket task drops the
+    singleton band cells vectorized and emits pairs per surviving run.
     """
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher(text_col, id_col, k, num_perm, seed, hash_mode),
         batch_format="pandas", batch_size=None)
+    # coalesce before the band explode + bucket groupby (shuffle cost is
+    # input-blocks x reduce-partitions; signature rows are tiny)
+    sigs = sigs.materialize().repartition(bands).materialize()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         # band bucket key = the band's minhash values joined as a string —
@@ -292,19 +301,48 @@ def minhash_lsh_candidates(
             {id_col: ids, "band": band_ids, "bhash": band_hash, "sig": sig_list}
         )
 
-    banded = sigs.map_batches(to_bands, batch_format="pandas", batch_size=None)
+    def bucket_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = pd.util.hash_pandas_object(
+            batch["band"].astype(str) + "|" + batch["bhash"], index=False)
+        batch["_b"] = (h.to_numpy() % num_buckets).astype(np.int64)
+        return batch
+
+    banded = (sigs.map_batches(to_bands, batch_format="pandas", batch_size=None)
+              .map_batches(bucket_tag, batch_format="pandas", batch_size=None))
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object),
+                          "est_jaccard": pd.Series([], dtype=np.float64)})
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"src": [], "dst": [], "est_jaccard": []})
-        g = group.sort_values(id_col)
+        # vectorized singleton drop, then triu pair emission per surviving
+        # (band, bhash) run — the Python loop touches only true collisions
+        g = group[group.duplicated(["band", "bhash"], keep=False)]
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["band", "bhash", id_col], kind="mergesort")
+        codes = pd.factorize(
+            g["band"].astype(str) + "|" + g["bhash"], use_na_sentinel=False)[0]
+        brk = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(g)]))
+        srcs, dsts = [], []
+        for s, e in zip(starts, ends):
+            iu, ju = np.triu_indices(e - s, k=1)
+            srcs.append(s + iu)
+            dsts.append(s + ju)
+        i = np.concatenate(srcs)
+        j = np.concatenate(dsts)
         ids = g[id_col].to_numpy()
         sigs_arr = np.stack(g["sig"].to_numpy())
-        iu, ju = np.triu_indices(len(ids), k=1)
-        est = (sigs_arr[iu] == sigs_arr[ju]).mean(axis=1)
-        return pd.DataFrame({"src": ids[iu], "dst": ids[ju], "est_jaccard": np.round(est, 6)})
+        est = (sigs_arr[i] == sigs_arr[j]).mean(axis=1)
+        return pd.DataFrame({"src": ids[i], "dst": ids[j],
+                             "est_jaccard": np.round(est, 6)})
 
-    cand = banded.groupby(["band", "bhash"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    cand = banded.groupby("_b").map_groups(
+        lambda grp: pairs_in_bucket(grp.drop(columns=["_b"])),
+        batch_format="pandas")
     # a pair can match in several bands — distinct (est_jaccard identical per pair)
     return hash_distinct(cand, ["src", "dst"])
 
@@ -340,7 +378,11 @@ def ngram_jaccard_pairs(
             sh.extend(ss)
         return pd.DataFrame({"doc": ids, "shingle": sh})
 
-    exploded = ds.map_batches(shingles, batch_format="pandas", batch_size=None).materialize()
+    # coalesce the exploded stream: the two bucket groupbys downstream cost
+    # (input blocks x reduce partitions), and shingle explosion inherits the
+    # read's many small blocks
+    exploded = (ds.map_batches(shingles, batch_format="pandas", batch_size=None)
+                .materialize().repartition(num_buckets).materialize())
     sizes = hash_aggregate(exploded, "doc", {"sz": (None, "count")},
                            num_buckets=num_buckets)
 
