@@ -363,28 +363,30 @@ def ngram_jaccard_pairs(
     """Exact token-k-gram Jaccard for every pair sharing >=1 shingle.
 
     shingle explode -> groupby(shingle-hash bucket is NOT enough; pairs must be
-    global) — here: explode distinct (doc, shingle) -> self-join via
+    global) — here: explode distinct (doc, shingle, set size) -> self-join via
     groupby(shingle) pair emission -> groupby(pair).count = |intersection| ->
-    hash-join the per-doc shingle-set sizes onto each pair endpoint ->
-    jaccard. Everything id-keyed shuffles; the size table never lands on the
-    driver (it scales with the corpus). SQL-expressible; the DuckDB oracle
-    mirrors it 1:1.
+    jaccard. The per-doc set size is known at explode time and rides along as
+    a column (functionally dependent on doc), so no size table is ever built
+    or joined back — one column of int64 through the shingle shuffle replaces
+    TWO all-to-all joins over the (bigger) pair table. Everything id-keyed
+    shuffles; nothing corpus-sized lands on the driver. SQL-expressible; the
+    DuckDB oracle mirrors the jaccard values 1:1.
     """
     def shingles(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, sh = [], []
+        ids, sh, sz = [], [], []
         for i, t in zip(batch[id_col], batch[text_col]):
             ss = set(_token_shingles(t, k))
             ids.extend([i] * len(ss))
             sh.extend(ss)
-        return pd.DataFrame({"doc": ids, "shingle": sh})
+            sz.extend([len(ss)] * len(ss))
+        return pd.DataFrame({"doc": ids, "shingle": sh,
+                             "sz": np.asarray(sz, dtype=np.int64)})
 
-    # coalesce the exploded stream: the two bucket groupbys downstream cost
+    # coalesce the exploded stream: the bucket groupby downstream costs
     # (input blocks x reduce partitions), and shingle explosion inherits the
     # read's many small blocks
     exploded = (ds.map_batches(shingles, batch_format="pandas", batch_size=None)
                 .materialize().repartition(num_buckets).materialize())
-    sizes = hash_aggregate(exploded, "doc", {"sz": (None, "count")},
-                           num_buckets=num_buckets)
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_b"] = (
@@ -395,6 +397,7 @@ def ngram_jaccard_pairs(
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["shingle", "doc"], kind="mergesort")
         docs = group["doc"].to_numpy()
+        szs = group["sz"].to_numpy()
         codes = pd.factorize(group["shingle"].to_numpy(), use_na_sentinel=False)[0]
         b = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate(([0], b))
@@ -405,29 +408,32 @@ def ngram_jaccard_pairs(
             if f < 2:
                 continue
             iu, ju = np.triu_indices(f, k=1)
-            srcs.append(docs[s + iu])
-            dsts.append(docs[s + ju])
+            srcs.append(s + iu)
+            dsts.append(s + ju)
         if not srcs:
-            return pd.DataFrame({"src": docs[:0], "dst": docs[:0], "partial": np.array([], dtype=np.int64)})
-        df = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
-        return df.groupby(["src", "dst"], sort=False).size().reset_index(name="partial")
+            return pd.DataFrame({"src": docs[:0], "dst": docs[:0],
+                                 "partial": np.array([], dtype=np.int64),
+                                 "ssz": szs[:0], "dsz": szs[:0]})
+        i = np.concatenate(srcs)
+        j = np.concatenate(dsts)
+        df = pd.DataFrame({"src": docs[i], "dst": docs[j],
+                           "ssz": szs[i], "dsz": szs[j]})
+        return (df.groupby(["src", "dst"], sort=False)
+                .agg(partial=("ssz", "size"), ssz=("ssz", "min"),
+                     dsz=("dsz", "min"))
+                .reset_index())
 
     inter = (
         exploded.map_batches(bucket, batch_format="pandas", batch_size=None)
         .groupby("_b")
         .map_groups(lambda g: emit_pairs(g.drop(columns=["_b"])), batch_format="pandas")
     )
-    inter = hash_aggregate(inter, ["src", "dst"], {"inter": ("partial", "sum")},
-                           num_buckets=num_buckets)
-
-    from bluegraph_ray.util import hash_join, rename_columns
-
-    inter = hash_join(
-        inter, rename_columns(sizes, {"doc": "src", "sz": "_sz_src"}),
-        on="src", how="inner", num_buckets=num_buckets)
-    inter = hash_join(
-        inter, rename_columns(sizes, {"doc": "dst", "sz": "_sz_dst"}),
-        on="dst", how="inner", num_buckets=num_buckets)
+    # sz is constant per doc, so min() just carries it through the combine
+    inter = hash_aggregate(
+        inter, ["src", "dst"],
+        {"inter": ("partial", "sum"),
+         "_sz_src": ("ssz", "min"), "_sz_dst": ("dsz", "min")},
+        num_buckets=num_buckets)
 
     def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
         i = batch["inter"].to_numpy(dtype=np.float64)
