@@ -27,6 +27,8 @@ vectorized production hasher.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -37,7 +39,7 @@ from bluegraph_ray.pipelines.dedup import (
     hash_split,
     minhash_lsh_candidates,
 )
-from bluegraph_ray.pipelines.text import lang_id, quality_scores
+from bluegraph_ray.pipelines.text import LangId, QualityScore
 from bluegraph_ray.util import hash_join
 
 
@@ -58,20 +60,34 @@ def clean_corpus(
     num_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """-> Dataset(doc_id, split) of surviving documents."""
-    scored = quality_scores(lang_id(docs, text_col=text_col),
-                            text_col=text_col)
+    # one fused pass over the text: language, quality AND the exact-dedup
+    # digest come out of a single scan (three separate map stages would
+    # re-tokenize / re-read the content three times)
+    lang_stage = LangId(text_col)
+    quality_stage = QualityScore(text_col)
+
+    def score_all(batch: pd.DataFrame) -> pd.DataFrame:
+        out = quality_stage(lang_stage(batch))
+        out["content_sha256"] = [
+            hashlib.sha256(t.encode()).hexdigest() for t in out[text_col]]
+        return out
+
+    scored = docs.map_batches(score_all, batch_format="pandas",
+                              batch_size=None)
     kept = scored.filter(
         expr=f"pred_lang == '{lang}' and quality >= {min_quality}")
     # coalesce the filtered stream: downstream shuffle cost scales with
     # input-block x reduce-partition count, and a pruned read often arrives
     # as many small blocks
-    kept = (kept.select_columns([id_col, text_col])
-            .materialize().repartition(num_buckets).materialize())
+    kept = (kept.select_columns([id_col, text_col, "content_sha256"])
+            .repartition(num_buckets).materialize())
 
-    # exact dedup: winner = smallest id per content digest
-    winners = exact_dedup(kept, text_col=text_col, id_col=id_col)
+    # exact dedup: winner = smallest id per content digest (precomputed)
+    winners = exact_dedup(kept, text_col=text_col, id_col=id_col,
+                          digest_col="content_sha256")
     exact_survivors = hash_join(
-        kept, winners.select_columns([id_col]), on=id_col, how="inner",
+        kept.select_columns([id_col, text_col]),
+        winners.select_columns([id_col]), on=id_col, how="inner",
         num_buckets=num_buckets).materialize()
 
     # near-dup removal among exact survivors

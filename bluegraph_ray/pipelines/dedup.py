@@ -28,12 +28,16 @@ def exact_dedup(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Keep the smallest ``id_col`` per distinct ``text_col``.
 
     Hash-partition on a content digest, per-group min — one shuffle, and the
     shuffled payload is (digest, id), never the content itself.
     Output: (doc_id, content_sha256).
+
+    ``digest_col`` names a precomputed sha256-hex column (e.g. from a fused
+    upstream scoring pass) so the content isn't rescanned here.
     """
 
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
@@ -46,7 +50,13 @@ def exact_dedup(
             }
         )
 
-    hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
+    if digest_col is not None:
+        hashed = ds.map_batches(
+            lambda b: pd.DataFrame({id_col: b[id_col],
+                                    "content_sha256": b[digest_col]}),
+            batch_format="pandas", batch_size=None)
+    else:
+        hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
     return hash_aggregate(hashed, "content_sha256", {id_col: (id_col, "min")})
 
 
