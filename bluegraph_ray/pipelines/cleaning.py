@@ -4,12 +4,15 @@
     removal -> deterministic train/test split
 
 Each stage is one of the engine's first-class operators
-(pipelines/text.lang_id + quality_scores, dedup.exact_dedup,
-dedup.minhash_lsh_candidates, dedup.hash_split); this module wires them the
+(pipelines/text.lang_id + quality_scores, util.hash_argmin for exact
+dedup, dedup.minhash_lsh_candidates, dedup.hash_split); this module wires
+them the
 way a production data pipeline would, keeping every exchange id-only:
 
 - documents stream through the scoring stages once; filters are map-side;
-- exact dedup shuffles (digest, id) — content never moves;
+- exact dedup is ONE digest-partitioned shuffle (util.hash_argmin) whose
+  winning rows carry their text straight into the sketching stage — no
+  survivors semi-join;
 - near-dup candidates come from the banded LSH groupby (never all pairs);
   the drop rule is "the LARGER doc id of any candidate pair with estimated
   Jaccard >= threshold loses" — deterministic under any block layout, no
@@ -35,12 +38,11 @@ import pandas as pd
 import ray.data
 
 from bluegraph_ray.pipelines.dedup import (
-    exact_dedup,
     hash_split,
     minhash_lsh_candidates,
 )
 from bluegraph_ray.pipelines.text import LangId, QualityScore
-from bluegraph_ray.util import hash_join
+from bluegraph_ray.util import hash_argmin, hash_join
 
 
 def clean_corpus(
@@ -82,13 +84,13 @@ def clean_corpus(
     kept = (kept.select_columns([id_col, text_col, "content_sha256"])
             .repartition(num_buckets).materialize())
 
-    # exact dedup: winner = smallest id per content digest (precomputed)
-    winners = exact_dedup(kept, text_col=text_col, id_col=id_col,
-                          digest_col="content_sha256")
-    exact_survivors = hash_join(
-        kept.select_columns([id_col, text_col]),
-        winners.select_columns([id_col]), on=id_col, how="inner",
-        num_buckets=num_buckets).materialize()
+    # exact dedup: winner = smallest id per content digest (precomputed).
+    # hash_argmin carries the winning row's text through the one
+    # digest-partitioned shuffle, so no survivors semi-join is needed —
+    # the text column would have been shuffled by that join anyway.
+    exact_survivors = (
+        hash_argmin(kept, "content_sha256", id_col, num_buckets=num_buckets)
+        .select_columns([id_col, text_col]).materialize())
 
     # near-dup removal among exact survivors
     cand = minhash_lsh_candidates(

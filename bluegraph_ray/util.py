@@ -138,6 +138,45 @@ def hash_distinct(
     )
 
 
+def hash_argmin(
+    ds: "ray.data.Dataset",
+    keys: list[str] | str,
+    order_col: str,
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Keep, per distinct ``keys``, the full row with the smallest
+    ``order_col`` (ties broken by first occurrence — deterministic when
+    ``order_col`` is unique per key group).
+
+    One shuffle, partitioned by key hash; the map side pre-reduces each
+    batch to one row per key so only candidate winners move. Unlike
+    ``hash_aggregate(min)`` this carries every payload column of the
+    winning row, which saves the follow-up semi-join when downstream
+    stages need more than the key (e.g. dedup survivors that keep their
+    text column)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _pick(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = batch.groupby(keys, sort=False, dropna=False)[order_col].idxmin()
+        return batch.loc[idx.to_numpy()]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _pick(batch).copy()
+        h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        out["_bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return _pick(group.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _schema_np_dtypes(ds: "ray.data.Dataset") -> dict:
     """{column: numpy dtype} for the int/bool columns of a Dataset schema
     (Arrow or pandas block format) — the dtypes NaN-union drift destroys."""

@@ -545,3 +545,22 @@ def test_clean_corpus_composition():
                         near_threshold=0.5, num_buckets=4).to_pandas()
     assert (out.sort_values("doc_id").reset_index(drop=True)
             .equals(out2.sort_values("doc_id").reset_index(drop=True)))
+
+
+def test_hash_argmin_keeps_min_row_per_key():
+    from bluegraph_ray.util import hash_argmin
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "key": rng.integers(0, 400, n),
+        "order": rng.permutation(n),
+        "payload": [f"p{i}" for i in range(n)],
+    })
+    out = hash_argmin(ray.data.from_pandas(df), "key", "order",
+                      num_buckets=8).to_pandas()
+    want = df.loc[df.groupby("key")["order"].idxmin()]
+    got = out.sort_values("key").reset_index(drop=True)
+    want = want.sort_values("key").reset_index(drop=True)
+    assert got[["key", "order", "payload"]].equals(
+        want[["key", "order", "payload"]])
