@@ -551,6 +551,46 @@ def q_mst_small(sf_dir: str):
     return minimum_spanning_tree(e, distance="distance")[["src", "dst", "frequency"]]
 
 
+def q_bfs_hops_parts(sf_dir: str):
+    """Converged BFS hop distances from the minimum entity id over the full
+    co-occurrence graph — distributed frontier supersteps on the shared CSR
+    actors (stages/sssp.py). Oracle: fixed-depth (32 > eccentricity)
+    min-relaxation recursive CTE with self-arcs carrying distances forward,
+    same shape as the closeness_parts oracle."""
+    from bluegraph_ray.stages.sssp import bfs_hops
+
+    handle = _cooc_graph(sf_dir)
+    source = int(np.argmin(handle.names))
+    res = bfs_hops(handle, source)
+    mask = np.isfinite(res.values)
+    return pd.DataFrame({"node": handle.names[mask],
+                         "hops": res.values[mask].astype(np.int64)})
+
+
+def q_sssp_parts(sf_dir: str):
+    """Weighted single-source shortest paths (distance = 1/frequency, the
+    compute_distance analog) from the minimum entity id — distributed
+    Bellman-Ford supersteps (stages/sssp.py). Every superstep takes
+    elementwise minima of identical candidate sums, so a fixed-depth SQL
+    replay reproduces the converged distances bit for bit."""
+    from bluegraph_ray.stages.build import build_graph
+    from bluegraph_ray.stages.sssp import sssp
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",))
+
+    def dist(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["distance"] = 1.0 / batch["frequency"]
+        return batch
+
+    e = edges.map_batches(dist, batch_format="pandas")
+    handle = build_graph(e, weight="distance", directed=False, n_partitions=8)
+    source = int(np.argmin(handle.names))
+    res = sssp(handle, source, weighted=True)
+    mask = np.isfinite(res.values)
+    return pd.DataFrame({"node": handle.names[mask],
+                         "distance": np.round(res.values[mask], 9)})
+
+
 def q_louvain_parts(sf_dir: str):
     """Deterministic Louvain over the freq>=2 co-occurrence graph."""
     from bluegraph_ray.stages.communities import detect_communities
@@ -798,6 +838,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": q_pagerank_parts,
         "pagerank_power20": q_pagerank_power20,
         "components_parts": q_components_parts,
+        "bfs_hops_parts": q_bfs_hops_parts,
+        "sssp_parts": q_sssp_parts,
         "communities_parts": q_communities_parts,
         "minhash_candidates": q_minhash_candidates,
         "simhash_docs": q_simhash_docs,
@@ -1346,6 +1388,52 @@ m0 AS (
     FROM (SELECT src AS x FROM f3 UNION SELECT dst FROM f3)){_MM_STEPS}
 SELECT f.src, f.dst, f.frequency
 FROM f3 f JOIN m7 mm ON mm.u = f.src AND mm.v = f.dst AND mm.mr = f.r
+""",
+        # single-source BFS: fixed-depth min-relaxation from the minimum
+        # entity (32 supersteps > eccentricity 13 at sf0.01; self-arcs carry
+        # distances forward). Unreachable nodes never enter the recursion, so
+        # the result is exactly the source's component — matching the
+        # engine's isfinite filter.
+        "bfs_hops_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, 1 AS w FROM edges
+  UNION ALL SELECT dst, src, 1 FROM edges
+  UNION ALL SELECT v, v, 0 FROM verts
+),
+d(it, node, dist) AS (
+  SELECT 0, (SELECT MIN(v) FROM verts), 0
+  UNION ALL
+  SELECT it + 1, a.v, MIN(d.dist + a.w)
+  FROM d JOIN arcs a ON a.u = d.node
+  WHERE d.it < 32
+  GROUP BY it + 1, a.v
+)
+SELECT node, CAST(dist AS BIGINT) AS hops FROM d WHERE it = 32
+""",
+        # weighted Bellman-Ford replay: same recursion with w = 1/frequency
+        # (exact IEEE division on both sides); 64 supersteps >> the hop
+        # length of the longest shortest path, self-arcs w=0 carry distances.
+        "sssp_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(1.0 AS DOUBLE) / frequency AS w FROM edges
+  UNION ALL SELECT dst, src, CAST(1.0 AS DOUBLE) / frequency FROM edges
+  UNION ALL SELECT v, v, CAST(0.0 AS DOUBLE) FROM verts
+),
+d(it, node, dist) AS (
+  SELECT 0, (SELECT MIN(v) FROM verts), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT it + 1, a.v, MIN(d.dist + a.w)
+  FROM d JOIN arcs a ON a.u = d.node
+  WHERE d.it < 64
+  GROUP BY it + 1, a.v
+)
+SELECT node, round_even(dist, 9) AS distance FROM d WHERE it = 64
 """,
         # exactly 20 power supersteps; per-arc term mirrors the engine's
         # w * (x_u * (1/outw_u)) op order, summation order differs -> ROUND 9

@@ -520,6 +520,34 @@ class CsrPartition:
             out[loc] = np.minimum(out[loc], mins)
         return out
 
+    def min_plus_gather(self, dist_ref, weighted: bool = True) -> np.ndarray:
+        """Tropical-semiring gather: per local v, min over in-arcs u->v of
+        ``dist[u] + w(u,v)`` (``dist[u] + 1`` when ``weighted=False``) —
+        the relaxation step of distributed Bellman-Ford / frontier BFS
+        (stages/sssp.py). Returns the dense [lo,hi) slice, +inf where v has
+        no in-arcs; the caller applies ``min(own, result)`` and owns
+        convergence. Cache-blocked at dst-run boundaries like the other
+        gathers (min is order-free, so chunking is trivially exact)."""
+        dist = dist_ref if isinstance(dist_ref, np.ndarray) else ray.get(dist_ref)
+        out = np.full(self.hi - self.lo, np.inf)
+        if not len(self.dst):
+            return out
+        starts, cb, src = self.starts, self._chunks, self._src_ix
+        nruns, total = len(starts), len(self.dst)
+        for ci in range(len(cb) - 1):
+            a, b = int(cb[ci]), int(cb[ci + 1])
+            arc_lo = int(starts[a])
+            arc_hi = int(starts[b]) if b < nruns else total
+            v = self._vals[: arc_hi - arc_lo]
+            np.take(dist, src[arc_lo:arc_hi], out=v)
+            if weighted:
+                v += self.w[arc_lo:arc_hi]
+            else:
+                v += 1.0
+            mins = np.minimum.reduceat(v, starts[a:b] - arc_lo)
+            out[self._udl[a:b]] = mins
+        return out
+
     def mode_label_gather(self, labels_ref) -> tuple[np.ndarray, np.ndarray]:
         """Weighted-mode incoming label per local v (community LPA step).
 

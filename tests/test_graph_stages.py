@@ -265,3 +265,50 @@ def test_gather_chunked_bitwise_equals_oneshot():
         # chunk bounds must tile the run index space exactly
         assert chunks[0] == 0 and chunks[-1] == len(starts)
         assert (np.diff(chunks) > 0).all()
+
+
+def test_bfs_hops_matches_nx(karate_handle, tmp_path):
+    from bluegraph_ray.stages.sssp import bfs_hops
+
+    df, handle = karate_handle
+    names = list(handle.names)
+    source = names.index("n0")
+    res = bfs_hops(handle, source)
+    assert res.converged
+    want = nx.single_source_shortest_path_length(to_nx(df), "n0")
+    got = {n: d for n, d in zip(handle.names, res.values) if np.isfinite(d)}
+    assert got == {k: float(v) for k, v in want.items()}
+
+    # disconnected graph: the other component stays at inf
+    df2 = pd.DataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], columns=["src", "dst"])
+    h2 = build_graph(ray.data.from_pandas(df2), directed=False,
+                     n_partitions=2, path=str(tmp_path / "bfs2"))
+    r2 = bfs_hops(h2, list(h2.names).index("a"))
+    d2 = dict(zip(h2.names, r2.values))
+    assert d2["c"] == 2.0 and np.isinf(d2["x"]) and np.isinf(d2["y"])
+
+
+def test_sssp_weighted_matches_nx_dijkstra(tmp_path):
+    from bluegraph_ray.stages.sssp import sssp
+
+    df = random_graph(seed=17, n=50, p=0.1)
+    handle = build_graph(ray.data.from_pandas(df), weight="mi",
+                         directed=False, n_partitions=4,
+                         path=str(tmp_path / "sssp"))
+    names = list(handle.names)
+    src = names[0]
+    res = sssp(handle, 0, weighted=True)
+    assert res.converged
+    want = nx.single_source_dijkstra_path_length(
+        to_nx(df, weight="mi"), src, weight="mi")
+    got = {n: d for n, d in zip(handle.names, res.values) if np.isfinite(d)}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    # fixed-depth replay: iters=2 equals the first two relaxation rounds
+    r2 = sssp(handle, 0, weighted=True, iters=2)
+    assert len(r2.superstep_seconds) == 2
+    full = sssp(handle, 0, weighted=True)
+    assert np.all(r2.values >= full.values - 1e-15)
