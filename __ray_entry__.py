@@ -409,6 +409,27 @@ def q_pagerank_power20(sf_dir: str):
     )
 
 
+def q_ppr_power20(sf_dir: str):
+    """Personalized PageRank, exactly 20 supersteps, teleport pinned to the
+    minimum entity id (nx ``personalization`` semantics: uniform start,
+    teleport + dangling mass follow the seed vector — stages/pagerank.py)."""
+    from bluegraph_ray.stages.build import make_partition_actors
+    from bluegraph_ray.stages.pagerank import power_iterations
+
+    handle = _cooc_graph(sf_dir)
+    seed = int(np.argmin(handle.names))
+    actors = make_partition_actors(handle)
+    try:
+        res = power_iterations(handle, actors, iters=20,
+                               personalization=[seed])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return pd.DataFrame(
+        {"node": handle.names, "ppr": np.round(res["values"], 9)}
+    )
+
+
 def q_components_parts(sf_dir: str):
     from bluegraph_ray.stages.components import connected_components
 
@@ -837,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_edges": q_negative_edges,
         "pagerank_parts": q_pagerank_parts,
         "pagerank_power20": q_pagerank_power20,
+        "ppr_power20": q_ppr_power20,
         "components_parts": q_components_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
@@ -1457,6 +1479,34 @@ pr(it, node, r) AS (
   GROUP BY it + 1, a.v
 )
 SELECT node, round_even(r, 9) AS pagerank FROM pr WHERE it = 20
+""",
+        # personalized teleport: same 20-superstep recursion, but the
+        # (1-α) restart mass lands entirely on the minimum entity id
+        # (uniform START vector — nx nstart semantics; no dangling vertices
+        # on the undirected expansion, so no dangling term)
+        "ppr_power20": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL
+  SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+),
+outw AS MATERIALIZED (SELECT u, SUM(w) AS ow FROM arcs GROUP BY 1),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
+seed AS MATERIALIZED (SELECT MIN(u) AS s FROM outw),
+pr(it, node, r) AS (
+  SELECT 0, u, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM outw
+  UNION ALL
+  SELECT it + 1, a.v,
+    CAST(0.85 AS DOUBLE) * SUM(a.w * (pr.r * (CAST(1.0 AS DOUBLE) / o.ow)))
+      + CASE WHEN a.v = (SELECT s FROM seed)
+             THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END
+  FROM pr JOIN arcs a ON a.u = pr.node JOIN outw o ON o.u = pr.node
+  WHERE pr.it < 20
+  GROUP BY it + 1, a.v
+)
+SELECT node, round_even(r, 9) AS ppr FROM pr WHERE it = 20
 """,
         # PageRank TO CONVERGENCE (the engine's headline metric): same
         # recursion as pagerank_power20 but capped at 40 supersteps, then the

@@ -111,6 +111,25 @@ class SuperstepResult:
         return {str(k): v for k, v in zip(handle.names, self.values)}
 
 
+def _teleport_vector(n: int, personalization) -> np.ndarray | None:
+    """Normalize a personalization spec to an L1-unit dense vector, or None
+    for the uniform teleport. Accepts a dense array (sparse seeds as zeros)
+    or an iterable of seed vertex ids (uniform over the seed set) — the
+    nx.pagerank ``personalization`` semantics on dense ids."""
+    if personalization is None:
+        return None
+    p = np.zeros(n, dtype=np.float64)
+    arr = np.asarray(personalization)
+    if arr.shape == (n,) and np.issubdtype(arr.dtype, np.floating):
+        p[:] = arr  # dense weight vector
+    else:
+        p[arr.astype(np.int64)] = 1.0  # seed id list: uniform over seeds
+    s = p.sum()
+    if s <= 0:
+        raise ValueError("personalization must have positive total mass")
+    return p / s
+
+
 def pagerank(
     handle: GraphHandle,
     actors=None,
@@ -118,6 +137,7 @@ def pagerank(
     alpha: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
+    personalization=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
@@ -133,6 +153,9 @@ def pagerank(
         dangling = outw == 0.0
         inv_outw = np.where(dangling, 0.0, 1.0 / np.where(dangling, 1.0, outw))
 
+        p = _teleport_vector(n, personalization)
+        # nx parity: the START vector stays uniform even when the teleport
+        # is personalized (nstart defaults to 1/n in nx.pagerank)
         x = np.full(n, 1.0 / n, dtype=np.float64)
         start_iter = 0
         ckpt = None
@@ -167,7 +190,11 @@ def pagerank(
             t0 = time.perf_counter()
             contrib = exch.superstep(actors, x * inv_outw)
             danglesum = alpha * float(x[dangling].sum())
-            x_new = alpha * contrib + danglesum / n + (1.0 - alpha) / n
+            if p is None:
+                x_new = alpha * contrib + danglesum / n + (1.0 - alpha) / n
+            else:
+                # nx semantics: dangling mass and teleport both follow p
+                x_new = alpha * contrib + (danglesum + (1.0 - alpha)) * p
             err = float(np.abs(x_new - x).sum())
             x = x_new
             dt = time.perf_counter() - t0
@@ -198,16 +225,19 @@ def pagerank(
 
 
 def power_iterations(handle: GraphHandle, actors, *, iters: int = 20,
-                     alpha: float = 0.85, exchange: str = "plasma") -> dict:
+                     alpha: float = 0.85, personalization=None,
+                     exchange: str = "plasma") -> dict:
     """Run exactly ``iters`` PageRank supersteps (no convergence check) and
     report sustained throughput — the bench's measurement loop. Semantics per
-    superstep are identical to :func:`pagerank`; only the stop rule differs,
-    so the measured cost per superstep is the real one."""
+    superstep are identical to :func:`pagerank` (incl. ``personalization``
+    teleport); only the stop rule differs, so the measured cost per superstep
+    is the real one."""
     n = handle.n
     outw = out_weights(handle, actors)
     dangling = outw == 0.0
     inv_outw = np.where(dangling, 0.0, 1.0 / np.where(dangling, 1.0, outw))
-    x = np.full(n, 1.0 / n, dtype=np.float64)
+    p = _teleport_vector(n, personalization)
+    x = np.full(n, 1.0 / n, dtype=np.float64)  # uniform start, nx parity
     exch = _make_exchange(n, exchange)
     step_secs = []
     try:
@@ -216,7 +246,10 @@ def power_iterations(handle: GraphHandle, actors, *, iters: int = 20,
             t1 = time.perf_counter()
             contrib = exch.superstep(actors, x * inv_outw)
             danglesum = alpha * float(x[dangling].sum())
-            x = alpha * contrib + danglesum / n + (1.0 - alpha) / n
+            if p is None:
+                x = alpha * contrib + danglesum / n + (1.0 - alpha) / n
+            else:
+                x = alpha * contrib + (danglesum + (1.0 - alpha)) * p
             step_secs.append(time.perf_counter() - t1)
         dt = time.perf_counter() - t0
     finally:

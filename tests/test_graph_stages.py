@@ -93,6 +93,41 @@ def test_pagerank_weighted_random_graph(tmp_path):
         assert got[k] == pytest.approx(want[k], abs=1e-6)
 
 
+def test_personalized_pagerank_matches_nx(karate_handle, tmp_path):
+    df, handle = karate_handle
+    names = list(handle.names)
+    seeds = [names.index("n0"), names.index("n33")]
+    res = pagerank(handle, personalization=seeds)
+    assert res.converged
+    want = nx_pagerank(
+        to_nx(df), alpha=0.85, tol=1e-6,
+        personalization={"n0": 0.5, "n33": 0.5})
+    got = res.as_dict(handle)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+    # directed with dangling sinks: dangling mass must follow the teleport
+    rows = [("a0", "a1"), ("a1", "a2"), ("a2", "a0"), ("a1", "sink")]
+    ddf = pd.DataFrame(rows, columns=["src", "dst"])
+    dh = build_graph(ray.data.from_pandas(ddf), directed=True,
+                     n_partitions=2, path=str(tmp_path / "pprd"))
+    dseeds = [list(dh.names).index("a0")]
+    dres = pagerank(dh, personalization=dseeds)
+    dwant = nx_pagerank(
+        nx.from_pandas_edgelist(ddf, "src", "dst", create_using=nx.DiGraph),
+        personalization={"a0": 1.0})
+    dgot = dres.as_dict(dh)
+    for k in dwant:
+        assert dgot[k] == pytest.approx(dwant[k], abs=1e-6)
+
+    # dense float vector spec == equivalent seed list
+    p = np.zeros(handle.n)
+    p[seeds[0]] = 2.0
+    p[seeds[1]] = 2.0
+    res2 = pagerank(handle, personalization=p)
+    assert np.allclose(res.values, res2.values, atol=0)
+
+
 def test_pagerank_directed_with_dangling(tmp_path):
     rng = np.random.default_rng(3)
     rows = [(f"a{i}", f"a{rng.integers(0, 40)}") for i in range(40)]
