@@ -173,6 +173,22 @@ def q_part_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_clustering_parts(sf_dir: str):
+    """Per-vertex local clustering coefficient on the frequency>=2
+    co-occurrence graph (nx.clustering semantics; zero-triangle vertices
+    included) — triangle stream left-joined onto the degree table."""
+    from bluegraph_ray.stages.triangles import clustering_coefficient
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    out = clustering_coefficient(edges)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["clustering"] = np.round(batch["clustering"], 9)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pruned-read aggregate with map-side partials: each
     batch collapses to <=6 partial rows (sum/count per group), so the shuffle
@@ -834,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isolated_parts": q_isolated_parts,
         "top_neighbors": q_top_neighbors,
         "part_triangles": q_part_triangles,
+        "clustering_parts": q_clustering_parts,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1090,6 +1107,32 @@ tri AS (
 SELECT node, COUNT(*) AS triangles FROM (
   SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
 ) GROUP BY 1
+""",
+        # local clustering coefficient = 2T / (d(d-1)) on the freq>=2 simple
+        # graph; zero-triangle vertices kept via the degree-side LEFT JOIN
+        "clustering_parts": f"""
+WITH {_EDGES_FREQ},
+e2 AS (SELECT src, dst FROM edges WHERE frequency >= 2),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e3.dst AS c
+  FROM e2 e1 JOIN e2 e3 ON e3.src = e1.dst
+  JOIN e2 e0 ON e0.src = e1.src AND e0.dst = e3.dst
+),
+tcnt AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node,
+  round_even(CASE WHEN deg.d >= 2
+    THEN 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1.0))
+    ELSE 0.0 END, 9) AS clustering
+FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -21,7 +21,7 @@ standard distributed formulation):
 5. every closed wedge (a; b, c) is one triangle {a, b, c}: emit a count for
    each corner, ``groupby(node).sum``.
 
-Exact per-vertex counts vs ``nx.triangles`` (tests/test_triangles.py).
+Exact per-vertex counts vs ``nx.triangles`` (tests/test_graph_stages.py).
 """
 
 from __future__ import annotations
@@ -34,19 +34,13 @@ import ray.data
 from bluegraph_ray.util import hash_aggregate, hash_distinct
 
 
-def triangle_counts(
-    edges: "ray.data.Dataset",
-    *,
-    src: str = "src",
-    dst: str = "dst",
-    num_buckets: int = 32,
-) -> "ray.data.Dataset":
-    """Undirected edge table -> Dataset(node, triangles). Exact."""
+def _canonical_edges(edges: "ray.data.Dataset", src: str, dst: str,
+                     num_buckets: int) -> "ray.data.Dataset":
+    """Simple undirected edge set: u < v, self-loops dropped, deduped."""
     from bluegraph_ray.util import rename_columns
 
     e = rename_columns(edges.select_columns([src, dst]), {src: "u", dst: "v"})
 
-    # canonical u < v, no self-loops, dedup
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
         u = batch["u"].to_numpy()
         v = batch["v"].to_numpy()
@@ -55,10 +49,25 @@ def triangle_counts(
         keep = lo != hi
         return pd.DataFrame({"u": lo[keep], "v": hi[keep]}).drop_duplicates()
 
-    canon_edges = hash_distinct(
+    return hash_distinct(
         e.map_batches(canon, batch_format="pandas", batch_size=None), ["u", "v"],
         num_buckets=num_buckets,
     ).materialize()
+
+
+def triangle_counts(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+    canonical: bool = False,
+) -> "ray.data.Dataset":
+    """Undirected edge table -> Dataset(node, triangles). Exact. Pass
+    ``canonical=True`` when the input is already the simple (u < v, deduped)
+    edge set under columns (u, v) to skip the dedup shuffle."""
+    canon_edges = (edges if canonical
+                   else _canonical_edges(edges, src, dst, num_buckets))
 
     # degrees of the simple graph (small result: one row per vertex)
     from bluegraph_ray.stages.degree import degree_centrality
@@ -175,3 +184,36 @@ def triangle_counts(
         )
 
     return counts.map_batches(back_to_names, batch_format="pandas", batch_size=None)
+
+
+def clustering_coefficient(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-vertex local clustering coefficient, ``nx.clustering`` semantics:
+    cc(v) = 2·T(v) / (d(v)·(d(v)−1)) over the simple undirected graph, 0 when
+    d(v) < 2. Every vertex of the edge set gets a row (zero-triangle vertices
+    included — the triangle stream is LEFT-joined onto the degree table, both
+    computed from one shared canonical edge set, one dedup shuffle total).
+    Exact vs nx.clustering (tests/test_graph_stages.py)."""
+    from bluegraph_ray.stages.degree import degree_centrality
+    from bluegraph_ray.util import hash_join
+
+    canon_edges = _canonical_edges(edges, src, dst, num_buckets)
+    deg = degree_centrality(canon_edges, src="u", dst="v",
+                            num_buckets=num_buckets)
+    tri = triangle_counts(canon_edges, canonical=True, num_buckets=num_buckets)
+    joined = hash_join(deg, tri, on="node", how="left",
+                       num_buckets=num_buckets)
+
+    def cc(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["degree"].to_numpy(dtype=np.float64)
+        t = batch["triangles"].fillna(0).to_numpy(dtype=np.float64)
+        denom = d * (d - 1.0)
+        out = np.where(denom > 0, 2.0 * t / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.DataFrame({"node": batch["node"], "clustering": out})
+
+    return joined.map_batches(cc, batch_format="pandas", batch_size=None)

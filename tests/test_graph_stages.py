@@ -214,6 +214,26 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_clustering_coefficient_exact(karate_handle):
+    from bluegraph_ray.stages.triangles import clustering_coefficient
+
+    df, _ = karate_handle
+    out = clustering_coefficient(ray.data.from_pandas(df)).to_pandas()
+    want = nx.clustering(to_nx(df))
+    got = dict(zip(out["node"], out["clustering"]))
+    assert set(got) == set(want)  # zero-triangle vertices included
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+
+    rdf = random_graph(seed=29, n=70, p=0.08)
+    out = clustering_coefficient(ray.data.from_pandas(rdf)).to_pandas()
+    want = nx.clustering(to_nx(rdf))
+    got = dict(zip(out["node"], out["clustering"]))
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+
+
 def test_pagerank_checkpoint_resume_bitwise(tmp_path):
     df = random_graph(seed=17)
     handle = build_graph(
