@@ -525,6 +525,21 @@ def q_closeness_parts(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_harmonic_parts(sf_dir: str):
+    """Harmonic centrality (nx semantics, unnormalized Σ 1/d) on the freq>=2
+    co-occurrence graph — same per-source BFS fan-out as closeness_parts."""
+    from bluegraph_ray.stages.centrality import harmonic_centrality
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    out = harmonic_centrality(edges)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["harmonic"] = np.round(batch["harmonic"], 9)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_betweenness_parts(sf_dir: str):
     from bluegraph_ray.stages.centrality import betweenness_centrality
 
@@ -867,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ppmi_edges": q_top_ppmi_edges,
         "order_priority_counts": q_order_priority_counts,
         "closeness_parts": q_closeness_parts,
+        "harmonic_parts": q_harmonic_parts,
         "betweenness_parts": q_betweenness_parts,
         "betweenness_small": q_betweenness_small,
         "mst_parts": q_mst_parts,
@@ -1378,6 +1394,32 @@ SELECT root AS node,
   round_even(CASE WHEN r1 > 0 AND tot > 0
     THEN (r1 / tot) * (r1 / (SELECT nm1 FROM nn)) ELSE 0.0 END, 9) AS closeness
 FROM agg
+""",
+        # harmonic centrality: same all-pairs fixed-depth BFS, reduction is
+        # Σ 1/d over reachable d > 0 (nx.harmonic_centrality, unnormalized)
+        "harmonic_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+fedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE frequency >= 2),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM fedges UNION ALL SELECT dst AS v FROM fedges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fedges
+  UNION ALL SELECT dst, src FROM fedges
+  UNION ALL SELECT v, v FROM verts
+),
+dist(it, root, node, d) AS (
+  SELECT 0, v, v, 0 FROM verts
+  UNION ALL
+  SELECT it + 1, dist.root, a.v,
+         MIN(dist.d + CASE WHEN a.u = a.v THEN 0 ELSE 1 END)
+  FROM dist JOIN arcs a ON a.u = dist.node
+  WHERE dist.it < 16
+  GROUP BY 1, 2, 3
+)
+SELECT root AS node,
+  round_even(COALESCE(SUM(CASE WHEN d > 0 THEN 1.0 / d END), 0.0), 9)
+    AS harmonic
+FROM dist WHERE it = 16 GROUP BY 1
 """,
         # Brandes betweenness on the freq>=3 subgraph: BFS distances (dist),
         # shortest-path counts (sig: rows born at iteration k ARE depth-k

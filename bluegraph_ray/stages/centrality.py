@@ -248,6 +248,46 @@ def closeness_centrality(
                                batch_size=max(1, n // 64))
 
 
+def harmonic_centrality(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    distance: str | None = None,
+) -> "ray.data.Dataset":
+    """nx.harmonic_centrality semantics: H(u) = Σ_{v≠u reachable} 1/d(u, v),
+    unnormalized (disconnected vertices contribute 0). Same per-source
+    fan-out / worker-assembled CSR contract as :func:`closeness_centrality`."""
+    names, graph_ref = _distributed_csr(edges, src, dst, distance)
+    n = len(names)
+    names_ref = ray.put(names)
+
+    unweighted = distance is None
+
+    def per_sources(batch: pd.DataFrame) -> pd.DataFrame:
+        from bluegraph_ray.util import broadcast_get
+
+        nm = broadcast_get(names_ref)
+        ip, nb, ww = broadcast_get(graph_ref)
+        out_nodes, out_scores = [], []
+        for sid in batch["source"]:
+            if unweighted:
+                di, _, _ = _bfs_levels(ip, nb, int(sid), n)
+                pos = di > 0
+                h = float((1.0 / di[pos]).sum())
+            else:
+                dist, _, _, _ = _sssp(ip, nb, ww, int(sid), n)
+                pos = np.isfinite(dist) & (dist > 0)
+                h = float((1.0 / dist[pos]).sum())
+            out_nodes.append(nm[int(sid)])
+            out_scores.append(h)
+        return pd.DataFrame({"node": out_nodes, "harmonic": out_scores})
+
+    sources = ray.data.from_pandas(pd.DataFrame({"source": np.arange(n)}))
+    return sources.map_batches(per_sources, batch_format="pandas",
+                               batch_size=max(1, n // 64))
+
+
 def betweenness_centrality(
     edges: "ray.data.Dataset",
     *,

@@ -154,6 +154,29 @@ def test_closeness_matches_nx():
         assert got[k] == pytest.approx(v, abs=1e-9)
 
 
+def test_harmonic_matches_nx():
+    df, g = karate()
+    out = centrality.harmonic_centrality(ray.data.from_pandas(df)).to_pandas()
+    want = nx.harmonic_centrality(g)
+    got = dict(zip(out["node"], out["harmonic"]))
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+    # disconnected + weighted variant
+    df2 = pd.DataFrame(
+        [("a", "b", 0.5), ("b", "c", 2.0), ("x", "y", 1.0)],
+        columns=["src", "dst", "w"])
+    g2 = nx.Graph()
+    for r in df2.itertuples():
+        g2.add_edge(r.src, r.dst, w=r.w)
+    out2 = centrality.harmonic_centrality(
+        ray.data.from_pandas(df2), distance="w").to_pandas()
+    want2 = nx.harmonic_centrality(g2, distance="w")
+    got2 = dict(zip(out2["node"], out2["harmonic"]))
+    for k, v in want2.items():
+        assert got2[k] == pytest.approx(v, abs=1e-9)
+
+
 def test_betweenness_matches_nx():
     df, g = karate()
     out = centrality.betweenness_centrality(ray.data.from_pandas(df)).to_pandas()
