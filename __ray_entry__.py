@@ -643,6 +643,21 @@ def q_sssp_parts(sf_dir: str):
                          "distance": np.round(res.values[mask], 9)})
 
 
+def q_kcore_parts(sf_dir: str):
+    """3-core membership of the freq>=2 co-occurrence graph — distributed
+    peeling supersteps (stages/kcore.py; one unit-weight gather per round).
+    Peeling is monotone/confluent, so the converged survivor set equals a
+    fixed-round chained-CTE replay (16 rounds > the 11 observed at sf0.01)."""
+    from bluegraph_ray.stages.build import build_graph
+    from bluegraph_ray.stages.kcore import k_core
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    handle = build_graph(edges, weight=None, directed=False, n_partitions=8)
+    res = k_core(handle, 3)
+    mask = res.values > 0
+    return pd.DataFrame({"node": handle.names[mask]})
+
+
 def q_louvain_parts(sf_dir: str):
     """Deterministic Louvain over the freq>=2 co-occurrence graph."""
     from bluegraph_ray.stages.communities import detect_communities
@@ -893,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_power20": q_pagerank_power20,
         "ppr_power20": q_ppr_power20,
         "components_parts": q_components_parts,
+        "kcore_parts": q_kcore_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
         "communities_parts": q_communities_parts,
@@ -939,6 +955,17 @@ QUALIFY ROW_NUMBER() OVER (
                                   CAST(e.embedding AS DOUBLE[])) DESC,
            e.vec_id) <= 5
 """
+
+# k-core peel rounds, unrolled: survivors_{i+1} = alive vertices with >= 3
+# alive neighbours (both arc endpoints must survive round i)
+_KCORE_STEPS = "".join(
+    f""",
+s{i + 1} AS MATERIALIZED (
+  SELECT a.u AS v FROM karcs a
+  JOIN s{i} x ON x.v = a.u JOIN s{i} y ON y.v = a.v
+  GROUP BY 1 HAVING COUNT(*) >= 3)"""
+    for i in range(16)
+)
 
 _MM_STEPS = "".join(
     f""",
@@ -1495,6 +1522,17 @@ m0 AS (
     FROM (SELECT src AS x FROM f3 UNION SELECT dst FROM f3)){_MM_STEPS}
 SELECT f.src, f.dst, f.frequency
 FROM f3 f JOIN m7 mm ON mm.u = f.src AND mm.v = f.dst AND mm.mr = f.r
+""",
+        # 3-core: 16 unrolled peel rounds (fixpoint after 11 at sf0.01;
+        # peeling is monotone so extra rounds are no-ops)
+        "kcore_parts": f"""
+WITH {_EDGES_FREQ},
+e2 AS MATERIALIZED (SELECT src, dst FROM edges WHERE frequency >= 2),
+karcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM e2 UNION ALL SELECT dst, src FROM e2),
+s0 AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM e2 UNION ALL SELECT dst AS v FROM e2)){_KCORE_STEPS}
+SELECT v AS node FROM s16
 """,
         # single-source BFS: fixed-depth min-relaxation from the minimum
         # entity (32 supersteps > eccentricity 13 at sf0.01; self-arcs carry

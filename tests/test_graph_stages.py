@@ -214,6 +214,35 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_kcore_and_core_number_match_nx(karate_handle, tmp_path):
+    from bluegraph_ray.stages.kcore import core_number, k_core
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    for k in (2, 3, 4):
+        res = k_core(handle, k)
+        assert res.converged
+        got = {n for n, a in zip(handle.names, res.values) if a > 0}
+        assert got == set(nx.k_core(g, k).nodes)
+
+    cn = core_number(handle)
+    want = nx.core_number(g)
+    got = dict(zip(handle.names, cn.values))
+    assert got == want
+
+    rdf = random_graph(seed=33, n=70, p=0.09)
+    h2 = build_graph(ray.data.from_pandas(rdf), directed=False,
+                     n_partitions=4, path=str(tmp_path / "kc"))
+    cn2 = core_number(h2)
+    assert dict(zip(h2.names, cn2.values)) == nx.core_number(to_nx(rdf))
+
+    # weighted handles are rejected (peeling needs unit arcs)
+    h3 = build_graph(ray.data.from_pandas(rdf), weight="mi", directed=False,
+                     n_partitions=2, path=str(tmp_path / "kcw"))
+    with pytest.raises(ValueError):
+        k_core(h3, 2)
+
+
 def test_clustering_coefficient_exact(karate_handle):
     from bluegraph_ray.stages.triangles import clustering_coefficient
 
