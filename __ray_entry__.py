@@ -643,6 +643,28 @@ def q_sssp_parts(sf_dir: str):
                          "distance": np.round(res.values[mask], 9)})
 
 
+def q_link_pred_parts(sf_dir: str):
+    """Top-100 link-prediction candidates by Adamic-Adar on the freq>=2
+    co-occurrence graph (stages/linkpred.py: one wedge pass, pair aggregate,
+    anti-join against the edge set). Scores rounded to 9 BEFORE the ordering
+    so the engine and the SQL replay rank identically; (u, v) tiebreak."""
+    from bluegraph_ray.stages.linkpred import link_prediction_scores
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
+    # num_buckets sized to the test scale: the stage chains 6 bucketed
+    # exchanges, and at sf<=0.1 per-task overhead dominates over 32-wide ones
+    out = link_prediction_scores(edges, num_buckets=8)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["jaccard"] = np.round(batch["jaccard"], 9)
+        batch["adamic_adar"] = np.round(batch["adamic_adar"], 9)
+        return batch
+
+    return (out.map_batches(rnd, batch_format="pandas")
+            .sort(["adamic_adar", "u", "v"], descending=[True, False, False])
+            .limit(100))
+
+
 def q_kcore_parts(sf_dir: str):
     """3-core membership of the freq>=2 co-occurrence graph — distributed
     peeling supersteps (stages/kcore.py; one unit-weight gather per round).
@@ -908,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_power20": q_pagerank_power20,
         "ppr_power20": q_ppr_power20,
         "components_parts": q_components_parts,
+        "link_pred_parts": q_link_pred_parts,
         "kcore_parts": q_kcore_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
@@ -1522,6 +1545,40 @@ m0 AS (
     FROM (SELECT src AS x FROM f3 UNION SELECT dst FROM f3)){_MM_STEPS}
 SELECT f.src, f.dst, f.frequency
 FROM f3 f JOIN m7 mm ON mm.u = f.src AND mm.v = f.dst AND mm.mr = f.r
+""",
+        # Adamic-Adar / Jaccard / preferential attachment over wedge pairs:
+        # arcs self-joined on the shared center (= the engine's per-center
+        # pair emission), degree joins, anti-join vs the edge set; ordering
+        # on the ROUNDED score with (u, v) tiebreak mirrors the engine
+        "link_pred_parts": f"""
+WITH {_EDGES_FREQ},
+e2 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges WHERE frequency >= 2),
+deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM
+  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+arcs AS MATERIALIZED (
+  SELECT u AS center, v AS nbr FROM e2 UNION ALL SELECT v, u FROM e2),
+pairs AS (
+  SELECT a1.nbr AS u, a2.nbr AS v, COUNT(*) AS cn,
+         SUM(1.0 / ln(dc.d)) AS aa
+  FROM arcs a1
+  JOIN arcs a2 ON a2.center = a1.center AND a1.nbr < a2.nbr
+  JOIN deg dc ON dc.node = a1.center
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.u, p.v, p.cn, p.aa, du.d AS du, dv.d AS dv
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+  ANTI JOIN e2 ON e2.u = p.u AND e2.v = p.v
+)
+SELECT u, v, cn,
+  round_even(CAST(cn AS DOUBLE) / (du + dv - cn), 9) AS jaccard,
+  round_even(aa, 9) AS adamic_adar,
+  du * dv AS pref_attach
+FROM cand
+ORDER BY adamic_adar DESC, u, v
+LIMIT 100
 """,
         # 3-core: 16 unrolled peel rounds (fixpoint after 11 at sf0.01;
         # peeling is monotone so extra rounds are no-ops)

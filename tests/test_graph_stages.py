@@ -214,6 +214,49 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_link_prediction_scores_match_nx(karate_handle):
+    from bluegraph_ray.stages.linkpred import link_prediction_scores
+
+    df, _ = karate_handle
+    g = to_nx(df)
+    out = link_prediction_scores(ray.data.from_pandas(df)).to_pandas()
+    # candidate space: non-adjacent pairs with >= 1 common neighbour
+    cand = [(u, v) for u, v in nx.non_edges(g)
+            if len(list(nx.common_neighbors(g, u, v)))]
+    cand = {(min(u, v), max(u, v)) for u, v in cand}
+    got = {(r.u, r.v): r for r in out.itertuples()}
+    assert set(got) == cand
+    jac = {(min(u, v), max(u, v)): s
+           for u, v, s in nx.jaccard_coefficient(g, list(cand))}
+    aa = {(min(u, v), max(u, v)): s
+          for u, v, s in nx.adamic_adar_index(g, list(cand))}
+    pa = {(min(u, v), max(u, v)): s
+          for u, v, s in nx.preferential_attachment(g, list(cand))}
+    for p in cand:
+        assert got[p].cn == len(list(nx.common_neighbors(g, *p)))
+        assert got[p].jaccard == pytest.approx(jac[p], abs=1e-12)
+        assert got[p].adamic_adar == pytest.approx(aa[p], abs=1e-12)
+        assert got[p].pref_attach == pa[p]
+
+    # include_edges=True also scores adjacent pairs
+    out2 = link_prediction_scores(
+        ray.data.from_pandas(df), include_edges=True).to_pandas()
+    assert len(out2) > len(out)
+
+    # join regime (degree table too big to broadcast): same exact result
+    out3 = link_prediction_scores(
+        ray.data.from_pandas(df), deg_broadcast_rows=0).to_pandas()
+    got3 = {(r.u, r.v): r for r in out3.itertuples()}
+    assert set(got3) == cand
+    for p in cand:
+        assert got3[p].jaccard == pytest.approx(jac[p], abs=1e-12)
+        assert got3[p].adamic_adar == pytest.approx(aa[p], abs=1e-12)
+        assert got3[p].pref_attach == pa[p]
+    with pytest.raises(ValueError):
+        link_prediction_scores(ray.data.from_pandas(df),
+                               include_edges=True, deg_broadcast_rows=0)
+
+
 def test_kcore_and_core_number_match_nx(karate_handle, tmp_path):
     from bluegraph_ray.stages.kcore import core_number, k_core
 
