@@ -446,6 +446,20 @@ def q_ppr_power20(sf_dir: str):
     )
 
 
+def q_hits_power8(sf_dir: str):
+    """HITS, exactly 8 full iterations (16 normalized half-step gathers) on
+    the co-occurrence graph (stages/hits.py). hub == the it=16 vector,
+    auth == it=15; L1 normalization per half-step makes the fixed-depth
+    recursive-CTE replay exact up to summation order (round 9)."""
+    from bluegraph_ray.stages.hits import hits
+
+    handle = _cooc_graph(sf_dir)
+    hub, auth = hits(handle, iters=8)
+    return pd.DataFrame({"node": handle.names,
+                         "hub": np.round(hub.values, 9),
+                         "auth": np.round(auth.values, 9)})
+
+
 def q_components_parts(sf_dir: str):
     from bluegraph_ray.stages.components import connected_components
 
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": q_pagerank_parts,
         "pagerank_power20": q_pagerank_power20,
         "ppr_power20": q_ppr_power20,
+        "hits_power8": q_hits_power8,
         "components_parts": q_components_parts,
         "link_pred_parts": q_link_pred_parts,
         "kcore_parts": q_kcore_parts,
@@ -1687,6 +1702,32 @@ pr(it, node, r) AS (
   GROUP BY it + 1, a.v
 )
 SELECT node, round_even(r, 9) AS ppr FROM pr WHERE it = 20
+""",
+        # HITS half-steps: x_{t+1}(v) = Σ_in-arcs w·x_t(u), L1-normalized by
+        # a window over the step — odd t = authorities, even t = hubs
+        # (undirected arcs are bidirected, so one gather serves both roles)
+        "hits_power8": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM arcs),
+hx(it, node, x) AS (
+  SELECT 0, u, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+  FROM (SELECT DISTINCT u FROM arcs)
+  UNION ALL
+  SELECT it, v, s / SUM(s) OVER ()
+  FROM (
+    SELECT hx.it + 1 AS it, a.v AS v, SUM(a.w * hx.x) AS s
+    FROM hx JOIN arcs a ON a.u = hx.node
+    WHERE hx.it < 16
+    GROUP BY 1, 2
+  )
+)
+SELECT h.node, round_even(h.x, 9) AS hub, round_even(a.x, 9) AS auth
+FROM hx h JOIN hx a ON a.node = h.node AND a.it = 15
+WHERE h.it = 16
 """,
         # PageRank TO CONVERGENCE (the engine's headline metric): same
         # recursion as pagerank_power20 but capped at 40 supersteps, then the

@@ -214,6 +214,46 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_hits_matches_nx(karate_handle, tmp_path):
+    # scipy is absent; nx's pure-python HITS has identical semantics
+    from networkx.algorithms.link_analysis.hits_alg import _hits_python
+
+    from bluegraph_ray.stages.hits import hits
+
+    df, handle = karate_handle
+    hub, auth = hits(handle, tol=1e-12)
+    assert hub.converged
+    wh, wa = _hits_python(to_nx(df), max_iter=1000, tol=1e-14)
+    got_h = dict(zip(handle.names, hub.values))
+    got_a = dict(zip(handle.names, auth.values))
+    for k in wh:
+        assert got_h[k] == pytest.approx(wh[k], abs=1e-8)
+        assert got_a[k] == pytest.approx(wa[k], abs=1e-8)
+
+    # weighted: nx reads the literal 'weight' attribute
+    rdf = random_graph(seed=41, n=40, p=0.12).rename(columns={"mi": "weight"})
+    h2 = build_graph(ray.data.from_pandas(rdf), weight="weight",
+                     directed=False, n_partitions=3,
+                     path=str(tmp_path / "hw"))
+    hub2, auth2 = hits(h2, tol=1e-12)
+    wh2, _ = _hits_python(to_nx(rdf, weight="weight"), max_iter=2000,
+                          tol=1e-14)
+    got2 = dict(zip(h2.names, hub2.values))
+    for k in wh2:
+        assert got2[k] == pytest.approx(wh2[k], abs=1e-8)
+
+    # fixed-iteration replay runs exactly that many half-step pairs
+    hub3, _ = hits(handle, iters=3)
+    assert len(hub3.superstep_seconds) == 3
+
+    # directed handles demand the transpose CSR
+    ddf = pd.DataFrame([("a", "b"), ("b", "c")], columns=["src", "dst"])
+    dh = build_graph(ray.data.from_pandas(ddf), directed=True,
+                     n_partitions=2, path=str(tmp_path / "hd"))
+    with pytest.raises(ValueError):
+        hits(dh)
+
+
 def test_link_prediction_scores_match_nx(karate_handle):
     from bluegraph_ray.stages.linkpred import link_prediction_scores
 
