@@ -694,6 +694,23 @@ def q_kcore_parts(sf_dir: str):
     return pd.DataFrame({"node": handle.names[mask]})
 
 
+def q_diameter_parts(sf_dir: str):
+    """Double-sweep pseudo-diameter of the co-occurrence graph
+    (stages/sssp.pseudo_diameter): BFS from the minimum entity, re-BFS from
+    the farthest vertex (min-name tiebreak). Deterministic -> exactly
+    replayable by two chained fixed-depth BFS recursions."""
+    from bluegraph_ray.stages.sssp import pseudo_diameter
+
+    handle = _cooc_graph(sf_dir)
+    res = pseudo_diameter(handle, source=int(np.argmin(handle.names)))
+    return pd.DataFrame({
+        "source": [handle.names[res["source"]]],
+        "far_node": [handle.names[res["far_node"]]],
+        "end_node": [handle.names[res["end_node"]]],
+        "pseudo_diameter": [res["pseudo_diameter"]],
+    })
+
+
 def q_louvain_parts(sf_dir: str):
     """Deterministic Louvain over the freq>=2 co-occurrence graph."""
     from bluegraph_ray.stages.communities import detect_communities
@@ -949,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_parts": q_kcore_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
+        "diameter_parts": q_diameter_parts,
         "communities_parts": q_communities_parts,
         "minhash_candidates": q_minhash_candidates,
         "simhash_docs": q_simhash_docs,
@@ -1605,6 +1623,44 @@ karcs AS MATERIALIZED (
 s0 AS MATERIALIZED (SELECT DISTINCT v FROM
   (SELECT src AS v FROM e2 UNION ALL SELECT dst AS v FROM e2)){_KCORE_STEPS}
 SELECT v AS node FROM s16
+""",
+        # double-sweep pseudo-diameter: BFS from the minimum entity, pick the
+        # farthest reached vertex (dist DESC, node ASC = the engine's
+        # first-argmax over sorted names), BFS again; both sweeps are the
+        # same fixed-depth min-relaxation as bfs_hops_parts (32 > ecc 13)
+        "diameter_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, 1 AS w FROM edges
+  UNION ALL SELECT dst, src, 1 FROM edges
+  UNION ALL SELECT v, v, 0 FROM verts
+),
+b1(it, node, dist) AS (
+  SELECT 0, (SELECT MIN(v) FROM verts), 0
+  UNION ALL
+  SELECT it + 1, a.v, MIN(b1.dist + a.w)
+  FROM b1 JOIN arcs a ON a.u = b1.node
+  WHERE b1.it < 32
+  GROUP BY it + 1, a.v
+),
+far AS MATERIALIZED (
+  SELECT node FROM b1 WHERE it = 32 ORDER BY dist DESC, node LIMIT 1),
+b2(it, node, dist) AS (
+  SELECT 0, (SELECT node FROM far), 0
+  UNION ALL
+  SELECT it + 1, a.v, MIN(b2.dist + a.w)
+  FROM b2 JOIN arcs a ON a.u = b2.node
+  WHERE b2.it < 32
+  GROUP BY it + 1, a.v
+)
+SELECT (SELECT MIN(v) FROM verts) AS source,
+       (SELECT node FROM far) AS far_node,
+       (SELECT node FROM b2 WHERE it = 32
+        ORDER BY dist DESC, node LIMIT 1) AS end_node,
+       (SELECT CAST(MAX(dist) AS BIGINT) FROM b2 WHERE it = 32)
+         AS pseudo_diameter
 """,
         # single-source BFS: fixed-depth min-relaxation from the minimum
         # entity (32 supersteps > eccentricity 13 at sf0.01; self-arcs carry

@@ -91,3 +91,38 @@ def bfs_hops(handle: GraphHandle, source: int, actors=None,
              *, max_iter: int = 200) -> SuperstepResult:
     """Unweighted hop distances from ``source`` (BFS; every arc costs 1)."""
     return sssp(handle, source, actors, weighted=False, max_iter=max_iter)
+
+
+def pseudo_diameter(handle: GraphHandle, actors=None, *,
+                    source: int | None = None,
+                    max_iter: int = 200) -> dict:
+    """Double-sweep diameter lower bound (the standard graph-tool
+    ``pseudo_diameter`` estimator, exact on trees and usually tight in
+    practice): BFS from ``source`` (default dense id 0 = the minimum vertex
+    name, names are sorted at build), hop to the farthest reached vertex
+    (ties -> smallest dense id, i.e. smallest name), BFS again; the second
+    sweep's eccentricity is the bound. Two full BFS runs = two O(ecc)
+    superstep sequences on the shared CSR actors — deterministic, so a
+    two-recursion SQL replay reproduces it exactly."""
+    own_actors = actors is None
+    if actors is None:
+        actors = make_partition_actors(handle)
+    try:
+        src = int(source) if source is not None else 0
+        r1 = bfs_hops(handle, src, actors, max_iter=max_iter)
+        d1 = np.where(np.isfinite(r1.values), r1.values, -1.0)
+        far = int(np.argmax(d1))  # first max -> smallest dense id on ties
+        r2 = bfs_hops(handle, far, actors, max_iter=max_iter)
+        d2 = np.where(np.isfinite(r2.values), r2.values, -1.0)
+        end = int(np.argmax(d2))
+        return {
+            "source": src,
+            "far_node": far,
+            "end_node": end,
+            "pseudo_diameter": int(d2.max()),
+            "supersteps": len(r1.superstep_seconds) + len(r2.superstep_seconds),
+        }
+    finally:
+        if own_actors:
+            for a in actors:
+                ray.kill(a)

@@ -456,6 +456,25 @@ def test_bfs_hops_matches_nx(karate_handle, tmp_path):
     assert d2["c"] == 2.0 and np.isinf(d2["x"]) and np.isinf(d2["y"])
 
 
+def test_pseudo_diameter(karate_handle, tmp_path):
+    from bluegraph_ray.stages.sssp import pseudo_diameter
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    res = pseudo_diameter(handle)
+    # lower bound on the true diameter, equal to the second sweep's ecc
+    far_name = handle.names[res["far_node"]]
+    assert res["pseudo_diameter"] == nx.eccentricity(g, far_name)
+    assert res["pseudo_diameter"] <= nx.diameter(g)
+
+    # exact on a path graph
+    pdf = pd.DataFrame([(f"p{i:02d}", f"p{i+1:02d}") for i in range(9)],
+                       columns=["src", "dst"])
+    h2 = build_graph(ray.data.from_pandas(pdf), directed=False,
+                     n_partitions=2, path=str(tmp_path / "diam"))
+    assert pseudo_diameter(h2)["pseudo_diameter"] == 9
+
+
 def test_sssp_weighted_matches_nx_dijkstra(tmp_path):
     from bluegraph_ray.stages.sssp import sssp
 
