@@ -460,6 +460,29 @@ def q_hits_power8(sf_dir: str):
                          "auth": np.round(auth.values, 9)})
 
 
+def q_eigenvector_power12(sf_dir: str):
+    """Eigenvector centrality, exactly 12 (I+A) power supersteps with
+    per-step L2 normalization (stages/spectral.py). The (I+A) form makes the
+    SQL replay a plain weighted gather over arcs ∪ unit self-loops."""
+    from bluegraph_ray.stages.spectral import eigenvector_centrality
+
+    handle = _cooc_graph(sf_dir)
+    res = eigenvector_centrality(handle, iters=12)
+    return pd.DataFrame({"node": handle.names,
+                         "eigenvector": np.round(res.values, 9)})
+
+
+def q_katz_power12(sf_dir: str):
+    """Katz centrality, exactly 12 supersteps of x' = 0.1·A·x + 1 from
+    x0 = 0, one final L2 normalization (stages/spectral.py)."""
+    from bluegraph_ray.stages.spectral import katz_centrality
+
+    handle = _cooc_graph(sf_dir)
+    res = katz_centrality(handle, iters=12)
+    return pd.DataFrame({"node": handle.names,
+                         "katz": np.round(res.values, 9)})
+
+
 def q_components_parts(sf_dir: str):
     from bluegraph_ray.stages.components import connected_components
 
@@ -961,6 +984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_power20": q_pagerank_power20,
         "ppr_power20": q_ppr_power20,
         "hits_power8": q_hits_power8,
+        "eigenvector_power12": q_eigenvector_power12,
+        "katz_power12": q_katz_power12,
         "components_parts": q_components_parts,
         "link_pred_parts": q_link_pred_parts,
         "kcore_parts": q_kcore_parts,
@@ -1784,6 +1809,54 @@ hx(it, node, x) AS (
 SELECT h.node, round_even(h.x, 9) AS hub, round_even(a.x, 9) AS auth
 FROM hx h JOIN hx a ON a.node = h.node AND a.it = 15
 WHERE h.it = 16
+""",
+        # (I + A) power iteration: unit self-loops fold the +x term into the
+        # one gather; per-step L2 normalization via a window
+        "eigenvector_power12": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+  UNION ALL SELECT v, v, CAST(1.0 AS DOUBLE) FROM verts
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+ev(it, node, x) AS (
+  SELECT 0, v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT it, v, s / SQRT(SUM(s * s) OVER ())
+  FROM (
+    SELECT ev.it + 1 AS it, a.v AS v, SUM(a.w * ev.x) AS s
+    FROM ev JOIN arcs a ON a.u = ev.node
+    WHERE ev.it < 12
+    GROUP BY 1, 2
+  )
+)
+SELECT node, round_even(x, 9) AS eigenvector FROM ev WHERE it = 12
+""",
+        # Katz: x' = 0.1·A·x + 1 from x0 = 0 (self-loops w=0 keep every
+        # vertex in the recursion); single L2 normalization at the end
+        "katz_power12": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+  UNION ALL SELECT v, v, CAST(0.0 AS DOUBLE) FROM verts
+),
+kz(it, node, x) AS (
+  SELECT 0, v, CAST(0.0 AS DOUBLE) FROM verts
+  UNION ALL
+  SELECT it + 1, a.v,
+    CAST(0.1 AS DOUBLE) * SUM(a.w * kz.x) + CAST(1.0 AS DOUBLE)
+  FROM kz JOIN arcs a ON a.u = kz.node
+  WHERE kz.it < 12
+  GROUP BY it + 1, a.v
+)
+SELECT node, round_even(x / SQRT(SUM(x * x) OVER ()), 9) AS katz
+FROM kz WHERE it = 12
 """,
         # PageRank TO CONVERGENCE (the engine's headline metric): same
         # recursion as pagerank_power20 but capped at 40 supersteps, then the

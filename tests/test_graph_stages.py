@@ -214,6 +214,40 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_eigenvector_and_katz_match_nx(karate_handle, tmp_path):
+    from bluegraph_ray.stages.spectral import (eigenvector_centrality,
+                                               katz_centrality)
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    res = eigenvector_centrality(handle, tol=1e-10)
+    assert res.converged
+    want = nx.eigenvector_centrality(g, max_iter=5000, tol=1e-12)
+    got = dict(zip(handle.names, res.values))
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-7)
+
+    kres = katz_centrality(handle, alpha=0.05, tol=1e-12)
+    assert kres.converged
+    kwant = nx.katz_centrality(g, alpha=0.05, max_iter=5000, tol=1e-14)
+    kgot = dict(zip(handle.names, kres.values))
+    for k in kwant:
+        assert kgot[k] == pytest.approx(kwant[k], abs=1e-8)
+
+    # weighted eigenvector (nx reads the literal 'weight' attr when asked)
+    rdf = random_graph(seed=47, n=40, p=0.15).rename(columns={"mi": "weight"})
+    h2 = build_graph(ray.data.from_pandas(rdf), weight="weight",
+                     directed=False, n_partitions=3,
+                     path=str(tmp_path / "ev"))
+    res2 = eigenvector_centrality(h2, tol=1e-10)
+    want2 = nx.eigenvector_centrality(to_nx(rdf, weight="weight"),
+                                      max_iter=5000, tol=1e-12,
+                                      weight="weight")
+    got2 = dict(zip(h2.names, res2.values))
+    for k in want2:
+        assert got2[k] == pytest.approx(want2[k], abs=1e-7)
+
+
 def test_hits_matches_nx(karate_handle, tmp_path):
     # scipy is absent; nx's pure-python HITS has identical semantics
     from networkx.algorithms.link_analysis.hits_alg import _hits_python
