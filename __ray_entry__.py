@@ -121,6 +121,16 @@ def q_graph_density(sf_dir: str):
     )
 
 
+def q_assortativity_parts(sf_dir: str):
+    """Degree assortativity of the co-occurrence graph — streaming scalar
+    partials over the arc list (stages/metrics.degree_assortativity)."""
+    from bluegraph_ray.stages.metrics import degree_assortativity
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",))
+    r = degree_assortativity(edges)
+    return pd.DataFrame({"assortativity": [round(r, 9)]})
+
+
 def q_isolated_parts(sf_dir: str):
     """Parts with no incident edge in the frequency>=2 co-occurrence graph —
     isolated_nodes analog (/root/reference/bluegraph/core/io.py:1237-1252).
@@ -717,6 +727,18 @@ def q_kcore_parts(sf_dir: str):
     return pd.DataFrame({"node": handle.names[mask]})
 
 
+def q_walk_corpus_parts(sf_dir: str):
+    """Deterministic random-walk corpus (stages/walks.py): one 8-step walk
+    per vertex of the co-occurrence graph, next hop = hash-argmin over
+    neighbours (splitmix64 mix, seed 7). The hash-argmin makes the corpus a
+    pure function of (graph, seed), replayed bit-exactly by the oracle's
+    HUGEINT-mod-2^64 recursive CTE over dense vertex ranks."""
+    from bluegraph_ray.stages.walks import random_walks
+
+    handle = _cooc_graph(sf_dir)
+    return random_walks(handle, length=8, seed=7)
+
+
 def q_diameter_parts(sf_dir: str):
     """Double-sweep pseudo-diameter of the co-occurrence graph
     (stages/sssp.pseudo_diameter): BFS from the minimum entity, re-BFS from
@@ -957,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_neighbors": q_top_neighbors,
         "part_triangles": q_part_triangles,
         "clustering_parts": q_clustering_parts,
+        "assortativity_parts": q_assortativity_parts,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -992,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
         "diameter_parts": q_diameter_parts,
+        "walk_corpus_parts": q_walk_corpus_parts,
         "communities_parts": q_communities_parts,
         "minhash_candidates": q_minhash_candidates,
         "simhash_docs": q_simhash_docs,
@@ -1036,6 +1060,26 @@ QUALIFY ROW_NUMBER() OVER (
                                   CAST(e.embedding AS DOUBLE[])) DESC,
            e.vec_id) <= 5
 """
+
+def _walk_hash(wid_expr: str, step_expr: str, u_expr: str) -> str:
+    """SQL replay of stages/build.walk_step's splitmix64-style mix:
+    ((wid*C1 ^ step*C2 ^ u*C3) * C4) mod 2^64, every product routed through
+    HUGEINT so the wrap-around matches numpy uint64 bit for bit."""
+    p = "18446744073709551616"
+    c1, c2, c3, c4 = (int(0x9E3779B97F4A7C15), int(0xBF58476D1CE4E5B9),
+                      int(0x94D049BB133111EB), int(0xD6E8FEB86659FD93))
+    # inner operands are dense ids / steps (< 2^32): products fit HUGEINT
+    x = (f"CAST(xor(xor("
+         f"CAST((CAST({wid_expr} AS HUGEINT) * {c1}) % {p} AS UBIGINT), "
+         f"CAST((CAST({step_expr} AS HUGEINT) * {c2}) % {p} AS UBIGINT)), "
+         f"CAST((CAST({u_expr} AS HUGEINT) * {c3}) % {p} AS UBIGINT)"
+         f") AS HUGEINT)")
+    # the final operand spans the full 64 bits: x*c4 overflows INT128, so
+    # split x = xh*2^32 + xl and fold mod 2^64 (xl*c4 < 2^96 fits)
+    return (f"CAST((({x} % 4294967296) * {c4} "
+            f"+ ((({x} // 4294967296) * {c4}) % 4294967296) * 4294967296"
+            f") % {p} AS UBIGINT)")
+
 
 # k-core peel rounds, unrolled: survivors_{i+1} = alive vertices with >= 3
 # alive neighbours (both arc endpoints must survive round i)
@@ -1203,6 +1247,18 @@ s AS (SELECT (SELECT COUNT(*) FROM edges) AS m,
 SELECT n AS n_nodes, m AS n_edges,
        round_even(2.0 * m / (n * (n - 1)), 9) AS density
 FROM s
+""",
+        # Pearson correlation of endpoint degrees over the bidirected arc
+        # list (sample vs population normalizations cancel in r)
+        "assortativity_parts": f"""
+WITH {_EDGES_FREQ},
+deg AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+) GROUP BY 1),
+arcs AS (SELECT src AS u, dst AS v FROM edges
+         UNION ALL SELECT dst, src FROM edges)
+SELECT round_even(corr(du.d, dv.d), 9) AS assortativity
+FROM arcs JOIN deg du ON du.node = arcs.u JOIN deg dv ON dv.node = arcs.v
 """,
         "isolated_parts": f"""
 WITH {_EDGES_FREQ},
@@ -1648,6 +1704,35 @@ karcs AS MATERIALIZED (
 s0 AS MATERIALIZED (SELECT DISTINCT v FROM
   (SELECT src AS v FROM e2 UNION ALL SELECT dst AS v FROM e2)){_KCORE_STEPS}
 SELECT v AS node FROM s16
+""",
+        # deterministic random walks: dense vertex ranks (names sort order =
+        # the engine's id space), next hop = struct-min of (hash, neighbour)
+        # over in-arcs — the same hash-argmin walk_step computes; step index
+        # in the mix is (step + seed), seed 7
+        "walk_corpus_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ids AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
+darcs AS MATERIALIZED (
+  SELECT iu.did AS u, iv.did AS v
+  FROM (SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst, src FROM edges) a
+  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v),
+walk(step, wid, node) AS (
+  SELECT 0, did, did FROM ids
+  UNION ALL
+  SELECT w.step + 1, w.wid,
+    (MIN(struct_pack(
+       h := {_walk_hash('w.wid', 'w.step + 1 + 7', 'a.u')},
+       nxt := a.u))).nxt
+  FROM walk w JOIN darcs a ON a.v = w.node
+  WHERE w.step < 8
+  GROUP BY 1, 2
+)
+SELECT i.v AS walk_id, CAST(w.step AS BIGINT) AS step, n.v AS node
+FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
 """,
         # double-sweep pseudo-diameter: BFS from the minimum entity, pick the
         # farthest reached vertex (dist DESC, node ASC = the engine's

@@ -43,6 +43,14 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+# random-walk hash-argmin mixing constants (splitmix64 family); uint64
+# wrap-around arithmetic, replayed bit-exactly by the walk oracle's
+# HUGEINT-mod-2^64 SQL (__ray_entry__.oracle_sql()["walk_corpus_parts"])
+_WALK_C1 = np.uint64(0x9E3779B97F4A7C15)
+_WALK_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_WALK_C3 = np.uint64(0x94D049BB133111EB)
+_WALK_C4 = np.uint64(0xD6E8FEB86659FD93)
+
 
 @dataclass
 class GraphHandle:
@@ -547,6 +555,45 @@ class CsrPartition:
             mins = np.minimum.reduceat(v, starts[a:b] - arc_lo)
             out[self._udl[a:b]] = mins
         return out
+
+    def walk_step(self, pos_ref, step: int, seed: int):
+        """One random-walk superstep for the walks currently positioned in
+        this partition's dst range: next(v) = the in-neighbour u minimizing
+        h(seed, walk_id, step, u), ties -> min u (stages/walks.py — the
+        hash-argmin is order-free, so the choice is independent of arc
+        storage order and partition layout, and exactly SQL-replayable).
+        Returns (walk indices handled here, their next dense ids)."""
+        pos = pos_ref if isinstance(pos_ref, np.ndarray) else ray.get(pos_ref)
+        idx = np.flatnonzero((pos >= self.lo) & (pos < self.hi))
+        if not len(idx):
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        v = pos[idx]
+        run = np.searchsorted(self.uniq_dst, v)
+        if not (run < len(self.uniq_dst)).all() or not (self.uniq_dst[run] == v).all():
+            raise ValueError("walk reached a vertex with no in-arcs "
+                             "(directed sink) — walks need undirected graphs")
+        ends = np.append(self.starts[1:], len(self.dst))
+        st = self.starts[run]
+        lens = ends[run] - st
+        total = int(lens.sum())
+        reps = np.repeat(np.arange(len(idx)), lens)
+        # concatenated adjacency ranges via the repeat/cumsum trick
+        gather_ix = np.ones(total, dtype=np.int64)
+        seg = np.cumsum(lens) - lens
+        gather_ix[seg] = st
+        gather_ix[seg[1:]] = st[1:] - (ends[run[:-1]] - 1)
+        gather_ix = np.cumsum(gather_ix)
+        nbrs = self.src[gather_ix]
+        wid = idx[reps].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ((wid * _WALK_C1)
+                 ^ (np.uint64(step + seed) * _WALK_C2)
+                 ^ (nbrs.astype(np.uint64) * _WALK_C3)) * _WALK_C4
+        minh = np.minimum.reduceat(h, seg)
+        cand = np.where(h == minh[reps], nbrs, np.iinfo(np.int64).max)
+        nxt = np.minimum.reduceat(cand, seg)
+        return idx, nxt.astype(np.int64)
 
     def mode_label_gather(self, labels_ref) -> tuple[np.ndarray, np.ndarray]:
         """Weighted-mode incoming label per local v (community LPA step).

@@ -34,6 +34,48 @@ def density(edges: "ray.data.Dataset", *, directed=False, src="src", dst="dst") 
     return dens if directed else 2 * dens
 
 
+def degree_assortativity(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> float:
+    """Pearson degree assortativity (``nx.degree_pearson_correlation_coefficient``
+    semantics): correlation of (deg(u), deg(v)) over the bidirected arc list.
+    One degree aggregate + one streaming pass of scalar partials (count, Σx,
+    Σy, Σxy, Σx², Σy² per batch — six numbers, no shuffle). The degree map is
+    an O(n) broadcast, the same driver-state contract as the vertex-name
+    array; at billion-vertex scale swap it for a hash join like
+    stages/linkpred.py's join regime."""
+    from bluegraph_ray.stages.degree import degree_centrality
+
+    deg = degree_centrality(edges, src=src, dst=dst).to_pandas()
+    ref = ray.put(pd.Series(deg.set_index("node")["degree"]))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dmap = ray.get(ref)
+        du = dmap.reindex(batch[src].to_numpy()).to_numpy(dtype=np.float64)
+        dv = dmap.reindex(batch[dst].to_numpy()).to_numpy(dtype=np.float64)
+        # undirected: every edge contributes both orientations -> x/y sums
+        # are symmetric, matching the nx mixing-matrix construction
+        x = np.concatenate([du, dv])
+        y = np.concatenate([dv, du])
+        return pd.DataFrame({
+            "cnt": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()],
+        })
+
+    t = edges.select_columns([src, dst]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas().sum()
+    n, sx, sy = t["cnt"], t["sx"], t["sy"]
+    cov = n * t["sxy"] - sx * sy
+    varx = n * t["sxx"] - sx * sx
+    vary = n * t["syy"] - sy * sy
+    denom = np.sqrt(varx * vary)
+    return float(cov / denom) if denom > 0 else float("nan")
+
+
 def _edge_stats(edges, partition: dict, *, src, dst, weight) -> dict:
     """One pass over the edge Dataset: total weight, intra-community weight,
     intra/inter edge counts. Partition broadcast via ray.put."""

@@ -214,6 +214,42 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_random_walks_valid_and_layout_invariant(karate_handle, tmp_path):
+    from bluegraph_ray.stages.walks import random_walks
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    out = random_walks(handle, length=6, seed=3)
+    assert len(out) == handle.n * 7
+    # every consecutive hop is a real edge
+    piv = out.pivot(index="walk_id", columns="step", values="node")
+    for _, row in piv.iterrows():
+        for t in range(6):
+            assert g.has_edge(row[t], row[t + 1])
+    # walks start where they claim to
+    assert (piv[0] == piv.index).all()
+
+    # bitwise identical across a different partition layout
+    h2 = build_graph(ray.data.from_pandas(df), directed=False,
+                     n_partitions=2, path=str(tmp_path / "w2"))
+    out2 = random_walks(h2, length=6, seed=3)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["walk_id", "step"]).reset_index(drop=True),
+        out2.sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+    # different seeds give different corpora; transitions are spread out
+    out3 = random_walks(handle, length=6, seed=4)
+    assert not out.equals(out3)
+    all_steps = out[out["step"] > 0]
+    assert all_steps["node"].nunique() > handle.n // 3
+
+    ddf = pd.DataFrame([("a", "b")], columns=["src", "dst"])
+    dh = build_graph(ray.data.from_pandas(ddf), directed=True,
+                     n_partitions=1, path=str(tmp_path / "wd"))
+    with pytest.raises(ValueError):
+        random_walks(dh)
+
+
 def test_eigenvector_and_katz_match_nx(karate_handle, tmp_path):
     from bluegraph_ray.stages.spectral import (eigenvector_centrality,
                                                katz_centrality)

@@ -141,6 +141,26 @@ def test_density():
     assert metrics.density(ray.data.from_pandas(df)) == pytest.approx(nx.density(g))
 
 
+def test_degree_assortativity_matches_nx():
+    df, g = karate_df()
+    got = metrics.degree_assortativity(ray.data.from_pandas(df))
+    want = nx.degree_assortativity_coefficient(g)
+    assert got == pytest.approx(want, abs=1e-9)
+
+    rng = np.random.default_rng(9)
+    rows = [(f"v{i}", f"v{int(j)}") for i in range(50)
+            for j in rng.choice(50, 3, replace=False) if int(j) != i]
+    df2 = pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+    # canonicalize to a simple undirected edge set
+    df2 = pd.DataFrame({
+        "src": np.minimum(df2["src"], df2["dst"]),
+        "dst": np.maximum(df2["src"], df2["dst"]),
+    }).drop_duplicates()
+    g2 = nx.from_pandas_edgelist(df2, "src", "dst")
+    got2 = metrics.degree_assortativity(ray.data.from_pandas(df2))
+    assert got2 == pytest.approx(nx.degree_assortativity_coefficient(g2), abs=1e-9)
+
+
 def test_modularity_coverage_performance_vs_nx():
     df, g = karate_df()
     # ground-truth 2-way split by club attribute
