@@ -121,6 +121,23 @@ def q_graph_density(sf_dir: str):
     )
 
 
+def q_hll_distinct_parts(sf_dir: str):
+    """HyperLogLog distinct-part estimate over lineitem (p=12, sha256-prefix
+    hashing per the repo's oracle convention — functions/sketches.py), with
+    the exact distinct count alongside. The ORACLE replays the sketch itself
+    (registers, linear-counting branch), not just the exact count."""
+    from bluegraph_ray.functions.sketches import hll_distinct
+    from bluegraph_ray.util import distinct_values, tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])
+    est = hll_distinct(li, "l_partkey")
+    exact = len(distinct_values(li, "l_partkey"))
+    return pd.DataFrame({"hll_estimate": [round(est, 6)],
+                         "exact_distinct": [exact]})
+
+
 def q_assortativity_parts(sf_dir: str):
     """Degree assortativity of the co-occurrence graph — streaming scalar
     partials over the arc list (stages/metrics.degree_assortativity)."""
@@ -980,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "clustering_parts": q_clustering_parts,
         "assortativity_parts": q_assortativity_parts,
+        "hll_distinct_parts": q_hll_distinct_parts,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1247,6 +1265,41 @@ s AS (SELECT (SELECT COUNT(*) FROM edges) AS m,
 SELECT n AS n_nodes, m AS n_edges,
        round_even(2.0 * m / (n * (n - 1)), 9) AS density
 FROM s
+""",
+        # HyperLogLog replay: h = sha256-prefix (the repo convention),
+        # register = h >> 52, rho = leading zeros of the low 52 bits + 1 via
+        # exact integer bit length (bin() strips leading zeros); estimator
+        # incl. the linear-counting small-range branch
+        "hll_distinct_parts": """
+WITH h AS (
+  SELECT ('0x' || substr(sha256(CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT
+    AS h
+  FROM lineitem
+),
+rr AS (
+  SELECT CAST(h // 4503599627370496 AS BIGINT) AS reg,
+         h % 4503599627370496 AS w
+  FROM h
+),
+regs AS (
+  SELECT reg,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 52 - LENGTH(bin(w)) + 1 END) AS rho
+  FROM rr GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS nz, SUM(POWER(2.0, -rho)) AS s FROM regs
+),
+raw AS (
+  SELECT (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+           / (s + (4096 - nz)) AS raw_e,
+         4096 - nz AS zeros
+  FROM agg
+)
+SELECT round_even(CASE WHEN raw_e <= 2.5 * 4096 AND zeros > 0
+         THEN 4096.0 * ln(4096.0 / zeros) ELSE raw_e END, 6) AS hll_estimate,
+       (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+FROM raw
 """,
         # Pearson correlation of endpoint degrees over the bidirected arc
         # list (sample vs population normalizations cancel in r)

@@ -1,0 +1,96 @@
+"""Distributed cardinality sketches (HyperLogLog).
+
+A 100 TB pipeline constantly needs "how many distinct X" without paying the
+exact-distinct shuffle (util.distinct_values streams per-batch uniques to
+the driver — exact, but O(distinct) driver memory). HyperLogLog gives the
+estimate in 2^p bytes with a combine that is a plain elementwise max, so it
+drops straight into the engine's partial+combine aggregate shape: each batch
+emits its non-zero (register, rho) pairs SPARSELY, one bucketed max-combine
+merges them, the estimator runs on the final 2^p-vector.
+
+Hashing follows the repo's oracle convention (dedup.MinHasher): h = first 8
+bytes of sha256(str(value)), big-endian — so a DuckDB oracle replays the
+whole sketch bit for bit ('0x' || substr(sha256(v),1,16))::UBIGINT, register
+= h >> (64-p), rho = number of leading zeros of the remaining (64-p)-bit
+word + 1 (via exact integer bit-length, no float log anywhere). Estimator is
+the standard HLL with the small-range linear-counting correction; 64-bit
+hashes need no large-range correction.
+
+Accuracy: σ ≈ 1.04/√(2^p) relative error (p=12 -> ~1.6%);
+tests/test_analysis.py asserts <5% on known-cardinality fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from bluegraph_ray.util import hash_aggregate
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per element (0 for 0) — vectorized shifts,
+    no float log."""
+    w = w.astype(np.uint64, copy=True)
+    out = np.zeros(len(w), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        out[big] += shift
+        w[big] >>= np.uint64(shift)
+    out[w > 0] += 1
+    return out
+
+
+def _sha_u64(values) -> np.ndarray:
+    """First 8 bytes of sha256(str(value)), big-endian (oracle convention)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:8], "big")
+         for v in values),
+        dtype=np.uint64, count=len(values))
+
+
+def hll_registers(ds: "ray.data.Dataset", column: str, *, p: int = 12,
+                  num_buckets: int = 16) -> np.ndarray:
+    """-> dense 2^p register vector (max rho per register) for ``column``."""
+    m = 1 << p
+    low_bits = np.uint64(64 - p)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _sha_u64(batch[column].to_numpy())
+        reg = (h >> low_bits).astype(np.int64)
+        w = h & ((np.uint64(1) << low_bits) - np.uint64(1))
+        rho = (64 - p) - _bit_length_u64(w) + 1
+        out = pd.DataFrame({"reg": reg, "rho": rho})
+        return out.groupby("reg", sort=False).max().reset_index()
+
+    sparse = hash_aggregate(
+        ds.select_columns([column]).map_batches(
+            partial, batch_format="pandas", batch_size=None),
+        "reg", {"rho": ("rho", "max")}, num_buckets=num_buckets,
+    ).to_pandas()
+    regs = np.zeros(m, dtype=np.int64)
+    regs[sparse["reg"].to_numpy()] = sparse["rho"].to_numpy()
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting branch."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:
+        return float(m * np.log(m / zeros))
+    return float(raw)
+
+
+def hll_distinct(ds: "ray.data.Dataset", column: str, *, p: int = 12,
+                 num_buckets: int = 16) -> float:
+    """Approximate COUNT(DISTINCT column) — one streaming pass, one sparse
+    max-combine shuffle, 2^p driver bytes."""
+    return hll_estimate(hll_registers(ds, column, p=p,
+                                      num_buckets=num_buckets))

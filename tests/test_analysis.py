@@ -68,3 +68,26 @@ def test_generate_cooccurrence_analysis_topk_and_filters():
     assert nodes == {"a", "b", "c", "z"}
     edges = graphs["paper"].edges_df()
     assert (edges["ppmi"] > 0).all()
+
+
+def test_hll_distinct_accuracy_and_merge_invariance():
+    from bluegraph_ray.functions.sketches import (hll_distinct,
+                                                  hll_registers)
+
+    vals = pd.DataFrame({"v": [f"item-{i}" for i in range(10_000)]})
+    ds = ray.data.from_pandas(vals)
+    est = hll_distinct(ds, "v")
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+    # duplicates don't move the estimate (set semantics)
+    dup = ray.data.from_pandas(pd.concat([vals, vals, vals.head(500)]))
+    assert hll_distinct(dup, "v") == est
+
+    # block layout doesn't move the registers (max-merge is exact)
+    r1 = hll_registers(ds, "v")
+    r64 = hll_registers(ds.repartition(64), "v")
+    assert np.array_equal(r1, r64)
+
+    # small-range branch: tiny sets fall back to linear counting ~exactly
+    small = ray.data.from_pandas(pd.DataFrame({"v": [f"s{i}" for i in range(40)]}))
+    assert abs(hll_distinct(small, "v") - 40) < 3
