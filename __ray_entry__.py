@@ -576,6 +576,16 @@ def q_doc_fingerprints(sf_dir: str):
     )
 
 
+def q_bm25_docs(sf_dir: str):
+    """Okapi BM25 top-20 over the documents table for query 'hash join'
+    (pipelines/text.bm25_topk: two streaming passes + one top-k sort; corpus
+    stats via exact-integer partials so the SQL replay agrees bit-for-bit
+    before the 9-digit rounding)."""
+    from bluegraph_ray.pipelines.text import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), ["hash", "join"], k=20)
+
+
 def q_closeness_parts(sf_dir: str):
     from bluegraph_ray.stages.centrality import closeness_centrality
 
@@ -1040,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "lsh_knn": q_lsh_knn,
         "lang_quality": q_lang_quality,
+        "bm25_docs": q_bm25_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "taxonomy_types": q_taxonomy_types,
         "linked_mentions": q_linked_mentions,
@@ -1265,6 +1276,34 @@ s AS (SELECT (SELECT COUNT(*) FROM edges) AS m,
 SELECT n AS n_nodes, m AS n_edges,
        round_even(2.0 * m / (n * (n - 1)), 9) AS density
 FROM s
+""",
+        # Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over split(' ') tokens;
+        # avgdl from an exact integer token sum; ROUNDED score ordering with
+        # doc_id tiebreak mirrors the engine's top-k sort
+        "bm25_docs": """
+WITH tf AS (
+  SELECT doc_id,
+    LEN(STRING_SPLIT(text, ' ')) AS dl,
+    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'hash')) AS tf0,
+    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'join')) AS tf1
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+  FROM tf
+)
+SELECT doc_id,
+  round_even(
+    ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+    + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / s.avgdl)), 9)
+    AS bm25
+FROM tf, stats s
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
 """,
         # HyperLogLog replay: h = sha256-prefix (the repo convention),
         # register = h >> 52, rho = leading zeros of the low 52 bits + 1 via

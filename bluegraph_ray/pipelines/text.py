@@ -223,3 +223,81 @@ def subword_counts(ds: "ray.data.Dataset", *, text_col: str = "text",
     return ds.map_batches(SubwordStats, fn_constructor_kwargs={"text_col": text_col},
                           concurrency=concurrency, batch_format="pandas",
                           batch_size=4096)
+
+
+class _TermFreq:
+    """Per-document term frequencies for a SMALL broadcast query-term list
+    (the BM25 scoring pass). Terms are space-separated tokens — the same
+    split(' ') convention doc_stats uses, so the DuckDB oracle replays it
+    with LIST_FILTER over STRING_SPLIT."""
+
+    def __init__(self, terms: tuple, text_col: str = "text"):
+        self.terms = list(terms)
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.text_col].str.split(" ")
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        out["dl"] = toks.map(len).astype(np.int64)
+        for i, t in enumerate(self.terms):
+            out[f"tf{i}"] = toks.map(
+                lambda ws, t=t: sum(1 for w in ws if w == t)).astype(np.int64)
+        return out
+
+
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms.
+
+    Two streaming passes, no shuffle until the final top-k sort:
+    1. per-doc (dl, tf per term) rows + map-side scalar partials for the
+       corpus stats (N, Σdl as exact ints; df per term);
+    2. score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+       the Lucene/Robertson idf ln(1 + (N−df+0.5)/(df+0.5)), corpus stats
+       broadcast as plain floats.
+    The query-term list is the broadcast small side (production: dozens of
+    terms); a full inverted-index build would replace the per-term columns
+    with (doc, term, tf) rows and a term-bucketed shuffle at identical
+    semantics. Scores round to 9 before the (score DESC, doc_id) ordering so
+    the SQL replay ranks identically."""
+    tf = docs.select_columns(["doc_id", text_col]).map_batches(
+        _TermFreq(tuple(query_terms), text_col),
+        batch_format="pandas", batch_size=None).materialize()
+
+    T = len(query_terms)
+
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": [len(batch)], "sum_dl": [int(batch["dl"].sum())]}
+        for i in range(T):
+            row[f"df{i}"] = [int((batch[f"tf{i}"] > 0).sum())]
+        return pd.DataFrame(row)
+
+    stats = tf.map_batches(stat_partial, batch_format="pandas",
+                           batch_size=None).to_pandas().sum()
+    n_docs = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n_docs
+    idf = np.array([
+        np.log(1.0 + (n_docs - float(stats[f"df{i}"]) + 0.5)
+               / (float(stats[f"df{i}"]) + 0.5))
+        for i in range(T)
+    ])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["dl"].to_numpy(dtype=np.float64)
+        s = np.zeros(len(batch))
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        for i in range(T):
+            tfv = batch[f"tf{i}"].to_numpy(dtype=np.float64)
+            s += idf[i] * (tfv * (k1 + 1.0)) / (tfv + denom_dl)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "bm25": np.round(s, 9)})
+
+    scored = tf.map_batches(score, batch_format="pandas", batch_size=None)
+    return scored.sort(["bm25", "doc_id"], descending=[True, False]).limit(k)

@@ -564,3 +564,40 @@ def test_hash_argmin_keeps_min_row_per_key():
     want = want.sort_values("key").reset_index(drop=True)
     assert got[["key", "order", "payload"]].equals(
         want[["key", "order", "payload"]])
+
+
+def test_bm25_topk_matches_hand_formula():
+    import math
+
+    from bluegraph_ray.pipelines.text import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": ["d1", "d2", "d3", "d4"],
+        "text": ["fast hash join join",
+                 "slow scan",
+                 "hash hash hash table scan merge filter",
+                 "sort window"],
+    })
+    out = bm25_topk(ray.data.from_pandas(docs), ["hash", "join"],
+                    k=4).to_pandas()
+
+    # hand-rolled Okapi BM25 (k1=1.2, b=0.75, Lucene idf)
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    N = 4
+    avgdl = sum(len(t) for t in toks.values()) / N
+    want = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in ("hash", "join"):
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            tf = t.count(term)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+        want[d] = s
+    got = dict(zip(out["doc_id"], out["bm25"]))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-8)
+    # ranking follows the hand formula; termless d4 scores zero
+    want_order = sorted(want, key=lambda d: (-want[d], d))
+    assert list(out["doc_id"]) == want_order and got["d4"] == 0.0
