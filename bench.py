@@ -212,6 +212,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["lpa"] = round(time.perf_counter() - t0, 3)
     extra["lpa_iterations"] = lpa.iterations
 
+    # ---- round-3 graph-op suite on the same handle/actors ----------------
+    # (skipped in scaling runs: PageRank supersteps are the scaling metric)
+    if not os.environ.get("GRAFT_SKIP_GRAPH_OPS"):
+        from bluegraph_ray.stages.hits import hits as hits_fn
+        from bluegraph_ray.stages.kcore import k_core
+        from bluegraph_ray.stages.sssp import bfs_hops
+        from bluegraph_ray.stages.walks import random_walks
+
+        t0 = time.perf_counter()
+        kc = k_core(handle, 3, actors)
+        queries["kcore3"] = round(time.perf_counter() - t0, 3)
+        extra["kcore3_rounds"] = kc.iterations
+
+        t0 = time.perf_counter()
+        hits_fn(handle, actors, iters=8)
+        queries["hits_power8"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        bfs = bfs_hops(handle, 0, actors)
+        queries["bfs"] = round(time.perf_counter() - t0, 3)
+        extra["bfs_supersteps"] = bfs.iterations
+
+        t0 = time.perf_counter()
+        random_walks(handle, length=8, actors=actors)
+        queries["walks8"] = round(time.perf_counter() - t0, 3)
+
     for a in actors:
         ray.kill(a)
 
@@ -274,7 +300,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_N_FILES=scale_files, GRAFT_FACTOR="repo",
                    GRAFT_MULTIGRAPH="1", GRAFT_SKIP_RELATIONAL="1",
-                   GRAFT_SKIP_DEGREE="1", GRAFT_PARTITIONS=n_parts,
+                   GRAFT_SKIP_DEGREE="1", GRAFT_SKIP_GRAPH_OPS="1",
+                   GRAFT_PARTITIONS=n_parts,
                    GRAFT_LPA_ITERS=os.environ.get("GRAFT_SCALING_LPA_ITERS", "2"),
                    GRAFT_POWER_ITERS=os.environ.get("GRAFT_SCALING_POWER_ITERS", "60"),
                    GRAFT_CACHE=os.environ.get("GRAFT_CACHE", "/tmp/bgray_scale_cache"))

@@ -556,6 +556,25 @@ class CsrPartition:
             out[self._udl[a:b]] = mins
         return out
 
+    def unit_gather(self, x_ref) -> np.ndarray:
+        """Σ over in-arcs of x[u] with UNIT weights regardless of the
+        graph's weight column — alive-degree counting for k-core peeling
+        (stages/kcore.py). Same cache-blocked chunking as pr_gather."""
+        x = x_ref if isinstance(x_ref, np.ndarray) else ray.get(x_ref)
+        out = np.zeros(self.hi - self.lo, dtype=np.float64)
+        if not len(self.dst):
+            return out
+        starts, cb, src = self.starts, self._chunks, self._src_ix
+        nruns, total = len(starts), len(self.dst)
+        for ci in range(len(cb) - 1):
+            a, b = int(cb[ci]), int(cb[ci + 1])
+            arc_lo = int(starts[a])
+            arc_hi = int(starts[b]) if b < nruns else total
+            v = self._vals[: arc_hi - arc_lo]
+            np.take(x, src[arc_lo:arc_hi], out=v)
+            out[self._udl[a:b]] = np.add.reduceat(v, starts[a:b] - arc_lo)
+        return out
+
     def walk_step(self, pos_ref, step: int, seed: int):
         """One random-walk superstep for the walks currently positioned in
         this partition's dst range: next(v) = the in-neighbour u minimizing

@@ -5,7 +5,7 @@ The reference reaches cores only through its backend ecosystems
 SURVEY.md §2.5 contract as components/triangles). Distributed shape: the
 survivors are one dense boolean vector; each peel round is ONE gather on the
 same CsrPartition actors PageRank rides — alive-degree(v) = Σ over in-arcs of
-alive[u] (the unit-weight ``pr_gather`` kernel, so no new actor method) —
+alive[u] (the unit-weight ``unit_gather`` kernel) —
 followed by an O(n) driver-side mask update ``alive &= deg >= k``. Peeling is
 monotone (survivor set only shrinks) and confluent, so the fixpoint is
 independent of round count beyond convergence — which is what lets a
@@ -18,9 +18,9 @@ peels), and a vertex's coreness is the largest k it survives. Total gathers =
 Σ_k rounds_k — O(max-core · peel-depth) supersteps, each O(m/P) per
 partition.
 
-Graphs must be built with ``weight=None`` (unit arcs): frequency-weighted
-arcs would turn the alive-degree into a weighted degree and silently change
-the peeling rule.
+Weighted handles peel identically to unweighted ones: the alive-degree
+gather uses UNIT arc weights (CsrPartition.unit_gather) regardless of the
+graph's weight column.
 """
 
 from __future__ import annotations
@@ -37,14 +37,7 @@ from bluegraph_ray.stages.pagerank import SuperstepResult
 
 def _alive_degree(actors, alive: np.ndarray) -> np.ndarray:
     ref = ray.put(alive)
-    return np.concatenate(ray.get([a.pr_gather.remote(ref) for a in actors]))
-
-
-def _check_unweighted(handle: GraphHandle) -> None:
-    if handle.weighted:
-        raise ValueError(
-            "k-core peeling needs unit arc weights; build the graph with "
-            "weight=None (got a weighted handle)")
+    return np.concatenate(ray.get([a.unit_gather.remote(ref) for a in actors]))
 
 
 def k_core(
@@ -60,7 +53,6 @@ def k_core(
     ``_start``: survivor mask to peel from (internal — ``core_number``'s
     incremental escalation); defaults to all vertices.
     """
-    _check_unweighted(handle)
     own_actors = actors is None
     if actors is None:
         actors = make_partition_actors(handle)
@@ -101,7 +93,6 @@ def core_number(handle: GraphHandle, actors=None, *,
                 max_iter: int = 10_000) -> SuperstepResult:
     """-> per-vertex core number (largest k whose k-core contains the
     vertex; isolated vertices get 0). nx.core_number parity."""
-    _check_unweighted(handle)
     own_actors = actors is None
     if actors is None:
         actors = make_partition_actors(handle)

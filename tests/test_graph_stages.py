@@ -389,11 +389,12 @@ def test_kcore_and_core_number_match_nx(karate_handle, tmp_path):
     cn2 = core_number(h2)
     assert dict(zip(h2.names, cn2.values)) == nx.core_number(to_nx(rdf))
 
-    # weighted handles are rejected (peeling needs unit arcs)
+    # weighted handles peel identically: the alive-degree gather is
+    # unit-weight regardless of the graph's weight column
     h3 = build_graph(ray.data.from_pandas(rdf), weight="mi", directed=False,
                      n_partitions=2, path=str(tmp_path / "kcw"))
-    with pytest.raises(ValueError):
-        k_core(h3, 2)
+    cn3 = core_number(h3)
+    assert dict(zip(h3.names, cn3.values)) == nx.core_number(to_nx(rdf))
 
 
 def test_clustering_coefficient_exact(karate_handle):
