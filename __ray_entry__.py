@@ -739,6 +739,19 @@ def q_link_pred_parts(sf_dir: str):
             .limit(100))
 
 
+def q_mis_parts(sf_dir: str):
+    """Maximal independent set of the co-occurrence graph — greedy
+    hash-priority supersteps (stages/mis.py; converges in 6 rounds at
+    sf0.01, oracle unrolls 10). Deterministic: priority is a pure function
+    of the vertex name."""
+    from bluegraph_ray.stages.mis import maximal_independent_set
+
+    handle = _cooc_graph(sf_dir)
+    res = maximal_independent_set(handle)
+    mask = res.values > 0
+    return pd.DataFrame({"node": handle.names[mask]})
+
+
 def q_kcore_parts(sf_dir: str):
     """3-core membership of the freq>=2 co-occurrence graph — distributed
     peeling supersteps (stages/kcore.py; one unit-weight gather per round).
@@ -1040,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_parts": q_components_parts,
         "link_pred_parts": q_link_pred_parts,
         "kcore_parts": q_kcore_parts,
+        "mis_parts": q_mis_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
         "diameter_parts": q_diameter_parts,
@@ -1120,6 +1134,28 @@ s{i + 1} AS MATERIALIZED (
   GROUP BY 1 HAVING COUNT(*) >= 3)"""
     for i in range(16)
 )
+
+# greedy-by-hash-priority MIS rounds, unrolled: a vertex joins when no
+# undecided neighbour has a smaller priority (the engine's closed-
+# neighbourhood min test); members' neighbours leave the undecided set.
+# Priority = the walk hash with wid=step=0, i.e. ((v·C3)·C4) mod 2^64.
+def _mis_steps(rounds: int) -> str:
+    out = []
+    for i in range(1, rounds + 1):
+        h_u = _walk_hash("0", "0", "a.u")
+        h_v = _walk_hash("0", "0", "x.v")
+        out.append(f""",
+m{i} AS MATERIALIZED (
+  SELECT x.v FROM u{i - 1} x WHERE NOT EXISTS (
+    SELECT 1 FROM arcs a JOIN u{i - 1} w ON w.v = a.u
+    WHERE a.v = x.v AND {h_u} < {h_v})),
+u{i} AS MATERIALIZED (
+  SELECT x.v FROM u{i - 1} x
+  WHERE x.v NOT IN (SELECT v FROM m{i})
+    AND NOT EXISTS (SELECT 1 FROM arcs a JOIN m{i} mm ON mm.v = a.u
+                    WHERE a.v = x.v))""")
+    return "".join(out)
+
 
 _MM_STEPS = "".join(
     f""",
@@ -1785,6 +1821,24 @@ SELECT u, v, cn,
 FROM cand
 ORDER BY adamic_adar DESC, u, v
 LIMIT 100
+""",
+        # MIS: 10 unrolled greedy-priority rounds (fixpoint after 6 at
+        # sf0.01; the greedy-by-priority result is confluent so extra
+        # rounds are no-ops — empty u_i yields empty m_j for j > i)
+        "mis_parts": f"""
+WITH {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges),
+u0 AS MATERIALIZED (SELECT v FROM verts){_mis_steps(10)}
+SELECT v AS node FROM (
+  SELECT v FROM m1 UNION ALL SELECT v FROM m2 UNION ALL SELECT v FROM m3
+  UNION ALL SELECT v FROM m4 UNION ALL SELECT v FROM m5
+  UNION ALL SELECT v FROM m6 UNION ALL SELECT v FROM m7
+  UNION ALL SELECT v FROM m8 UNION ALL SELECT v FROM m9
+  UNION ALL SELECT v FROM m10)
 """,
         # 3-core: 16 unrolled peel rounds (fixpoint after 11 at sf0.01;
         # peeling is monotone so extra rounds are no-ops)

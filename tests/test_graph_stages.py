@@ -214,6 +214,42 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_maximal_independent_set(karate_handle, tmp_path):
+    from bluegraph_ray.stages.mis import maximal_independent_set
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    res = maximal_independent_set(handle)
+    assert res.converged
+    mis = {n for n, m in zip(handle.names, res.values) if m > 0}
+    # independence: no two members adjacent
+    for u in mis:
+        assert not any(v in mis for v in g.neighbors(u))
+    # maximality: every outsider has a member neighbour
+    for u in set(g.nodes) - mis:
+        assert any(v in mis for v in g.neighbors(u))
+
+    # bitwise identical across partition layouts
+    h2 = build_graph(ray.data.from_pandas(df), directed=False,
+                     n_partitions=2, path=str(tmp_path / "mis2"))
+    res2 = maximal_independent_set(h2)
+    assert np.array_equal(res.values, res2.values)
+
+    # integer-named graph (the oracle's hash domain)
+    idf = pd.DataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], columns=["src", "dst"])
+    idf = idf[idf.src != idf.dst]
+    h3 = build_graph(ray.data.from_pandas(idf), directed=False,
+                     n_partitions=3, path=str(tmp_path / "mis3"))
+    r3 = maximal_independent_set(h3)
+    g3 = nx.from_pandas_edgelist(idf, "src", "dst")
+    mis3 = {n for n, m in zip(h3.names, r3.values) if m > 0}
+    for u in mis3:
+        assert not any(v in mis3 for v in g3.neighbors(u))
+    for u in set(g3.nodes) - mis3:
+        assert any(v in mis3 for v in g3.neighbors(u))
+
+
 def test_random_walks_valid_and_layout_invariant(karate_handle, tmp_path):
     from bluegraph_ray.stages.walks import random_walks
 
