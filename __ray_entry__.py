@@ -576,6 +576,25 @@ def q_doc_fingerprints(sf_dir: str):
     )
 
 
+def q_term_stats_docs(sf_dir: str):
+    """Top-200 corpus vocabulary terms by total frequency (term/document
+    frequency tables — pipelines/vocab.term_stats; distinct-term partials,
+    one bucketed aggregate)."""
+    from bluegraph_ray.pipelines.vocab import term_stats
+
+    out = term_stats(_docs(sf_dir))
+    return out.sort(["tf", "term"], descending=[True, False]).limit(200)
+
+
+def q_bigrams_docs(sf_dir: str):
+    """Top-200 adjacent-token bigrams (pipelines/vocab.bigram_counts)."""
+    from bluegraph_ray.pipelines.vocab import bigram_counts
+
+    out = bigram_counts(_docs(sf_dir))
+    return out.sort(["n", "w1", "w2"],
+                    descending=[True, False, False]).limit(200)
+
+
 def q_bm25_docs(sf_dir: str):
     """Okapi BM25 top-20 over the documents table for query 'hash join'
     (pipelines/text.bm25_topk: two streaming passes + one top-k sort; corpus
@@ -1065,6 +1084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": q_lsh_knn,
         "lang_quality": q_lang_quality,
         "bm25_docs": q_bm25_docs,
+        "term_stats_docs": q_term_stats_docs,
+        "bigrams_docs": q_bigrams_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "taxonomy_types": q_taxonomy_types,
         "linked_mentions": q_linked_mentions,
@@ -1312,6 +1333,27 @@ s AS (SELECT (SELECT COUNT(*) FROM edges) AS m,
 SELECT n AS n_nodes, m AS n_edges,
        round_even(2.0 * m / (n * (n - 1)), 9) AS density
 FROM s
+""",
+        # corpus vocabulary: tf = token occurrences, df = docs containing
+        "term_stats_docs": """
+SELECT tok AS term, COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+GROUP BY 1
+ORDER BY tf DESC, term
+LIMIT 200
+""",
+        # adjacent-token bigrams within each document
+        "bigrams_docs": """
+SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n
+FROM (
+  SELECT UNNEST(list_zip(toks, toks[2:])) AS p
+  FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents)
+)
+WHERE p[2] IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n DESC, w1, w2
+LIMIT 200
 """,
         # Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over split(' ') tokens;
         # avgdl from an exact integer token sum; ROUNDED score ordering with

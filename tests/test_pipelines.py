@@ -601,3 +601,30 @@ def test_bm25_topk_matches_hand_formula():
     # ranking follows the hand formula; termless d4 scores zero
     want_order = sorted(want, key=lambda d: (-want[d], d))
     assert list(out["doc_id"]) == want_order and got["d4"] == 0.0
+
+
+def test_term_stats_and_bigrams_exact():
+    from collections import Counter
+
+    from bluegraph_ray.pipelines.vocab import bigram_counts, term_stats
+
+    docs = pd.DataFrame({
+        "doc_id": ["d1", "d2", "d3"],
+        "text": ["a b a c", "b b c", "c a"],
+    })
+    out = term_stats(ray.data.from_pandas(docs)).to_pandas()
+    got = {r.term: (r.tf, r.df) for r in out.itertuples()}
+    assert got == {"a": (3, 2), "b": (3, 2), "c": (3, 3)}
+
+    bg = bigram_counts(ray.data.from_pandas(docs)).to_pandas()
+    gotb = {(r.w1, r.w2): r.n for r in bg.itertuples()}
+    want = Counter()
+    for t in docs["text"]:
+        ws = t.split(" ")
+        want.update(zip(ws, ws[1:]))
+    assert gotb == dict(want)
+
+    # block layout doesn't change the counts
+    out2 = term_stats(ray.data.from_pandas(docs).repartition(3)).to_pandas()
+    got2 = {r.term: (r.tf, r.df) for r in out2.itertuples()}
+    assert got2 == got
