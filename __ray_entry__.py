@@ -595,6 +595,15 @@ def q_bigrams_docs(sf_dir: str):
                     descending=[True, False, False]).limit(200)
 
 
+def q_chunked_docs(sf_dir: str):
+    """Context-window chunking of the documents table (size 24, stride 16 —
+    pipelines/text.chunk_documents), the LLM pretraining reshape. Pure
+    per-row map, replayed by DuckDB list slicing."""
+    from bluegraph_ray.pipelines.text import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), size=24, stride=16)
+
+
 def q_bm25_docs(sf_dir: str):
     """Okapi BM25 top-20 over the documents table for query 'hash join'
     (pipelines/text.bm25_topk: two streaming passes + one top-k sort; corpus
@@ -1085,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": q_lang_quality,
         "bm25_docs": q_bm25_docs,
         "term_stats_docs": q_term_stats_docs,
+        "chunked_docs": q_chunked_docs,
         "bigrams_docs": q_bigrams_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "taxonomy_types": q_taxonomy_types,
@@ -1333,6 +1343,17 @@ s AS (SELECT (SELECT COUNT(*) FROM edges) AS m,
 SELECT n AS n_nodes, m AS n_edges,
        round_even(2.0 * m / (n * (n - 1)), 9) AS density
 FROM s
+""",
+        # context-window chunking via 1-based inclusive list slices; a chunk
+        # exists whenever i*stride < n_tokens (range upper bound is generous,
+        # the WHERE prunes)
+        "chunked_docs": """
+SELECT doc_id, i AS chunk_id,
+       LEN(toks[i * 16 + 1 : i * 16 + 24]) AS n_chunk_tokens,
+       array_to_string(toks[i * 16 + 1 : i * 16 + 24], ' ') AS chunk
+FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+     (SELECT UNNEST(range(0, 4096)) AS i)
+WHERE i * 16 < LEN(toks)
 """,
         # corpus vocabulary: tf = token occurrences, df = docs containing
         "term_stats_docs": """

@@ -301,3 +301,46 @@ def bm25_topk(
 
     scored = tf.map_batches(score, batch_format="pandas", batch_size=None)
     return scored.sort(["bm25", "doc_id"], descending=[True, False]).limit(k)
+
+
+def chunk_documents(
+    docs: "ray.data.Dataset",
+    *,
+    size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Context-window chunking: split each document into token windows of
+    ``size`` tokens advancing by ``stride`` (overlap = size − stride) —
+    the standard LLM pretraining/retrieval reshaping step.
+
+    -> (doc_id, chunk_id, n_chunk_tokens, chunk). Chunk i covers tokens
+    [i·stride, i·stride+size); a chunk exists whenever i·stride < n_tokens,
+    so every token lands in ≥1 chunk and a short document yields exactly one.
+    Tokens are the split(' ') convention; DuckDB replays the whole reshape
+    with list slicing (1-based inclusive: toks[i·stride+1 : i·stride+size]).
+    Pure per-row map — embarrassingly parallel, output rows ≈ n/stride per
+    doc, no shuffle anywhere."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, lens, chunks = [], [], [], []
+        for did, txt in zip(batch[id_col], batch[text_col]):
+            toks = txt.split(" ")
+            n = len(toks)
+            i = 0
+            while i * stride < n:
+                piece = toks[i * stride: i * stride + size]
+                ids.append(did)
+                cids.append(i)
+                lens.append(len(piece))
+                chunks.append(" ".join(piece))
+                i += 1
+        return pd.DataFrame({id_col: ids, "chunk_id": np.array(cids, dtype=np.int64),
+                             "n_chunk_tokens": np.array(lens, dtype=np.int64),
+                             "chunk": chunks})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas", batch_size=None)

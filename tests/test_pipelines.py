@@ -628,3 +628,28 @@ def test_term_stats_and_bigrams_exact():
     out2 = term_stats(ray.data.from_pandas(docs).repartition(3)).to_pandas()
     got2 = {r.term: (r.tf, r.df) for r in out2.itertuples()}
     assert got2 == got
+
+
+def test_chunk_documents_windows():
+    from bluegraph_ray.pipelines.text import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": ["d1", "d2"],
+        "text": [" ".join(f"t{i}" for i in range(10)), "only three words"],
+    })
+    out = chunk_documents(ray.data.from_pandas(docs), size=6,
+                          stride=4).to_pandas()
+    d1 = out[out["doc_id"] == "d1"].sort_values("chunk_id")
+    assert list(d1["chunk"]) == [
+        " ".join(f"t{i}" for i in range(0, 6)),
+        " ".join(f"t{i}" for i in range(4, 10)),
+        " ".join(f"t{i}" for i in range(8, 10)),
+    ]
+    assert list(d1["n_chunk_tokens"]) == [6, 6, 2]
+    d2 = out[out["doc_id"] == "d2"]
+    assert len(d2) == 1 and d2.iloc[0]["chunk"] == "only three words"
+    # every token lands in at least one chunk
+    covered = set()
+    for r in d1.itertuples():
+        covered.update(r.chunk.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
