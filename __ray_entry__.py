@@ -527,6 +527,44 @@ def q_communities_parts(sf_dir: str):
     return pd.DataFrame({"node": handle.names, "community": handle.names[res.values]})
 
 
+def q_contracted_communities(sf_dir: str):
+    """Community-level supergraph: contract the co-occurrence graph by its
+    converged LPA labels (stages/contract.contract_graph — one relabel pass
+    + one bucketed aggregate; the multilevel-Louvain aggregation step as a
+    first-class op)."""
+    from bluegraph_ray.stages.build import build_graph
+    from bluegraph_ray.stages.contract import contract_graph
+    from bluegraph_ray.stages.lpa import label_propagation_communities
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(
+        expr="frequency >= 2").materialize()
+    handle = build_graph(edges, weight="frequency", directed=False,
+                         n_partitions=8)
+    res = label_propagation_communities(handle)
+    labels = pd.Series(handle.names[res.values], index=handle.names)
+    out = contract_graph(edges, labels, weight="frequency")
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["weight"] = batch["weight"].astype(np.int64)
+        return batch
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q_ego_parts(sf_dir: str):
+    """Radius-2 ego network of the minimum entity in the freq>=2 graph —
+    BFS ball on the CSR actors, streaming edge filter against the broadcast
+    ball (stages/contract.ego_network)."""
+    from bluegraph_ray.stages.build import build_graph
+    from bluegraph_ray.stages.contract import ego_network
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(
+        expr="frequency >= 2").materialize()
+    handle = build_graph(edges, weight=None, directed=False, n_partitions=8)
+    seed = int(np.argmin(handle.names))
+    return ego_network(handle, edges, seed, radius=2)
+
+
 def q_minhash_candidates(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import minhash_lsh_candidates
 
@@ -1087,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_parts": q_diameter_parts,
         "walk_corpus_parts": q_walk_corpus_parts,
         "communities_parts": q_communities_parts,
+        "contracted_communities": q_contracted_communities,
+        "ego_parts": q_ego_parts,
         "minhash_candidates": q_minhash_candidates,
         "simhash_docs": q_simhash_docs,
         "embedding_dups": q_embedding_dups,
@@ -1134,6 +1174,51 @@ QUALIFY ROW_NUMBER() OVER (
                                   CAST(e.embedding AS DOUBLE[])) DESC,
            e.vec_id) <= 5
 """
+
+# Semi-synchronous weighted LPA replay (shared by communities_parts and
+# contracted_communities): per iteration each vertex's incoming
+# (label -> Σw) histogram is built from the PREVIOUS label vector
+# (full-sync, stages/lpa.py), winner = (max weight, min label), damping =
+# change only on STRICTLY greater weight than the current label's
+# neighbourhood weight. Zero-weight self-arcs smuggle each vertex's own
+# label through the single allowed recursive-table reference;
+# label-only-via-self groups are excluded from the winner (the engine's
+# gather sees real arcs only). Int weights -> exact comparisons; 50
+# iterations ≡ the engine's fixpoint (stable after convergence).
+def _lpa_recursion(E: str = "edges") -> str:
+    """The recursion above, over an arbitrary edge CTE ``E``."""
+    return f"""
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM {E}
+  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM {E}
+  UNION ALL SELECT entity, entity, CAST(0 AS DOUBLE)
+  FROM (SELECT DISTINCT src AS entity FROM {E}
+        UNION SELECT dst FROM {E})),
+lp(it, node, lab) AS (
+  SELECT 0, u, u FROM (SELECT DISTINCT u FROM arcs)
+  UNION ALL
+  SELECT it + 1, v,
+    CASE WHEN win.w > cur_w THEN win.lab ELSE cur_lab END
+  FROM (
+    SELECT it, v,
+      min(CASE WHEN is_cur THEN struct_pack(w := -wt, lab := lab) END).lab
+        AS cur_lab,
+      COALESCE(max(CASE WHEN is_cur THEN wt END), 0.0) AS cur_w,
+      min(CASE WHEN NOT pure_self
+               THEN struct_pack(w := -wt, lab := lab) END) AS win
+    FROM (
+      SELECT l.it AS it, a.v AS v, l.lab AS lab,
+        SUM(CASE WHEN a.u = a.v THEN 0.0 ELSE a.w END) AS wt,
+        BOOL_AND(a.u = a.v) AS pure_self,
+        BOOL_OR(a.u = a.v) AS is_cur
+      FROM lp l JOIN arcs a ON a.u = l.node
+      WHERE l.it < 50
+      GROUP BY 1, 2, 3
+    )
+    GROUP BY it, v
+  ), LATERAL (SELECT (win).lab AS lab, -(win).w AS w) win
+)"""
+
 
 def _walk_hash(wid_expr: str, step_expr: str, u_expr: str) -> str:
     """SQL replay of stages/build.walk_step's splitmix64-style mix:
@@ -1914,6 +1999,32 @@ s0 AS MATERIALIZED (SELECT DISTINCT v FROM
   (SELECT src AS v FROM e2 UNION ALL SELECT dst AS v FROM e2)){_KCORE_STEPS}
 SELECT v AS node FROM s16
 """,
+        # radius-2 ego ball on the freq>=2 graph: 4 BFS relaxation rounds
+        # (exact for distances <= 4 > radius), then keep edges whose BOTH
+        # endpoints are within distance 2
+        "ego_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+f2 AS MATERIALIZED (
+  SELECT src, dst, frequency FROM edges WHERE frequency >= 2),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM f2 UNION ALL SELECT dst AS v FROM f2)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, 1 AS w FROM f2
+  UNION ALL SELECT dst, src, 1 FROM f2
+  UNION ALL SELECT v, v, 0 FROM verts
+),
+d(it, node, dist) AS (
+  SELECT 0, (SELECT MIN(v) FROM verts), 0
+  UNION ALL
+  SELECT it + 1, a.v, MIN(d.dist + a.w)
+  FROM d JOIN arcs a ON a.u = d.node
+  WHERE d.it < 4
+  GROUP BY it + 1, a.v
+),
+ball AS MATERIALIZED (SELECT node FROM d WHERE it = 4 AND dist <= 2)
+SELECT e.src, e.dst, e.frequency
+FROM f2 e JOIN ball a ON a.node = e.src JOIN ball b ON b.node = e.dst
+""",
         # deterministic random walks: dense vertex ranks (names sort order =
         # the engine's id space), next hop = struct-min of (hash, neighbour)
         # over in-arcs — the same hash-argmin walk_step computes; step index
@@ -2202,37 +2313,22 @@ FROM prm WHERE it = (SELECT it FROM stop)
         # convergence).
         "communities_parts": f"""
 WITH RECURSIVE {_EDGES_FREQ},
-arcs AS MATERIALIZED (
-  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
-  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
-  UNION ALL SELECT entity, entity, CAST(0 AS DOUBLE)
-  FROM (SELECT DISTINCT src AS entity FROM edges
-        UNION SELECT dst FROM edges)),
-lp(it, node, lab) AS (
-  SELECT 0, u, u FROM (SELECT DISTINCT u FROM arcs)
-  UNION ALL
-  SELECT it + 1, v,
-    CASE WHEN win.w > cur_w THEN win.lab ELSE cur_lab END
-  FROM (
-    SELECT it, v,
-      min(CASE WHEN is_cur THEN struct_pack(w := -wt, lab := lab) END).lab
-        AS cur_lab,
-      COALESCE(max(CASE WHEN is_cur THEN wt END), 0.0) AS cur_w,
-      min(CASE WHEN NOT pure_self
-               THEN struct_pack(w := -wt, lab := lab) END) AS win
-    FROM (
-      SELECT l.it AS it, a.v AS v, l.lab AS lab,
-        SUM(CASE WHEN a.u = a.v THEN 0.0 ELSE a.w END) AS wt,
-        BOOL_AND(a.u = a.v) AS pure_self,
-        BOOL_OR(a.u = a.v) AS is_cur
-      FROM lp l JOIN arcs a ON a.u = l.node
-      WHERE l.it < 50
-      GROUP BY 1, 2, 3
-    )
-    GROUP BY it, v
-  ), LATERAL (SELECT (win).lab AS lab, -(win).w AS w) win
-)
+{_lpa_recursion("edges")}
 SELECT node, lab AS community FROM lp WHERE it = 50
+""",
+        # supergraph contraction of the freq>=2 graph by ITS 50-iteration
+        # LPA labels (46 communities at sf0.01 — a real supergraph): relabel
+        # both endpoints, canonicalize (cu <= cv), sum frequency + count
+        "contracted_communities": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+f2 AS MATERIALIZED (
+  SELECT src, dst, frequency FROM edges WHERE frequency >= 2),
+{_lpa_recursion("f2")},
+comm AS MATERIALIZED (SELECT node, lab FROM lp WHERE it = 50)
+SELECT LEAST(a.lab, b.lab) AS cu, GREATEST(a.lab, b.lab) AS cv,
+       CAST(SUM(e.frequency) AS BIGINT) AS weight, COUNT(*) AS n_edges
+FROM f2 e JOIN comm a ON a.node = e.src JOIN comm b ON b.node = e.dst
+GROUP BY 1, 2
 """,
         # FNV-1a document fingerprints: the engine hashes the byte stream of
         # ``text + ' '`` (token bytes + 0x20 separator ≡ single-space join;

@@ -214,6 +214,33 @@ def test_triangles_exact(karate_handle):
         assert got.get(k, 0) == v
 
 
+def test_contract_graph_and_ego_network(karate_handle):
+    from bluegraph_ray.stages.contract import contract_graph, ego_network
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    # contract by a simple 2-block partition
+    labels = {n: ("blk0" if int(n[1:]) < 17 else "blk1") for n in g.nodes}
+    out = contract_graph(ray.data.from_pandas(df), labels).to_pandas()
+    got = {(r.cu, r.cv): (r.weight, r.n_edges) for r in out.itertuples()}
+    want: dict = {}
+    for u, v in g.edges:
+        key = tuple(sorted((labels[u], labels[v])))
+        w, n = want.get(key, (0.0, 0))
+        want[key] = (w + 1.0, n + 1)
+    assert got == want
+
+    # ego networks match nx.ego_graph at radii 1 and 2
+    names = list(handle.names)
+    for radius in (1, 2):
+        eg = ego_network(handle, ray.data.from_pandas(df),
+                         names.index("n5"), radius=radius).to_pandas()
+        want_g = nx.ego_graph(g, "n5", radius=radius)
+        got_edges = {frozenset((r.src, r.dst)) for r in eg.itertuples()}
+        want_edges = {frozenset(e) for e in want_g.edges}
+        assert got_edges == want_edges
+
+
 def test_maximal_independent_set(karate_handle, tmp_path):
     from bluegraph_ray.stages.mis import maximal_independent_set
 
