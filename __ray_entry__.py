@@ -192,12 +192,27 @@ def q_top_neighbors(sf_dir: str):
     return sym.groupby("node").map_groups(topk, batch_format="pandas")
 
 
+_CANON_CACHE: dict = {}
+
+
+def _canon_freq2(sf_dir: str) -> "ray.data.Dataset":
+    """Memoized canonical (u < v, deduped) simple edge set of the freq>=2
+    co-occurrence graph — shared by the triangle-family queries, one dedup
+    shuffle per session."""
+    from bluegraph_ray.stages.triangles import _canonical_edges
+
+    if sf_dir not in _CANON_CACHE:
+        edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(
+            expr="frequency >= 2")
+        _CANON_CACHE[sf_dir] = _canonical_edges(edges, "src", "dst", 16)
+    return _CANON_CACHE[sf_dir]
+
+
 def q_part_triangles(sf_dir: str):
     """Per-vertex triangle counts on the frequency>=2 co-occurrence graph."""
     from bluegraph_ray.stages.triangles import triangle_counts
 
-    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
-    return triangle_counts(edges)
+    return triangle_counts(_canon_freq2(sf_dir), canonical=True)
 
 
 def q_clustering_parts(sf_dir: str):
@@ -206,8 +221,7 @@ def q_clustering_parts(sf_dir: str):
     included) — triangle stream left-joined onto the degree table."""
     from bluegraph_ray.stages.triangles import clustering_coefficient
 
-    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(expr="frequency >= 2")
-    out = clustering_coefficient(edges)
+    out = clustering_coefficient(_canon_freq2(sf_dir), canonical=True)
 
     def rnd(batch: pd.DataFrame) -> pd.DataFrame:
         batch["clustering"] = np.round(batch["clustering"], 9)

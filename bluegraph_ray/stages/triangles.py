@@ -192,17 +192,20 @@ def clustering_coefficient(
     src: str = "src",
     dst: str = "dst",
     num_buckets: int = 32,
+    canonical: bool = False,
 ) -> "ray.data.Dataset":
     """Per-vertex local clustering coefficient, ``nx.clustering`` semantics:
     cc(v) = 2·T(v) / (d(v)·(d(v)−1)) over the simple undirected graph, 0 when
     d(v) < 2. Every vertex of the edge set gets a row (zero-triangle vertices
     included — the triangle stream is LEFT-joined onto the degree table, both
-    computed from one shared canonical edge set, one dedup shuffle total).
+    computed from one shared canonical edge set, one dedup shuffle total;
+    ``canonical=True`` skips even that, as in :func:`triangle_counts`).
     Exact vs nx.clustering (tests/test_graph_stages.py)."""
     from bluegraph_ray.stages.degree import degree_centrality
     from bluegraph_ray.util import hash_join
 
-    canon_edges = _canonical_edges(edges, src, dst, num_buckets)
+    canon_edges = (edges if canonical
+                   else _canonical_edges(edges, src, dst, num_buckets))
     deg = degree_centrality(canon_edges, src="u", dst="v",
                             num_buckets=num_buckets)
     tri = triangle_counts(canon_edges, canonical=True, num_buckets=num_buckets)
