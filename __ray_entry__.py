@@ -859,6 +859,17 @@ def q_walk_corpus_parts(sf_dir: str):
     return random_walks(handle, length=8, seed=7)
 
 
+def q_walk_skipgrams(sf_dir: str):
+    """Skip-gram training pairs (window 2) from the deterministic walk
+    corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
+    exactly replayable by self-joining the walk oracle on |Δstep| <= 2."""
+    from bluegraph_ray.stages.walks import random_walks, skipgram_pairs
+
+    handle = _cooc_graph(sf_dir)
+    walks = random_walks(handle, length=8, seed=7)
+    return skipgram_pairs(walks, window=2)
+
+
 def q_diameter_parts(sf_dir: str):
     """Double-sweep pseudo-diameter of the co-occurrence graph
     (stages/sssp.pseudo_diameter): BFS from the minimum entity, re-BFS from
@@ -1138,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parts": q_sssp_parts,
         "diameter_parts": q_diameter_parts,
         "walk_corpus_parts": q_walk_corpus_parts,
+        "walk_skipgrams": q_walk_skipgrams,
         "communities_parts": q_communities_parts,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,
@@ -2067,6 +2079,37 @@ walk(step, wid, node) AS (
 )
 SELECT i.v AS walk_id, CAST(w.step AS BIGINT) AS step, n.v AS node
 FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
+""",
+        # skip-gram pair counts off the SAME walk recursion: ordered pairs
+        # within each walk at step distance 1..2
+        "walk_skipgrams": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ids AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
+darcs AS MATERIALIZED (
+  SELECT iu.did AS u, iv.did AS v
+  FROM (SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst, src FROM edges) a
+  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v),
+walk(step, wid, node) AS (
+  SELECT 0, did, did FROM ids
+  UNION ALL
+  SELECT w.step + 1, w.wid,
+    (MIN(struct_pack(
+       h := {_walk_hash('w.wid', 'w.step + 1 + 7', 'a.u')},
+       nxt := a.u))).nxt
+  FROM walk w JOIN darcs a ON a.v = w.node
+  WHERE w.step < 8
+  GROUP BY 1, 2
+),
+wm AS MATERIALIZED (SELECT * FROM walk)
+SELECT c.v AS center, x.v AS context, COUNT(*) AS n
+FROM wm w1 JOIN wm w2 ON w2.wid = w1.wid
+  AND ABS(w2.step - w1.step) BETWEEN 1 AND 2
+JOIN ids c ON c.did = w1.node JOIN ids x ON x.did = w2.node
+GROUP BY 1, 2
 """,
         # double-sweep pseudo-diameter: BFS from the minimum entity, pick the
         # farthest reached vertex (dist DESC, node ASC = the engine's

@@ -79,3 +79,44 @@ def random_walks(
         if own_actors:
             for a in actors:
                 ray.kill(a)
+
+
+def skipgram_pairs(
+    walks: pd.DataFrame,
+    *,
+    window: int = 2,
+) -> pd.DataFrame:
+    """(walk_id, step, node) walk table -> (center, context, n) skip-gram
+    pair counts with 1 <= |Δstep| <= ``window`` within each walk — the
+    DeepWalk/node2vec training-pair reshape. Feeding these counts to the
+    PPMI-SVD embedder (pipelines/textembed.py) completes a from-scratch
+    walk-based node-embedding pipeline.
+
+    Vectorized: the walk table pivots to an (L+1, n_walks) int matrix; each
+    offset d contributes two aligned slices (both directions); counts come
+    from one np.unique over packed (center, context) codes. O(walks·L·w)
+    work, no Python loop over rows. At corpus scale the same logic runs
+    inside map_batches over walk-id-partitioned blocks (a walk's rows stay
+    in one block by construction — walk_id is the partition key)."""
+    piv = walks.pivot(index="step", columns="walk_id", values="node")
+    piv = piv.sort_index()
+    names, inv = np.unique(piv.to_numpy().ravel(), return_inverse=True)
+    mat = inv.reshape(piv.shape)
+    n = len(names)
+    codes = []
+    steps = mat.shape[0]
+    for d in range(1, window + 1):
+        if d >= steps:
+            break
+        a = mat[:-d].ravel()
+        b = mat[d:].ravel()
+        codes.append(a.astype(np.int64) * n + b)  # center earlier
+        codes.append(b.astype(np.int64) * n + a)  # center later
+    if not codes:
+        return pd.DataFrame({"center": [], "context": [], "n": []})
+    uniq, cnt = np.unique(np.concatenate(codes), return_counts=True)
+    return pd.DataFrame({
+        "center": names[uniq // n],
+        "context": names[uniq % n],
+        "n": cnt.astype(np.int64),
+    })

@@ -313,6 +313,30 @@ def test_random_walks_valid_and_layout_invariant(karate_handle, tmp_path):
         random_walks(dh)
 
 
+def test_skipgram_pairs_match_bruteforce(karate_handle):
+    from collections import Counter
+
+    from bluegraph_ray.stages.walks import random_walks, skipgram_pairs
+
+    _, handle = karate_handle
+    walks = random_walks(handle, length=5, seed=11)
+    out = skipgram_pairs(walks, window=2)
+    got = {(r.center, r.context): r.n for r in out.itertuples()}
+
+    want: Counter = Counter()
+    for _, w in walks.pivot(index="walk_id", columns="step",
+                            values="node").iterrows():
+        seq = list(w)
+        for i, c in enumerate(seq):
+            for j in range(max(0, i - 2), min(len(seq), i + 3)):
+                if j != i:
+                    want[(c, seq[j])] += 1
+    assert got == dict(want)
+    # symmetric by construction
+    for (c, x), v in got.items():
+        assert got[(x, c)] == v
+
+
 def test_eigenvector_and_katz_match_nx(karate_handle, tmp_path):
     from bluegraph_ray.stages.spectral import (eigenvector_centrality,
                                                katz_centrality)
