@@ -870,6 +870,20 @@ def q_walk_skipgrams(sf_dir: str):
     return skipgram_pairs(walks, window=2)
 
 
+def q_deepwalk_embed(sf_dir: str):
+    """DeepWalk node embeddings over the co-occurrence graph — walks →
+    skip-gram counts → shifted-PPMI SVD (pipelines/graphembed.py). No SQL
+    oracle (randomized SVD); both upstream stages are hash-verified
+    (walk_corpus_parts, walk_skipgrams) and the factorization is seeded.
+    Rows-only driver check."""
+    from bluegraph_ray.pipelines.graphembed import deepwalk_embeddings
+
+    handle = _cooc_graph(sf_dir)
+    out = deepwalk_embeddings(handle, dimension=16, length=8, window=2)
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
 def q_diameter_parts(sf_dir: str):
     """Double-sweep pseudo-diameter of the co-occurrence graph
     (stages/sssp.pseudo_diameter): BFS from the minimum entity, re-BFS from
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_parts": q_diameter_parts,
         "walk_corpus_parts": q_walk_corpus_parts,
         "walk_skipgrams": q_walk_skipgrams,
+        "deepwalk_embed": q_deepwalk_embed,
         "communities_parts": q_communities_parts,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,

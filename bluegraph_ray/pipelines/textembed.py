@@ -118,6 +118,34 @@ def _randomized_svd(matvec, n: int, k: int, *, oversample: int = 8,
     return u * np.where(flip == 0, 1.0, flip), s
 
 
+def ppmi_svd_factorize(wi: np.ndarray, ci: np.ndarray, cnt: np.ndarray,
+                       n: int, dimension: int, *, shift: float = 1.0,
+                       seed: int = 0, power_iters: int = 2) -> np.ndarray:
+    """Shared PPMI + randomized-SVD core: sparse (row, col, count) pair
+    counts -> an (n, dimension) embedding matrix U·√Σ. Used by the text
+    embedder below and the walk-based DeepWalk embedder
+    (pipelines/graphembed.py)."""
+    cnt = cnt.astype(np.float64)
+    row_tot = np.bincount(wi, weights=cnt, minlength=n)
+    total = cnt.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(cnt * total / (row_tot[wi] * row_tot[ci]))
+    val = np.maximum(pmi - np.log(shift), 0.0)
+    keep = val > 0
+    wi, ci, val = wi[keep], ci[keep], val[keep]
+    order = np.lexsort((ci, wi))
+    wi, ci, val = wi[order], ci[order], val[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(wi, minlength=n), out=indptr[1:])
+    u, s = _randomized_svd(
+        lambda x: _csr_matmat(indptr, ci, val, x), n, dimension,
+        power_iters=power_iters, seed=seed)
+    mat = u * np.sqrt(s)[None, :]
+    if mat.shape[1] < dimension:  # vocab smaller than dimension
+        mat = np.pad(mat, ((0, 0), (0, dimension - mat.shape[1])))
+    return mat
+
+
 class PPMISVDEmbedder:
     """Trainable text embedder: ``fit_model(documents) -> DataFrame`` with
     one row per vocab word (node=word, embedding) — the same contract as
@@ -160,25 +188,9 @@ class PPMISVDEmbedder:
         wi = vocab.get_indexer(cooc["w"].to_numpy())
         ci = vocab.get_indexer(cooc["c"].to_numpy())
         cnt = cooc["cnt"].to_numpy(dtype=np.float64)
-        # PPMI: log( #(w,c) * total / (#(w) * #(c)) ) - log(shift), clipped
-        row_tot = np.bincount(wi, weights=cnt, minlength=n)
-        total = cnt.sum()
-        with np.errstate(divide="ignore", invalid="ignore"):
-            pmi = np.log(cnt * total / (row_tot[wi] * row_tot[ci]))
-        val = np.maximum(pmi - np.log(self.shift), 0.0)
-        keep = val > 0
-        wi, ci, val = wi[keep], ci[keep], val[keep]
-        order = np.lexsort((ci, wi))
-        wi, ci, val = wi[order], ci[order], val[order]
-        indptr = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(np.bincount(wi, minlength=n), out=indptr[1:])
-
-        u, s = _randomized_svd(
-            lambda x: _csr_matmat(indptr, ci, val, x), n, self.dimension,
-            power_iters=self.power_iters, seed=self.seed)
-        mat = u * np.sqrt(s)[None, :]
-        if mat.shape[1] < self.dimension:  # vocab smaller than dimension
-            mat = np.pad(mat, ((0, 0), (0, self.dimension - mat.shape[1])))
+        mat = ppmi_svd_factorize(wi, ci, cnt, n, self.dimension,
+                                 shift=self.shift, seed=self.seed,
+                                 power_iters=self.power_iters)
         self._index = vocab
         self._mat = mat
         self.embeddings = pd.DataFrame(

@@ -656,3 +656,30 @@ def test_sssp_weighted_matches_nx_dijkstra(tmp_path):
     assert len(r2.superstep_seconds) == 2
     full = sssp(handle, 0, weighted=True)
     assert np.all(r2.values >= full.values - 1e-15)
+
+
+def test_deepwalk_embeddings_structure(karate_handle):
+    from bluegraph_ray.pipelines.graphembed import deepwalk_embeddings
+
+    df, handle = karate_handle
+    g = to_nx(df)
+    out = deepwalk_embeddings(handle, dimension=16, length=6, window=2)
+    assert len(out) == handle.n
+    mat = np.stack(out["embedding"].to_numpy())
+    assert mat.shape == (handle.n, 16)
+    # deterministic
+    out2 = deepwalk_embeddings(handle, dimension=16, length=6, window=2)
+    assert np.allclose(mat, np.stack(out2["embedding"].to_numpy()), atol=0)
+
+    # structure: mean cosine similarity of adjacent pairs beats random pairs
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    pos = dict(zip(out["node"], range(len(out))))
+    adj = [float(norm[pos[u]] @ norm[pos[v]]) for u, v in g.edges]
+    rng = np.random.default_rng(0)
+    nodes = list(g.nodes)
+    rand = []
+    for _ in range(300):
+        u, v = rng.choice(nodes, 2, replace=False)
+        if not g.has_edge(u, v):
+            rand.append(float(norm[pos[u]] @ norm[pos[v]]))
+    assert np.mean(adj) > np.mean(rand) + 0.1
