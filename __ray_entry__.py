@@ -707,6 +707,35 @@ def q_betweenness_parts(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_betweenness_sampled(sf_dir: str):
+    """Source-sampled Brandes betweenness on the freq>=2 graph: sources are
+    picked by a REPLAYABLE hash rule (sha256('bc:'||v) % 32 == 0, ~3% of
+    vertices), so unlike rng-sampled estimators this one is value-hash
+    verified end to end — the oracle replays the exact same source set.
+    Unscaled partial dependency sums, nx normalization."""
+    import hashlib
+
+    from bluegraph_ray.stages.centrality import betweenness_centrality
+    from bluegraph_ray.util import distinct_values, rename_columns
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)).filter(
+        expr="frequency >= 2").materialize()
+    s = rename_columns(edges.select_columns(["src"]), {"src": "v"})
+    d = rename_columns(edges.select_columns(["dst"]), {"dst": "v"})
+    names = distinct_values(s.union(d), "v")
+    keep = np.array([
+        int.from_bytes(hashlib.sha256(f"bc:{v}".encode()).digest()[:8],
+                       "big") % 32 == 0
+        for v in names])
+    out = betweenness_centrality(edges, sources=names[keep])
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["betweenness"] = np.round(batch["betweenness"], 9)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def q_betweenness_small(sf_dir: str):
     """Same Brandes pipeline on the freq>=3 subgraph — small enough that the
     all-pairs recursive-CTE oracle stays tractable, so this one is value-hash
@@ -1145,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_parts": q_harmonic_parts,
         "betweenness_parts": q_betweenness_parts,
         "betweenness_small": q_betweenness_small,
+        "betweenness_sampled": q_betweenness_sampled,
         "mst_parts": q_mst_parts,
         "mst_small": q_mst_small,
         "louvain_parts": q_louvain_parts,
@@ -1956,6 +1986,64 @@ SELECT node,
     * (CAST(2.0 AS DOUBLE) / ((SELECT (n-1)*(n-2) FROM nn))), 9) AS betweenness
 FROM del WHERE it = 16 AND node <> root
 GROUP BY node
+""",
+        # the same Brandes replay, but dist/sig recursions seed only from the
+        # hash-sampled roots (sha256('bc:'||v) % 32 == 0 — the engine's exact
+        # rule); unreached vertices join back as zeros via the LEFT JOIN
+        "betweenness_sampled": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+fedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE frequency >= 2),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM fedges UNION ALL SELECT dst AS v FROM fedges)),
+roots AS MATERIALIZED (
+  SELECT v FROM verts
+  WHERE ('0x' || substr(sha256('bc:' || CAST(v AS VARCHAR)), 1, 16))::UBIGINT
+        % 32 = 0),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fedges
+  UNION ALL SELECT dst, src FROM fedges
+  UNION ALL SELECT v, v FROM verts),
+dist(it, root, node, d) AS (
+  SELECT 0, v, v, 0 FROM roots
+  UNION ALL
+  SELECT it + 1, dist.root, a.v,
+         MIN(dist.d + CASE WHEN a.u = a.v THEN 0 ELSE 1 END)
+  FROM dist JOIN arcs a ON a.u = dist.node
+  WHERE dist.it < 16
+  GROUP BY 1, 2, 3),
+fdist AS MATERIALIZED (SELECT root, node, d FROM dist WHERE it = 16),
+sig(it, root, node, s) AS (
+  SELECT 0, v, v, CAST(1 AS DOUBLE) FROM roots
+  UNION ALL
+  SELECT sig.it + 1, sig.root, a.v, SUM(sig.s)
+  FROM sig
+  JOIN arcs a ON a.u = sig.node AND a.u <> a.v
+  JOIN fdist dv ON dv.root = sig.root AND dv.node = a.v AND dv.d = sig.it + 1
+  WHERE sig.it < 16
+  GROUP BY 1, 2, 3),
+fds AS MATERIALIZED (SELECT f.root, f.node, f.d, g.s
+        FROM fdist f JOIN sig g ON g.root = f.root AND g.node = f.node),
+del(it, root, node, d, s, dlt) AS (
+  SELECT 0, root, node, d, s, CAST(0 AS DOUBLE) FROM fds
+  UNION ALL
+  SELECT del.it + 1, del.root, a.v, t.d, t.s,
+    SUM(CASE WHEN a.u = a.v THEN del.dlt
+             WHEN t.d = 16 - del.it AND del.d = t.d + 1
+               THEN (t.s / del.s) * (1 + del.dlt)
+             ELSE 0 END)
+  FROM del
+  JOIN arcs a ON a.u = del.node
+  JOIN fds t ON t.root = del.root AND t.node = a.v
+  WHERE del.it < 16
+  GROUP BY 1, 2, 3, t.d, t.s),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+bsum AS (
+  SELECT node, SUM(dlt) AS dlt
+  FROM del WHERE it = 16 AND node <> root GROUP BY node)
+SELECT v.v AS node,
+  round_even((COALESCE(b.dlt, 0) * CAST(0.5 AS DOUBLE))
+    * (CAST(2.0 AS DOUBLE) / ((SELECT (n-1)*(n-2) FROM nn))), 9) AS betweenness
+FROM verts v LEFT JOIN bsum b ON b.node = v.v
 """,
         # Kruskal MST via the cycle property: rank edges by (distance=1/freq
         # asc ≡ frequency desc, src, dst); an edge is in the MST/forest iff

@@ -296,14 +296,23 @@ def betweenness_centrality(
     distance: str | None = None,
     sample_sources: int | None = None,
     seed: int = 0,
+    sources: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """Brandes fan-out: each source task computes its dependency accumulation;
     partial vectors sum. Exact when sample_sources is None; normalized like
-    nx (undirected: 2/((n-1)(n-2)))."""
+    nx (undirected: 2/((n-1)(n-2))). ``sources``: explicit source vertex
+    NAMES — returns the UNSCALED dependency sums from exactly those sources
+    (a deterministic estimator; pick sources by a replayable hash rule to
+    make the result oracle-checkable, as q_betweenness_sampled does)."""
     names, graph_ref = _distributed_csr(edges, src, dst, distance)
     n = len(names)
 
-    if sample_sources is not None and sample_sources < n:
+    if sources is not None:
+        srcs = np.searchsorted(names, np.sort(np.asarray(sources)))
+        if not np.array_equal(names[srcs], np.sort(np.asarray(sources))):
+            raise ValueError("sources contains vertices absent from the graph")
+        scale_extra = 1.0
+    elif sample_sources is not None and sample_sources < n:
         rng = np.random.default_rng(seed)
         srcs = np.sort(rng.choice(n, size=sample_sources, replace=False))
         scale_extra = n / sample_sources

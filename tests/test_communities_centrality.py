@@ -186,6 +186,30 @@ def test_betweenness_matches_nx():
         assert got[k] == pytest.approx(v, abs=1e-9)
 
 
+def test_betweenness_explicit_sources():
+    df, g = karate()
+    ds = ray.data.from_pandas(df)
+    all_names = np.array(sorted(g.nodes))
+    # all vertices as explicit sources == the exact computation
+    full = centrality.betweenness_centrality(ds).to_pandas()
+    exp = centrality.betweenness_centrality(ds, sources=all_names).to_pandas()
+    a = dict(zip(full["node"], full["betweenness"]))
+    b = dict(zip(exp["node"], exp["betweenness"]))
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-12)
+    # subset: deterministic, unscaled partial sums bounded by the exact value
+    sub = centrality.betweenness_centrality(
+        ds, sources=all_names[:10]).to_pandas()
+    s = dict(zip(sub["node"], sub["betweenness"]))
+    for k in a:
+        assert s[k] <= a[k] + 1e-12
+    sub2 = centrality.betweenness_centrality(
+        ds, sources=all_names[:10]).to_pandas()
+    assert np.allclose(sub["betweenness"], sub2["betweenness"], atol=0)
+    with pytest.raises(ValueError):
+        centrality.betweenness_centrality(ds, sources=np.array(["ghost"]))
+
+
 def test_negative_sampling_and_edge_predictor():
     df, g = karate()
     ds = ray.data.from_pandas(df)
