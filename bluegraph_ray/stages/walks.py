@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 import ray
+import ray.data
 
 from bluegraph_ray.stages.build import GraphHandle, make_partition_actors
 
@@ -40,10 +41,18 @@ def random_walks(
     seed: int = 7,
     starts: np.ndarray | None = None,
     actors=None,
-) -> pd.DataFrame:
+    output_path: str | None = None,
+):
     """-> DataFrame(walk_id, step, node) with step 0..length; walk_id and
     node are vertex NAMES, one walk per start (default: every vertex).
-    Deterministic in (graph, seed, length) only."""
+    Deterministic in (graph, seed, length) only.
+
+    ``output_path``: the 100 TB path — each superstep's (walk_id, step,
+    node) slab is written to partitioned Parquet as it is produced (one
+    file per step, walk_id-sorted) and a lazy ``ray.data.Dataset`` over the
+    directory is returned instead of a DataFrame; the driver then only ever
+    holds the O(#walks) position vector (the rank-vector contract), never
+    the full (length+1)×walks trace."""
     if handle.directed:
         raise ValueError("random walks need undirected handles (a directed "
                          "sink would strand the walk); build with "
@@ -54,9 +63,33 @@ def random_walks(
     try:
         pos = (np.arange(handle.n, dtype=np.int64) if starts is None
                else np.asarray(starts, dtype=np.int64))
+        start_ids = pos.copy()
         n_walks = len(pos)
-        trace = np.empty((length + 1, n_walks), dtype=np.int64)
-        trace[0] = pos
+        names = np.asarray(handle.names)
+
+        sink = None
+        trace = None
+        if output_path is not None:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(output_path, exist_ok=True)
+
+            def sink(step: int, nodes: np.ndarray) -> None:
+                pq.write_table(
+                    pa.table({"walk_id": names[start_ids],
+                              "step": np.full(n_walks, step, dtype=np.int64),
+                              "node": names[nodes]}),
+                    os.path.join(output_path, f"step={step:05d}.parquet"))
+        else:
+            trace = np.empty((length + 1, n_walks), dtype=np.int64)
+
+        if sink is not None:
+            sink(0, pos)
+        else:
+            trace[0] = pos
         for t in range(1, length + 1):
             ref = ray.put(pos)
             parts = ray.get(
@@ -65,15 +98,18 @@ def random_walks(
             for idx, vals in parts:
                 nxt[idx] = vals
             pos = nxt
-            trace[t] = pos
+            if sink is not None:
+                sink(t, pos)
+            else:
+                trace[t] = pos
+        if output_path is not None:
+            return ray.data.read_parquet(output_path)
         wid = np.tile(np.arange(n_walks, dtype=np.int64), length + 1)
         steps = np.repeat(np.arange(length + 1, dtype=np.int64), n_walks)
-        start_ids = (np.arange(handle.n, dtype=np.int64) if starts is None
-                     else np.asarray(starts, dtype=np.int64))
         return pd.DataFrame({
-            "walk_id": np.asarray(handle.names)[start_ids[wid]],
+            "walk_id": names[start_ids[wid]],
             "step": steps,
-            "node": np.asarray(handle.names)[trace.ravel()],
+            "node": names[trace.ravel()],
         })
     finally:
         if own_actors:
@@ -95,9 +131,9 @@ def skipgram_pairs(
     Vectorized: the walk table pivots to an (L+1, n_walks) int matrix; each
     offset d contributes two aligned slices (both directions); counts come
     from one np.unique over packed (center, context) codes. O(walks·L·w)
-    work, no Python loop over rows. At corpus scale the same logic runs
-    inside map_batches over walk-id-partitioned blocks (a walk's rows stay
-    in one block by construction — walk_id is the partition key)."""
+    work, no Python loop over rows. For walk tables too big to hold
+    driver-side use :func:`skipgram_pairs_ds` — the same kernel inside
+    walk-id-bucketed map_groups tasks."""
     piv = walks.pivot(index="step", columns="walk_id", values="node")
     piv = piv.sort_index()
     names, inv = np.unique(piv.to_numpy().ravel(), return_inverse=True)
@@ -120,3 +156,37 @@ def skipgram_pairs(
         "context": names[uniq % n],
         "n": cnt.astype(np.int64),
     })
+
+
+def skipgram_pairs_ds(
+    walks: "ray.data.Dataset",
+    *,
+    window: int = 2,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed :func:`skipgram_pairs`: the walk Dataset is bucketed by
+    hash(walk_id) — every walk's rows meet in exactly one bucket, each
+    bucket runs the same pivot-and-slice kernel, and one hash aggregate
+    sums the per-bucket pair counts. Nothing walk-shaped ever sits on the
+    driver; identical counts to the in-memory form
+    (tests/test_graph_stages.py)."""
+    from bluegraph_ray.util import hash_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = (
+            pd.util.hash_pandas_object(batch["walk_id"], index=False)
+            .to_numpy() % num_buckets
+        ).astype(np.int64)
+        return batch
+
+    per_bucket = (
+        walks.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: skipgram_pairs(g.drop(columns=["_bucket"]),
+                                     window=window),
+            batch_format="pandas")
+    )
+    return hash_aggregate(per_bucket, ["center", "context"],
+                          {"n": ("n", "sum")}, num_buckets=num_buckets)

@@ -337,6 +337,29 @@ def test_skipgram_pairs_match_bruteforce(karate_handle):
         assert got[(x, c)] == v
 
 
+def test_walks_streaming_and_distributed_skipgrams(karate_handle, tmp_path):
+    from bluegraph_ray.stages.walks import (random_walks, skipgram_pairs,
+                                            skipgram_pairs_ds)
+
+    _, handle = karate_handle
+    mem = random_walks(handle, length=5, seed=11)
+    # streamed-to-parquet variant returns the identical table
+    ds = random_walks(handle, length=5, seed=11,
+                      output_path=str(tmp_path / "wout"))
+    streamed = ds.to_pandas()
+    key = ["walk_id", "step"]
+    pd.testing.assert_frame_equal(
+        mem.sort_values(key).reset_index(drop=True),
+        streamed.sort_values(key).reset_index(drop=True))
+
+    # distributed skip-grams == in-memory skip-grams
+    a = skipgram_pairs(mem, window=2)
+    b = skipgram_pairs_ds(ds, window=2, num_buckets=4).to_pandas()
+    ka = {(r.center, r.context): r.n for r in a.itertuples()}
+    kb = {(r.center, r.context): r.n for r in b.itertuples()}
+    assert ka == kb
+
+
 def test_eigenvector_and_katz_match_nx(karate_handle, tmp_path):
     from bluegraph_ray.stages.spectral import (eigenvector_centrality,
                                                katz_centrality)
