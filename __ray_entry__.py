@@ -230,6 +230,50 @@ def q_clustering_parts(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_motif_counts(sf_dir: str):
+    """Global motif census of the freq>=2 graph: triangle and 4-cycle
+    (square) totals. Triangles = sum of per-vertex counts / 3 (the existing
+    wedge-closure stage); squares = Σ C(cn, 2) over ALL pairs (adjacent
+    included) / 2 — every 4-cycle is counted once by each of its two
+    diagonal pairs. The pair cn table is the link-prediction wedge pass
+    with include_edges=True (stages/linkpred.py)."""
+    from bluegraph_ray.stages.linkpred import link_prediction_scores
+    from bluegraph_ray.stages.triangles import triangle_counts
+
+    canon = _canon_freq2(sf_dir)
+    tri = triangle_counts(canon, canonical=True)
+    tri_total = int(sum(
+        b["triangles"].sum()
+        for b in tri.iter_batches(batch_format="pandas"))) // 3
+
+    pairs = link_prediction_scores(canon.map_batches(
+        lambda b: b.rename(columns={"u": "src", "v": "dst"}),
+        batch_format="pandas", batch_size=None),
+        include_edges=True, num_buckets=8)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cn = batch["cn"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"s": [int((cn * (cn - 1) // 2).sum())]})
+
+    sq2 = sum(b["s"].sum() for b in pairs.map_batches(
+        partial, batch_format="pandas", batch_size=None)
+        .iter_batches(batch_format="pandas"))
+    return pd.DataFrame({"n_triangles": [tri_total],
+                         "n_squares": [int(sq2) // 2]})
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the freq>=2 simple graph — the first plot of
+    every graph analysis; two tiny aggregates."""
+    from bluegraph_ray.stages.degree import degree_centrality
+    from bluegraph_ray.util import hash_aggregate
+
+    deg = degree_centrality(_canon_freq2(sf_dir), src="u", dst="v",
+                            num_buckets=8)
+    return hash_aggregate(deg, "degree", {"n_nodes": (None, "count")},
+                          num_buckets=8)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pruned-read aggregate with map-side partials: each
     batch collapses to <=6 partial rows (sum/count per group), so the shuffle
@@ -1154,6 +1198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "clustering_parts": q_clustering_parts,
         "assortativity_parts": q_assortativity_parts,
+        "motif_counts": q_motif_counts,
+        "degree_histogram": q_degree_histogram,
         "hll_distinct_parts": q_hll_distinct_parts,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
@@ -1634,6 +1680,35 @@ tri AS (
 SELECT node, COUNT(*) AS triangles FROM (
   SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
 ) GROUP BY 1
+""",
+        # motif census: triangles enumerated once each by the oriented
+        # 3-join; squares = Σ C(cn, 2) over all pairs (adjacent incl.) / 2
+        "motif_counts": f"""
+WITH {_EDGES_FREQ},
+e2 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges WHERE frequency >= 2),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e2 e1 JOIN e2 e3 ON e3.u = e1.v
+  JOIN e2 e0 ON e0.u = e1.u AND e0.v = e3.v
+),
+arcs AS MATERIALIZED (
+  SELECT u AS center, v AS nbr FROM e2 UNION ALL SELECT v, u FROM e2),
+pairs AS (
+  SELECT a1.nbr AS u, a2.nbr AS v, COUNT(*) AS cn
+  FROM arcs a1 JOIN arcs a2 ON a2.center = a1.center AND a1.nbr < a2.nbr
+  GROUP BY 1, 2
+)
+SELECT (SELECT t FROM tri) AS n_triangles,
+       CAST((SELECT SUM(cn * (cn - 1) // 2) FROM pairs) // 2 AS BIGINT)
+         AS n_squares
+""",
+        # degree histogram over the freq>=2 simple graph
+        "degree_histogram": f"""
+WITH {_EDGES_FREQ},
+e2 AS (SELECT src, dst FROM edges WHERE frequency >= 2),
+deg AS (SELECT node, COUNT(*) AS degree FROM (
+  SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2) GROUP BY 1)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
 """,
         # local clustering coefficient = 2T / (d(d-1)) on the freq>=2 simple
         # graph; zero-triangle vertices kept via the degree-side LEFT JOIN
