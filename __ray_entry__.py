@@ -138,6 +138,29 @@ def q_hll_distinct_parts(sf_dir: str):
                          "exact_distinct": [exact]})
 
 
+def q_cms_parts(sf_dir: str):
+    """Count-Min frequency estimates for the 10 most frequent part keys in
+    lineitem, alongside exact counts (functions/sketches.cms_tables — sparse
+    counter partials, sum-combine). The oracle rebuilds every probed counter
+    with the same per-row splitmix mix, so the ESTIMATES compare exactly."""
+    from bluegraph_ray.functions.sketches import cms_query, cms_tables
+    from bluegraph_ray.util import hash_aggregate, tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])
+    exact = hash_aggregate(li, "l_partkey",
+                           {"exact_cnt": (None, "count")},
+                           num_buckets=16).to_pandas()
+    top = exact.sort_values(["exact_cnt", "l_partkey"],
+                            ascending=[False, True]).head(10)
+    tab = cms_tables(li, "l_partkey")
+    est = cms_query(tab, top["l_partkey"].tolist())
+    return pd.DataFrame({"l_partkey": top["l_partkey"].to_numpy(),
+                         "exact_cnt": top["exact_cnt"].to_numpy(),
+                         "cms_est": est})
+
+
 def q_assortativity_parts(sf_dir: str):
     """Degree assortativity of the co-occurrence graph — streaming scalar
     partials over the arc list (stages/metrics.degree_assortativity)."""
@@ -1201,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_counts": q_motif_counts,
         "degree_histogram": q_degree_histogram,
         "hll_distinct_parts": q_hll_distinct_parts,
+        "cms_parts": q_cms_parts,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1355,6 +1379,21 @@ def _walk_hash(wid_expr: str, step_expr: str, u_expr: str) -> str:
     return (f"CAST((({x} % 4294967296) * {c4} "
             f"+ ((({x} // 4294967296) * {c4}) % 4294967296) * 4294967296"
             f") % {p} AS UBIGINT)")
+
+
+def _cms_col(h_expr: str, j_expr: str) -> str:
+    """SQL replay of sketches._cms_row_hash: col = (((h xor (j+1)·C2) · C4)
+    mod 2^64) >> 52 — xor operand computed in HUGEINT, final multiply via
+    the 32-bit split (x·C4 overflows INT128 for full-range x)."""
+    p = "18446744073709551616"
+    c2, c4 = int(0xBF58476D1CE4E5B9), int(0xD6E8FEB86659FD93)
+    x = (f"CAST(xor({h_expr}, "
+         f"CAST((CAST({j_expr} + 1 AS HUGEINT) * {c2}) % {p} AS UBIGINT)"
+         f") AS HUGEINT)")
+    mixed = (f"(({x} % 4294967296) * {c4} "
+             f"+ ((({x} // 4294967296) * {c4}) % 4294967296) * 4294967296"
+             f") % {p}")
+    return f"CAST(({mixed}) // 4503599627370496 AS BIGINT)"
 
 
 # k-core peel rounds, unrolled: survivors_{i+1} = alive vertices with >= 3
@@ -1640,6 +1679,33 @@ SELECT round_even(CASE WHEN raw_e <= 2.5 * 4096 AND zeros > 0
          THEN 4096.0 * ln(4096.0 / zeros) ELSE raw_e END, 6) AS hll_estimate,
        (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
 FROM raw
+""",
+        # Count-Min counters rebuilt cell by cell (4 rows x top-bit columns),
+        # probe = min over rows at the value's columns — exact arithmetic
+        "cms_parts": f"""
+WITH hh AS (
+  SELECT ('0x' || substr(sha256(CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT
+    AS h
+  FROM lineitem
+),
+js AS (SELECT UNNEST(range(4)) AS j),
+cells AS MATERIALIZED (
+  SELECT j.j AS row, {_cms_col('hh.h', 'j.j')} AS col, COUNT(*) AS cnt
+  FROM hh CROSS JOIN js j GROUP BY 1, 2
+),
+topv AS (
+  SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1
+  ORDER BY exact_cnt DESC, l_partkey LIMIT 10
+),
+probes AS (
+  SELECT t.l_partkey, t.exact_cnt, j.j AS row,
+    {_cms_col("('0x' || substr(sha256(CAST(t.l_partkey AS VARCHAR)), 1, 16))::UBIGINT", 'j.j')}
+      AS col
+  FROM topv t CROSS JOIN js j
+)
+SELECT p.l_partkey, p.exact_cnt, MIN(COALESCE(c.cnt, 0)) AS cms_est
+FROM probes p LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY 1, 2
 """,
         # Pearson correlation of endpoint degrees over the bidirected arc
         # list (sample vs population normalizations cancel in r)

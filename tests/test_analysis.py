@@ -91,3 +91,24 @@ def test_hll_distinct_accuracy_and_merge_invariance():
     # small-range branch: tiny sets fall back to linear counting ~exactly
     small = ray.data.from_pandas(pd.DataFrame({"v": [f"s{i}" for i in range(40)]}))
     assert abs(hll_distinct(small, "v") - 40) < 3
+
+
+def test_count_min_sketch_bounds_and_merge():
+    from bluegraph_ray.functions.sketches import cms_query, cms_tables
+
+    rng = np.random.default_rng(4)
+    # zipf-ish frequencies over 500 items
+    items = [f"k{i}" for i in range(500)]
+    counts = {k: int(1000 / (i + 1)) + 1 for i, k in enumerate(items)}
+    rows = [k for k, c in counts.items() for _ in range(c)]
+    rng.shuffle(rows)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": rows}))
+    tab = cms_tables(ds, "v")
+    est = cms_query(tab, items)
+    true = np.array([counts[k] for k in items])
+    # CMS never underestimates, and overestimates stay within eps*N
+    assert (est >= true).all()
+    assert (est - true).max() <= max(4, 3 * len(rows) // (1 << 12))
+    # block layout invariance (sum-combine is exact)
+    tab2 = cms_tables(ds.repartition(16), "v")
+    assert np.array_equal(tab, tab2)
