@@ -138,6 +138,20 @@ def q_hll_distinct_parts(sf_dir: str):
                          "exact_distinct": [exact]})
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles of l_extendedprice — value-histogram
+    aggregation, no sort of the data (functions/quantiles.py). Rule: the
+    smallest value whose cumulative count reaches ceil(q·N)."""
+    from bluegraph_ray.functions.quantiles import quantiles
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    return quantiles(li, "l_extendedprice",
+                     [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def q_cms_parts(sf_dir: str):
     """Count-Min frequency estimates for the 10 most frequent part keys in
     lineitem, alongside exact counts (functions/sketches.cms_tables — sparse
@@ -1225,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q_degree_histogram,
         "hll_distinct_parts": q_hll_distinct_parts,
         "cms_parts": q_cms_parts,
+        "price_quantiles": q_price_quantiles,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1679,6 +1694,17 @@ SELECT round_even(CASE WHEN raw_e <= 2.5 * 4096 AND zeros > 0
          THEN 4096.0 * ln(4096.0 / zeros) ELSE raw_e END, 6) AS hll_estimate,
        (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
 FROM raw
+""",
+        # exact discrete quantiles: smallest value with cum count >= ceil(qN)
+        "price_quantiles": """
+WITH c AS (SELECT l_extendedprice AS x, COUNT(*) AS n FROM lineitem GROUP BY 1),
+cum AS (SELECT x, SUM(n) OVER (ORDER BY x) AS cc FROM c),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM c),
+qv AS (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT qv.q, MIN(cum.x) AS value
+FROM qv JOIN cum ON cum.cc >= GREATEST(CEIL(qv.q * (SELECT N FROM tot)), 1)
+JOIN tot ON TRUE
+GROUP BY 1
 """,
         # Count-Min counters rebuilt cell by cell (4 rows x top-bit columns),
         # probe = min over rows at the value's columns — exact arithmetic

@@ -112,3 +112,20 @@ def test_count_min_sketch_bounds_and_merge():
     # block layout invariance (sum-combine is exact)
     tab2 = cms_tables(ds.repartition(16), "v")
     assert np.array_equal(tab, tab2)
+
+
+def test_exact_quantiles_match_numpy():
+    from bluegraph_ray.functions.quantiles import quantiles, value_histogram
+
+    rng = np.random.default_rng(12)
+    vals = np.round(rng.lognormal(3, 1, 5000), 1)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out = quantiles(ds, "x", qs)
+    srt = np.sort(vals)
+    for q, v in zip(out["q"], out["value"]):
+        want = srt[int(np.ceil(q * len(vals))) - 1]
+        assert v == want
+    hist = value_histogram(ds, "x")
+    assert int(hist["n"].sum()) == len(vals)
+    assert (np.diff(hist["value"].to_numpy()) > 0).all()
