@@ -920,8 +920,8 @@ def q_link_pred_parts(sf_dir: str):
     out = link_prediction_scores(edges, num_buckets=8)
 
     def rnd(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["jaccard"] = np.round(batch["jaccard"], 9)
-        batch["adamic_adar"] = np.round(batch["adamic_adar"], 9)
+        for c in ("jaccard", "adamic_adar", "salton", "sorensen"):
+            batch[c] = np.round(batch[c], 9)
         return batch
 
     return (out.map_batches(rnd, batch_format="pandas")
@@ -2261,7 +2261,9 @@ cand AS (
 SELECT u, v, cn,
   round_even(CAST(cn AS DOUBLE) / (du + dv - cn), 9) AS jaccard,
   round_even(aa, 9) AS adamic_adar,
-  du * dv AS pref_attach
+  du * dv AS pref_attach,
+  round_even(CAST(cn AS DOUBLE) / SQRT(CAST(du AS DOUBLE) * dv), 9) AS salton,
+  round_even(2.0 * cn / (du + dv), 9) AS sorensen
 FROM cand
 ORDER BY adamic_adar DESC, u, v
 LIMIT 100

@@ -395,6 +395,28 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     emb.doc_embeddings(docs).materialize()
     q["ppmi_svd_embed"] = round(time.perf_counter() - t0, 3)
 
+    # round-3 additions: retrieval / vocab / reshaping / sketches
+    from bluegraph_ray.functions.sketches import hll_distinct
+    from bluegraph_ray.pipelines.text import bm25_topk, chunk_documents
+    from bluegraph_ray.pipelines.vocab import bigram_counts, term_stats
+
+    t0 = time.perf_counter()
+    bm25_topk(docs, ["hash", "join"], k=20).materialize()
+    q["bm25"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    term_stats(docs, num_buckets=16).materialize()
+    bigram_counts(docs, num_buckets=16).materialize()
+    q["vocab_bigrams"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    chunk_documents(docs, size=128, stride=96).materialize()
+    q["chunking"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    hll_distinct(docs, "doc_id")
+    q["hll_distinct"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "llm_suite_seconds",
         "value": round(sum(q.values()), 3),

@@ -61,9 +61,10 @@ def link_prediction_scores(
     include_edges: bool = False,
     deg_broadcast_rows: int = 20_000_000,
 ) -> "ray.data.Dataset":
-    """Edge table -> Dataset(u, v, cn, jaccard, adamic_adar, pref_attach)
-    over candidate pairs (u < v, >= 1 common neighbour, non-adjacent unless
-    ``include_edges``). Exact vs the nx trio on that pair space."""
+    """Edge table -> Dataset(u, v, cn, jaccard, adamic_adar, pref_attach,
+    salton, sorensen) over candidate pairs (u < v, >= 1 common neighbour,
+    non-adjacent unless ``include_edges``). Exact vs the nx trio (plus the
+    closed-form Salton cosine / Sørensen-Dice) on that pair space."""
     canon = _canonical_edges(edges, src, dst, num_buckets)
     deg = degree_centrality(canon, src="u", dst="v", num_buckets=num_buckets)
     deg = deg.materialize()
@@ -181,6 +182,9 @@ def link_prediction_scores(
             "jaccard": cn / (du + dv - cn),
             "adamic_adar": batch["adamic_adar"],
             "pref_attach": (du * dv).astype(np.int64),
+            # cosine and Dice variants of the same common-neighbour signal
+            "salton": cn / np.sqrt(du * dv),
+            "sorensen": 2.0 * cn / (du + dv),
         })
 
     return pair_scores.map_batches(finalize, batch_format="pandas",

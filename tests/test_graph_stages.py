@@ -457,6 +457,11 @@ def test_link_prediction_scores_match_nx(karate_handle):
         assert got[p].jaccard == pytest.approx(jac[p], abs=1e-12)
         assert got[p].adamic_adar == pytest.approx(aa[p], abs=1e-12)
         assert got[p].pref_attach == pa[p]
+        du, dv = g.degree(p[0]), g.degree(p[1])
+        assert got[p].salton == pytest.approx(
+            got[p].cn / np.sqrt(du * dv), abs=1e-12)
+        assert got[p].sorensen == pytest.approx(
+            2 * got[p].cn / (du + dv), abs=1e-12)
 
     # include_edges=True also scores adjacent pairs
     out2 = link_prediction_scores(
