@@ -267,6 +267,18 @@ def q_clustering_parts(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficients of the co-occurrence graph at degree
+    thresholds 2/4/8/16/32 (stages/metrics.rich_club_coefficient — one
+    degree aggregate + one streaming edge pass for ALL thresholds)."""
+    from bluegraph_ray.stages.metrics import rich_club_coefficient
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",))
+    out = rich_club_coefficient(edges, ks=[2, 4, 8, 16, 32])
+    out["rich_club"] = np.round(out["rich_club"], 9)
+    return out
+
+
 def q_motif_counts(sf_dir: str):
     """Global motif census of the freq>=2 graph: triangle and 4-cycle
     (square) totals. Triangles = sum of per-vertex counts / 3 (the existing
@@ -1236,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_parts": q_clustering_parts,
         "assortativity_parts": q_assortativity_parts,
         "motif_counts": q_motif_counts,
+        "rich_club": q_rich_club,
         "degree_histogram": q_degree_histogram,
         "hll_distinct_parts": q_hll_distinct_parts,
         "cms_parts": q_cms_parts,
@@ -1772,6 +1785,25 @@ tri AS (
 SELECT node, COUNT(*) AS triangles FROM (
   SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
 ) GROUP BY 1
+""",
+        # rich club: N_k / E_k joins against the degree table per threshold
+        "rich_club": f"""
+WITH {_EDGES_FREQ},
+deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) GROUP BY 1),
+ks AS (SELECT UNNEST([2, 4, 8, 16, 32]) AS k),
+nk AS (SELECT ks.k, COUNT(*) AS n_nodes
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, COUNT(*) AS n_edges
+       FROM ks JOIN (
+         SELECT LEAST(du.d, dv.d) AS m FROM edges e
+         JOIN deg du ON du.node = e.src JOIN deg dv ON dv.node = e.dst
+       ) ON m > ks.k GROUP BY 1)
+SELECT CAST(ks.k AS BIGINT) AS k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+       COALESCE(ek.n_edges, 0) AS n_edges,
+       round_even(2.0 * COALESCE(ek.n_edges, 0)
+         / (nk.n_nodes * (nk.n_nodes - 1.0)), 9) AS rich_club
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
 """,
         # motif census: triangles enumerated once each by the oriented
         # 3-join; squares = Σ C(cn, 2) over all pairs (adjacent incl.) / 2

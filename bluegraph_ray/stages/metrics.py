@@ -76,6 +76,45 @@ def degree_assortativity(
     return float(cov / denom) if denom > 0 else float("nan")
 
 
+def rich_club_coefficient(
+    edges: "ray.data.Dataset",
+    ks,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """nx.rich_club_coefficient semantics (unnormalized): for each degree
+    threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = vertices with
+    degree > k and E_k = edges with BOTH endpoints above k. One degree
+    aggregate + one streaming edge pass that counts E_k for every k at once
+    (a len(ks)-column boolean reduction per batch — no per-k rescans).
+    -> DataFrame(k, n_nodes, n_edges, rich_club); NaN where N_k < 2."""
+    from bluegraph_ray.stages.degree import degree_centrality
+
+    ks = sorted(int(k) for k in ks)
+    deg = degree_centrality(edges, src=src, dst=dst).to_pandas()
+    dmap = pd.Series(deg.set_index("node")["degree"])
+    ref = ray.put(dmap)
+    n_k = np.array([(dmap > k).sum() for k in ks], dtype=np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(ref)
+        du = dm.reindex(batch[src].to_numpy()).to_numpy(dtype=np.int64)
+        dv = dm.reindex(batch[dst].to_numpy()).to_numpy(dtype=np.int64)
+        both_min = np.minimum(du, dv)
+        return pd.DataFrame(
+            {f"e{k}": [int((both_min > k).sum())] for k in ks})
+
+    t = edges.select_columns([src, dst]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas().sum()
+    e_k = np.array([int(t[f"e{k}"]) for k in ks], dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(n_k >= 2,
+                       2.0 * e_k / np.maximum(n_k * (n_k - 1), 1), np.nan)
+    return pd.DataFrame({"k": ks, "n_nodes": n_k, "n_edges": e_k,
+                         "rich_club": phi})
+
+
 def _edge_stats(edges, partition: dict, *, src, dst, weight) -> dict:
     """One pass over the edge Dataset: total weight, intra-community weight,
     intra/inter edge counts. Partition broadcast via ray.put."""

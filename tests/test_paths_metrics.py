@@ -161,6 +161,17 @@ def test_degree_assortativity_matches_nx():
     assert got2 == pytest.approx(nx.degree_assortativity_coefficient(g2), abs=1e-9)
 
 
+def test_rich_club_matches_nx():
+    df, g = karate_df()
+    out = metrics.rich_club_coefficient(ray.data.from_pandas(df),
+                                        ks=[1, 2, 3, 5, 8])
+    want = nx.rich_club_coefficient(g, normalized=False)
+    got = dict(zip(out["k"], out["rich_club"]))
+    for k in (1, 2, 3, 5, 8):
+        if k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
 def test_modularity_coverage_performance_vs_nx():
     df, g = karate_df()
     # ground-truth 2-way split by club attribute
