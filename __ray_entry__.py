@@ -252,6 +252,20 @@ def q_part_triangles(sf_dir: str):
     return triangle_counts(_canon_freq2(sf_dir), canonical=True)
 
 
+def q_ktruss_parts(sf_dir: str):
+    """3-truss of the freq>=2 co-occurrence graph — iterative per-edge
+    triangle-support peeling (stages/triangles.k_truss; each round is the
+    wedge-closure pipeline with per-edge emission). Confluent fixpoint,
+    replayed by 10 unrolled support-recount rounds."""
+    from bluegraph_ray.stages.triangles import k_truss
+
+    canon = _canon_freq2(sf_dir)
+    e = canon.map_batches(
+        lambda b: b.rename(columns={"u": "src", "v": "dst"}),
+        batch_format="pandas", batch_size=None)
+    return k_truss(e, 3)
+
+
 def q_clustering_parts(sf_dir: str):
     """Per-vertex local clustering coefficient on the frequency>=2
     co-occurrence graph (nx.clustering semantics; zero-triangle vertices
@@ -1287,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred_parts": q_link_pred_parts,
         "kcore_parts": q_kcore_parts,
         "mis_parts": q_mis_parts,
+        "ktruss_parts": q_ktruss_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
         "diameter_parts": q_diameter_parts,
@@ -1434,6 +1449,22 @@ s{i + 1} AS MATERIALIZED (
   GROUP BY 1 HAVING COUNT(*) >= 3)"""
     for i in range(16)
 )
+
+# k-truss peel rounds, unrolled: every edge must close >= k-2 triangles
+# WITHIN the surviving edge set; support recomputed per round (monotone
+# under removal -> confluent fixpoint, extra rounds are no-ops)
+_KTRUSS_STEPS = "".join(
+    f""",
+ka{i} AS MATERIALIZED (
+  SELECT u, v FROM ke{i} UNION ALL SELECT v, u FROM ke{i}),
+ke{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ke{i} e
+  JOIN ka{i} x ON x.u = e.u
+  JOIN ka{i} y ON y.u = e.v AND y.v = x.v
+  GROUP BY 1, 2 HAVING COUNT(*) >= 1)"""
+    for i in range(10)
+)
+
 
 # greedy-by-hash-priority MIS rounds, unrolled: a vertex joins when no
 # undecided neighbour has a smaller priority (the engine's closed-
@@ -2299,6 +2330,14 @@ SELECT u, v, cn,
 FROM cand
 ORDER BY adamic_adar DESC, u, v
 LIMIT 100
+""",
+        # 3-truss: 10 unrolled peel rounds, support = common-neighbour count
+        # within the surviving set
+        "ktruss_parts": f"""
+WITH {_EDGES_FREQ},
+ke0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges WHERE frequency >= 2){_KTRUSS_STEPS}
+SELECT u, v FROM ke10
 """,
         # MIS: 10 unrolled greedy-priority rounds (fixpoint after 6 at
         # sf0.01; the greedy-by-priority result is confluent so extra

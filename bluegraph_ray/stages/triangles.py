@@ -62,10 +62,16 @@ def triangle_counts(
     dst: str = "dst",
     num_buckets: int = 32,
     canonical: bool = False,
+    per_edge: bool = False,
 ) -> "ray.data.Dataset":
     """Undirected edge table -> Dataset(node, triangles). Exact. Pass
     ``canonical=True`` when the input is already the simple (u < v, deduped)
-    edge set under columns (u, v) to skip the dedup shuffle."""
+    edge set under columns (u, v) to skip the dedup shuffle.
+
+    ``per_edge=True`` returns Dataset(u, v, support) instead — each edge's
+    triangle count (its truss support): every closed wedge (a; b, c) is one
+    triangle whose three edges (a,b), (a,c), (b,c) each gain one count. Same
+    two-shuffle pipeline; only the closure emission differs."""
     canon_edges = (edges if canonical
                    else _canonical_edges(edges, src, dst, num_buckets))
 
@@ -149,7 +155,9 @@ def triangle_counts(
     def close_bucket(group: pd.DataFrame) -> pd.DataFrame:
         """Per code-hash bucket: sorted-edge-code membership test for the
         bucket's wedges; every closed wedge contributes one count to each of
-        its three corners (apex, code//n, code%n)."""
+        its three corners (apex, code//n, code%n) — or, per_edge, to each of
+        its three edges' pair codes (ranks satisfy apex < b < c, so all
+        three codes are canonically ordered)."""
         apex = group["apex"].to_numpy()
         code = group["code"].to_numpy()
         is_edge = apex < 0
@@ -165,8 +173,14 @@ def triangle_counts(
             return pd.DataFrame({"vrank": np.array([], dtype=np.int64),
                                  "partial": np.array([], dtype=np.int64)})
         closed = wcode[ok]
-        corners = np.concatenate([wapex[ok], closed // n, closed % n])
-        uniq, cnt = np.unique(corners, return_counts=True)
+        if per_edge:
+            b = closed // n
+            c = closed % n
+            a = wapex[ok]
+            keys = np.concatenate([a * n + b, a * n + c, closed])
+        else:
+            keys = np.concatenate([wapex[ok], closed // n, closed % n])
+        uniq, cnt = np.unique(keys, return_counts=True)
         return pd.DataFrame({"vrank": uniq, "partial": cnt.astype(np.int64)})
 
     counts = (
@@ -183,7 +197,60 @@ def triangle_counts(
             {"node": inv.reindex(batch["vrank"]).to_numpy(), "triangles": batch["triangles"]}
         )
 
-    return counts.map_batches(back_to_names, batch_format="pandas", batch_size=None)
+    def edges_to_names(batch: pd.DataFrame) -> pd.DataFrame:
+        inv = ray.get(inv_rank_ref)
+        code = batch["vrank"].to_numpy()
+        a = inv.reindex(code // n).to_numpy()
+        b = inv.reindex(code % n).to_numpy()
+        # rank-ordered pair back to name-ordered (u < v) canonical form
+        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b),
+                             "support": batch["triangles"].to_numpy()})
+
+    return counts.map_batches(edges_to_names if per_edge else back_to_names,
+                              batch_format="pandas", batch_size=None)
+
+
+def k_truss(
+    edges: "ray.data.Dataset",
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+    max_rounds: int = 10_000,
+) -> "ray.data.Dataset":
+    """nx.k_truss semantics: the maximal subgraph whose every edge sits in
+    at least k−2 triangles OF THAT SUBGRAPH. Iterative edge peeling — each
+    round is one per-edge triangle-support pass (the same two-shuffle wedge
+    pipeline as triangle_counts, per_edge=True) followed by a streaming
+    filter; support is monotone under edge removal, so the fixpoint is
+    confluent (round count only affects wall time, not the answer — which
+    is what the unrolled-CTE oracle relies on). Converges when a round
+    removes nothing; rounds are O(peel depth), each O(wedges/P) per task.
+
+    -> the surviving canonical edge set Dataset(u, v)."""
+    if k < 2:
+        raise ValueError("k-truss needs k >= 2")
+    current = _canonical_edges(edges, src, dst, num_buckets)
+    if k == 2:
+        # every edge has >= 0 triangles; the support pass only emits
+        # triangle-participating edges, so short-circuit the degenerate case
+        return current
+    n_edges = current.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        sup = triangle_counts(current, canonical=True,
+                              num_buckets=num_buckets, per_edge=True)
+        survivors = sup.filter(expr=f"support >= {k - 2}")
+        keep = survivors.select_columns(["u", "v"]).materialize()
+        m = keep.count()
+        if m == n_edges:
+            break
+        current, n_edges = keep, m
+    else:
+        raise RuntimeError("k_truss failed to converge within max_rounds")
+    return current
 
 
 def clustering_coefficient(

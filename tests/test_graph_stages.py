@@ -512,6 +512,34 @@ def test_kcore_and_core_number_match_nx(karate_handle, tmp_path):
     assert dict(zip(h3.names, cn3.values)) == nx.core_number(to_nx(rdf))
 
 
+def test_edge_support_and_k_truss_match_nx(karate_handle):
+    from bluegraph_ray.stages.triangles import k_truss
+
+    df, _ = karate_handle
+    g = to_nx(df)
+    # per-edge triangle support == common-neighbour counts
+    sup = triangle_counts(ray.data.from_pandas(df), per_edge=True).to_pandas()
+    got = {(r.u, r.v): r.support for r in sup.itertuples()}
+    for (u, v), s in got.items():
+        assert s == len(list(nx.common_neighbors(g, u, v)))
+    # every triangle-participating edge appears
+    want_edges = {tuple(sorted(e)) for e in g.edges
+                  if len(list(nx.common_neighbors(g, *e)))}
+    assert set(got) == want_edges
+
+    for k in (3, 4, 5):
+        out = k_truss(ray.data.from_pandas(df), k).to_pandas()
+        got_e = {tuple(sorted((r.u, r.v))) for r in out.itertuples()}
+        want_e = {tuple(sorted(e)) for e in nx.k_truss(g, k).edges}
+        assert got_e == want_e, k
+
+    rdf = random_graph(seed=51, n=60, p=0.15)
+    out = k_truss(ray.data.from_pandas(rdf), 4).to_pandas()
+    got_e = {tuple(sorted((r.u, r.v))) for r in out.itertuples()}
+    want_e = {tuple(sorted(e)) for e in nx.k_truss(to_nx(rdf), 4).edges}
+    assert got_e == want_e
+
+
 def test_clustering_coefficient_exact(karate_handle):
     from bluegraph_ray.stages.triangles import clustering_coefficient
 
