@@ -252,6 +252,17 @@ def q_part_triangles(sf_dir: str):
     return triangle_counts(_canon_freq2(sf_dir), canonical=True)
 
 
+def q_matching_parts(sf_dir: str):
+    """Maximal matching of the co-occurrence graph — greedy hash-priority
+    edge rounds (stages/matching.py). Deterministic: edge priority is a
+    pure function of the endpoint names, replayed by the oracle's unrolled
+    rounds."""
+    from bluegraph_ray.stages.matching import maximal_matching
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",))
+    return maximal_matching(edges)
+
+
 def q_ktruss_parts(sf_dir: str):
     """3-truss of the freq>=2 co-occurrence graph — iterative per-edge
     triangle-support peeling (stages/triangles.k_truss; each round is the
@@ -1302,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_parts": q_kcore_parts,
         "mis_parts": q_mis_parts,
         "ktruss_parts": q_ktruss_parts,
+        "matching_parts": q_matching_parts,
         "bfs_hops_parts": q_bfs_hops_parts,
         "sssp_parts": q_sssp_parts,
         "diameter_parts": q_diameter_parts,
@@ -1449,6 +1461,30 @@ s{i + 1} AS MATERIALIZED (
   GROUP BY 1 HAVING COUNT(*) >= 3)"""
     for i in range(16)
 )
+
+# maximal-matching rounds, unrolled: an edge wins when its priority is the
+# min at BOTH endpoints among undecided edges; winners' endpoints retire
+# every incident edge. Priority = ((u·C1 xor v·C3)·C4) mod 2^64 — the walk
+# hash with step=0, i.e. _walk_hash(u, 0, v).
+def _matching_steps(rounds: int) -> str:
+    out = []
+    for i in range(1, rounds + 1):
+        out.append(f""",
+vm{i} AS MATERIALIZED (SELECT node, MIN(h) AS mn FROM (
+  SELECT u AS node, h FROM und{i - 1}
+  UNION ALL SELECT v, h FROM und{i - 1}) GROUP BY 1),
+mm{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM und{i - 1} e
+  JOIN vm{i} a ON a.node = e.u AND a.mn = e.h
+  JOIN vm{i} b ON b.node = e.v AND b.mn = e.h),
+tv{i} AS MATERIALIZED (
+  SELECT u AS node FROM mm{i} UNION SELECT v FROM mm{i}),
+und{i} AS MATERIALIZED (
+  SELECT e.* FROM und{i - 1} e
+  WHERE e.u NOT IN (SELECT node FROM tv{i})
+    AND e.v NOT IN (SELECT node FROM tv{i}))""")
+    return "".join(out)
+
 
 # k-truss peel rounds, unrolled: every edge must close >= k-2 triangles
 # WITHIN the surviving edge set; support recomputed per round (monotone
@@ -2330,6 +2366,20 @@ SELECT u, v, cn,
 FROM cand
 ORDER BY adamic_adar DESC, u, v
 LIMIT 100
+""",
+        # maximal matching: 12 unrolled greedy-priority rounds
+        "matching_parts": f"""
+WITH {_EDGES_FREQ},
+und0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v, {_walk_hash('src', '0', 'dst')} AS h
+  FROM edges){_matching_steps(12)}
+SELECT u, v FROM (
+  SELECT u, v FROM mm1 UNION ALL SELECT u, v FROM mm2
+  UNION ALL SELECT u, v FROM mm3 UNION ALL SELECT u, v FROM mm4
+  UNION ALL SELECT u, v FROM mm5 UNION ALL SELECT u, v FROM mm6
+  UNION ALL SELECT u, v FROM mm7 UNION ALL SELECT u, v FROM mm8
+  UNION ALL SELECT u, v FROM mm9 UNION ALL SELECT u, v FROM mm10
+  UNION ALL SELECT u, v FROM mm11 UNION ALL SELECT u, v FROM mm12)
 """,
         # 3-truss: 10 unrolled peel rounds, support = common-neighbour count
         # within the surviving set

@@ -241,6 +241,40 @@ def test_contract_graph_and_ego_network(karate_handle):
         assert got_edges == want_edges
 
 
+def test_maximal_matching(karate_handle):
+    from bluegraph_ray.stages.matching import maximal_matching
+
+    df, _ = karate_handle
+    g = to_nx(df)
+    out = maximal_matching(ray.data.from_pandas(df))
+    pairs = [(r.u, r.v) for r in out.itertuples()]
+    used: set = set()
+    for u, v in pairs:
+        assert g.has_edge(u, v)
+        assert u not in used and v not in used  # a valid matching
+        used.update((u, v))
+    # maximality: every edge touches a matched vertex
+    for u, v in g.edges:
+        assert u in used or v in used
+
+    # deterministic across block layouts
+    out2 = maximal_matching(ray.data.from_pandas(df).repartition(7))
+    assert sorted(pairs) == sorted((r.u, r.v) for r in out2.itertuples())
+
+    # integer-named graph (the oracle's hash domain)
+    idf = pd.DataFrame([(i, (i * 3 + 1) % 40) for i in range(40)],
+                       columns=["src", "dst"])
+    idf = idf[idf.src != idf.dst]
+    g2 = nx.from_pandas_edgelist(idf, "src", "dst")
+    m2 = maximal_matching(ray.data.from_pandas(idf))
+    used2: set = set()
+    for r in m2.itertuples():
+        assert g2.has_edge(r.u, r.v) and r.u not in used2 and r.v not in used2
+        used2.update((r.u, r.v))
+    for u, v in g2.edges:
+        assert u in used2 or v in used2
+
+
 def test_maximal_independent_set(karate_handle, tmp_path):
     from bluegraph_ray.stages.mis import maximal_independent_set
 
