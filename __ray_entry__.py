@@ -1533,6 +1533,47 @@ m{k + 1} AS (
 )
 
 
+# Borůvka rounds, unrolled: with the strict total edge order (distance asc
+# ≡ frequency DESC, src, dst → unique ROW_NUMBER ranks) the minimum
+# spanning forest is unique, so replaying synchronous Borůvka in SQL
+# reproduces the engine's distributed rounds (stages/paths.py
+# minimum_spanning_tree) edge-for-edge regardless of round structure.
+# Per round: inter-component edges under current labels, per-component
+# min-rank edge (each is the min edge over that component's cut → in the
+# unique MSF), then component contraction by pointer jumping over the
+# chosen-edge functional graph (only 2-cycles can occur with distinct
+# ranks; the smaller label of a mutual pair becomes the root).
+def _boruvka_steps(rounds: int) -> str:
+    out = []
+    for i in range(1, rounds + 1):
+        jumps = max(1, rounds - i)  # round i starts with <= V/2^(i-1) comps
+        out.append(f""",
+ie{i} AS MATERIALIZED (
+  SELECT e.r, e.src AS u, e.dst AS v, lu.l AS cu, lv.l AS cv
+  FROM f2 e JOIN lab{i - 1} lu ON lu.v = e.src
+  JOIN lab{i - 1} lv ON lv.v = e.dst
+  WHERE lu.l <> lv.l),
+mn{i} AS MATERIALIZED (
+  SELECT c, MIN(r) AS mr FROM (
+    SELECT cu AS c, r FROM ie{i}
+    UNION ALL SELECT cv, r FROM ie{i}) GROUP BY 1),
+ch{i} AS MATERIALIZED (
+  SELECT m.c, CASE WHEN i.cu = m.c THEN i.cv ELSE i.cu END AS oth, i.u, i.v
+  FROM mn{i} m JOIN ie{i} i ON i.r = m.mr),
+p{i}_0 AS MATERIALIZED (
+  SELECT a.c, CASE WHEN b.oth = a.c AND a.c < a.oth THEN a.c ELSE a.oth END AS p
+  FROM ch{i} a JOIN ch{i} b ON b.c = a.oth)""")
+        for k in range(1, jumps + 1):
+            out.append(f""",
+p{i}_{k} AS MATERIALIZED (
+  SELECT a.c, b.p FROM p{i}_{k - 1} a JOIN p{i}_{k - 1} b ON b.c = a.p)""")
+        out.append(f""",
+lab{i} AS MATERIALIZED (
+  SELECT l0.v, COALESCE(p.p, l0.l) AS l
+  FROM lab{i - 1} l0 LEFT JOIN p{i}_{jumps} p ON p.c = l0.l)""")
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
     # MinHash permutation constants — same generator/seed as dedup.MinHasher
     # (seed=7, num_perm=64); inlined as literals so DuckDB replays the exact
@@ -2330,6 +2371,23 @@ m0 AS (
     FROM (SELECT src AS x FROM f3 UNION SELECT dst FROM f3)){_MM_STEPS}
 SELECT f.src, f.dst, f.frequency
 FROM f3 f JOIN m7 mm ON mm.u = f.src AND mm.v = f.dst AND mm.mr = f.r
+""",
+        # full-graph MSF: 12 unrolled Borůvka rounds (see _boruvka_steps) —
+        # unique under the (1/frequency, src, dst) total order, so it equals
+        # the engine's distributed Borůvka output exactly
+        "mst_parts": f"""
+WITH {_EDGES_FREQ},
+f2 AS MATERIALIZED (
+  SELECT src, dst, frequency,
+         ROW_NUMBER() OVER (ORDER BY frequency DESC, src, dst) AS r
+  FROM edges WHERE frequency >= 2),
+lab0 AS MATERIALIZED (
+  SELECT v, v AS l FROM (SELECT src AS v FROM f2 UNION SELECT dst FROM f2))
+{_boruvka_steps(12)}
+SELECT c.u AS src, c.v AS dst, f.frequency
+FROM (SELECT DISTINCT u, v FROM (
+  {" UNION ALL ".join(f"SELECT u, v FROM ch{i}" for i in range(1, 13))})) c
+JOIN f2 f ON f.src = c.u AND f.dst = c.v
 """,
         # Adamic-Adar / Jaccard / preferential attachment over wedge pairs:
         # arcs self-joined on the shared center (= the engine's per-center
