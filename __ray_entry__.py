@@ -510,6 +510,32 @@ def q_doc_split(sf_dir: str):
     return hash_split(docs, train_pct=80)
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video-shaped multimodal plumbing over opaque binary payloads
+    (pipelines/multimodal.py; the codec itself is stubbed — the reference has
+    no multimodal surface). ASCII document bytes stand in for codec output;
+    FrameSample is an actor-pool flat-map (frame_bytes=64, stride=2) and the
+    per-frame sha256 digest is the row invariant. Oracle replays the byte
+    slices with character substr + sha256 (documents.text is pure ASCII in
+    the fixtures, so byte slices == char slices)."""
+    from bluegraph_ray.pipelines import multimodal
+
+    payloads = multimodal.payloads_from_text(_docs(sf_dir))
+    frames = multimodal.sample_frames(payloads, frame_bytes=64, stride=2)
+    return multimodal.frame_digests(frames)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Byte-histogram feature extraction (FeatureExtractStub, dim=16 — the
+    deterministic stand-in for a model forward pass) exploded to scalar
+    (item_id, bin, weight) rows; L2 normalization replayed by the oracle
+    with a window aggregate over per-byte ord() counts."""
+    from bluegraph_ray.pipelines import multimodal
+
+    payloads = multimodal.payloads_from_text(_docs(sf_dir))
+    return multimodal.feature_rows(payloads, dim=16)
+
+
 def q_ngram_jaccard(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import ngram_jaccard_pairs
 
@@ -1288,6 +1314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "doc_subwords": q_doc_subwords,
         "doc_split": q_doc_split,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
@@ -2062,6 +2090,34 @@ SELECT doc_id,
   CASE WHEN ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
             % 100 < 80 THEN 'train' ELSE 'test' END AS split
 FROM documents
+""",
+        # every stride=2-nd full 64-byte frame; ASCII text -> substr slices
+        # are byte-exact, sha256(VARCHAR) hashes the same UTF-8 bytes the
+        # engine's FrameDigest hashes
+        "multimodal_frames": """
+SELECT d.doc_id AS item_id, t.j AS frame_idx,
+       sha256(substr(d.text, CAST(t.j AS INT) * 64 + 1, 64)) AS frame_sha
+FROM documents d,
+     UNNEST(generate_series(0, CAST(length(d.text) // 64 AS INT) - 1, 2)) AS t(j)
+""",
+        # byte histogram mod 16 (ord == byte value on ASCII), dense 16-bin
+        # grid with zero backfill, L2 window normalization
+        "multimodal_features": """
+WITH ch AS (
+  SELECT d.doc_id, ord(substr(d.text, CAST(t.j AS INT), 1)) % 16 AS bin
+  FROM documents d, UNNEST(generate_series(1, length(d.text))) AS t(j)
+),
+cnt AS (SELECT doc_id, bin, CAST(COUNT(*) AS DOUBLE) AS c FROM ch GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, b.bin
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       UNNEST(generate_series(0, 15)) AS b(bin)),
+dense AS (
+  SELECT g.doc_id, g.bin, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin)
+SELECT doc_id AS item_id, bin,
+  round_even(c / GREATEST(sqrt(SUM(c * c) OVER (PARTITION BY doc_id)), 1e-12), 9) AS weight
+FROM dense
 """,
         "ngram_jaccard": """
 WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),

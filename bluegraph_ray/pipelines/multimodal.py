@@ -201,3 +201,65 @@ def sample_frames(ds: "ray.data.Dataset", *, frame_bytes: int = 256,
         fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+def payloads_from_text(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       batch_size: int = 256) -> "ray.data.Dataset":
+    """Opaque-binary adapter: the UTF-8 bytes of a text column become the
+    ``payload`` binary column (stands in for image/audio bytes read from a
+    real shard — same schema contract the decode/frame stages consume)."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table({
+            "item_id": batch.column(id_col).cast(pa.int64()),
+            "payload": pa.array([t.encode() for t in texts], pa.binary()),
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=batch_size)
+
+
+def frame_digests(frames: "ray.data.Dataset",
+                  batch_size: int = 1024) -> "ray.data.Dataset":
+    """(item_id, frame_idx, frame) -> (item_id, frame_idx, frame_sha).
+
+    sha256 on purpose (not blake2/xxhash): the per-frame digest is the
+    row-content invariant carried through the video path, and sha256 is what
+    SQL oracles can recompute (__ray_entry__.oracle_sql()["multimodal_frames"]
+    replays ASCII byte slices with substr + sha256)."""
+
+    def dig(batch: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(bytes(f)).hexdigest()
+                for f in batch.column("frame").to_pylist()]
+        return pa.table({
+            "item_id": batch.column("item_id").cast(pa.int64()),
+            "frame_idx": batch.column("frame_idx").cast(pa.int64()),
+            "frame_sha": pa.array(shas),
+        })
+
+    return frames.map_batches(dig, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
+def feature_rows(ds: "ray.data.Dataset", *, dim: int = 16,
+                 concurrency=(1, 4), batch_size: int = 64) -> "ray.data.Dataset":
+    """Payloads -> exploded (item_id, bin, weight) rows of the byte-histogram
+    feature vector — the dense list<float> unnested so every cell is a
+    value-verifiable scalar (list columns don't hash stably across engines)."""
+    feats = extract_features(ds, dim=dim, concurrency=concurrency,
+                             batch_size=batch_size)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy()
+        fl = batch.column("feature").to_pylist()
+        n = len(ids)
+        w = np.concatenate(fl) if n else np.array([], dtype=np.float64)
+        return pa.table({
+            "item_id": pa.array(np.repeat(ids, dim), pa.int64()),
+            "bin": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "weight": pa.array(np.round(w, 9), pa.float64()),
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow",
+                             batch_size=batch_size)

@@ -264,6 +264,36 @@ def test_multimodal_plumbing():
         ).materialize()
 
 
+def test_multimodal_text_payload_frames_and_features():
+    """payloads_from_text -> FrameSample -> sha256 digests, and the exploded
+    byte-histogram feature rows, vs a local numpy recomputation."""
+    import hashlib
+
+    texts = ["".join(chr(65 + (i * 7 + j) % 26) for j in range(30 + 17 * i))
+             for i in range(6)]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(6), "text": texts}))
+    payloads = multimodal.payloads_from_text(ds)
+
+    frames = multimodal.frame_digests(
+        multimodal.sample_frames(payloads, frame_bytes=16, stride=2)).to_pandas()
+    want = []
+    for i, t in enumerate(texts):
+        b = t.encode()
+        for j in range(0, len(b) // 16, 2):
+            want.append((i, j, hashlib.sha256(b[j * 16:(j + 1) * 16]).hexdigest()))
+    got = sorted(map(tuple, frames[["item_id", "frame_idx", "frame_sha"]].to_numpy()))
+    assert got == sorted(want)
+
+    rows = multimodal.feature_rows(payloads, dim=8).to_pandas()
+    assert len(rows) == 6 * 8
+    for i, t in enumerate(texts):
+        arr = np.frombuffer(t.encode(), dtype=np.uint8)
+        hist = np.bincount(arr % 8, minlength=8).astype(np.float64)
+        hist /= max(np.linalg.norm(hist), 1e-12)
+        sub = rows[rows.item_id == i].sort_values("bin")["weight"].to_numpy()
+        assert np.allclose(sub, np.round(hist, 9))
+
+
 def test_simhash_and_minhash_match_duckdb_oracle():
     """The sha256-prefix hashing was chosen so DuckDB can replicate the exact
     sketches — engine vs oracle_sql() on the sf0.001 documents table."""
