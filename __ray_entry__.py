@@ -17,6 +17,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -523,6 +524,30 @@ def q_multimodal_frames(sf_dir: str):
     payloads = multimodal.payloads_from_text(_docs(sf_dir))
     frames = multimodal.sample_frames(payloads, frame_bytes=64, stride=2)
     return multimodal.frame_digests(frames)
+
+
+def q_multimodal_resize(sf_dir: str):
+    """decode -> resize image path over opaque payloads: fake_decode_pixels
+    tiles payload bytes onto a per-item (width, height) grid (the codec
+    stand-in), ImageResize is the REAL vectorized nearest-neighbor index
+    remap, and pixel_checksums emits the scalar invariants. The oracle
+    recomputes every resized pixel as ord(text[((y*h//24)*w + x*w//24) mod
+    len]) and aggregates the same checksum."""
+    from bluegraph_ray.pipelines import multimodal
+
+    payloads = multimodal.payloads_from_text(_docs(sf_dir))
+
+    def add_dims(batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy()
+        batch = batch.append_column(
+            "width", pa.array((16 + ids % 17).astype(np.int32), pa.int32()))
+        return batch.append_column(
+            "height", pa.array((16 + ids % 13).astype(np.int32), pa.int32()))
+
+    dims = payloads.map_batches(add_dims, batch_format="pyarrow")
+    pixels = multimodal.fake_decode_pixels(dims)
+    resized = multimodal.resize_images(pixels, out_w=24, out_h=24)
+    return multimodal.pixel_checksums(resized)
 
 
 def q_multimodal_features(sf_dir: str):
@@ -1315,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_subwords": q_doc_subwords,
         "doc_split": q_doc_split,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
@@ -2099,6 +2125,27 @@ SELECT d.doc_id AS item_id, t.j AS frame_idx,
        sha256(substr(d.text, CAST(t.j AS INT) * 64 + 1, 64)) AS frame_sha
 FROM documents d,
      UNNEST(generate_series(0, CAST(length(d.text) // 64 AS INT) - 1, 2)) AS t(j)
+""",
+        # decode->resize replay: fake decode tiles bytes onto the (w, h)
+        # grid, nearest-neighbor resize picks source pixel (y*h//24, x*w//24)
+        # -> resized pixel = ord(text[((y*h//24)*w + x*w//24) mod len]);
+        # checksum per item. Integer div/mod exactly as numpy's.
+        "multimodal_resize": """
+WITH dims AS (
+  SELECT doc_id, text, length(text) AS len,
+         16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id,
+    ord(substr(d.text,
+      CAST((((a.y * d.h // 24) * d.w + (b.x * d.w // 24)) % d.len) AS INT) + 1,
+      1)) AS v
+  FROM dims d,
+       UNNEST(generate_series(0, 23)) AS a(y),
+       UNNEST(generate_series(0, 23)) AS b(x))
+SELECT doc_id AS item_id, CAST(SUM(v) AS BIGINT) AS px_sum,
+       COUNT(*) AS n_px
+FROM px GROUP BY 1
 """,
         # byte histogram mod 16 (ord == byte value on ASCII), dense 16-bin
         # grid with zero backfill, L2 window normalization

@@ -242,6 +242,29 @@ def frame_digests(frames: "ray.data.Dataset",
                               batch_size=batch_size)
 
 
+def pixel_checksums(ds: "ray.data.Dataset",
+                    batch_size: int = 64) -> "ray.data.Dataset":
+    """(item_id, pixels, ...) -> (item_id, px_sum, n_px): the scalar
+    invariants of a pixel grid. Used to value-verify the decode->resize path
+    end-to-end (the oracle recomputes each resized pixel by index arithmetic
+    on the payload bytes — __ray_entry__.oracle_sql()["multimodal_resize"])."""
+
+    def chk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy()
+        sums, counts = [], []
+        for p in batch.column("pixels").to_pylist():
+            a = np.asarray(p, dtype=np.int64)
+            sums.append(int(a.sum()))
+            counts.append(len(a))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+            "n_px": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(chk, batch_format="pyarrow", batch_size=batch_size)
+
+
 def feature_rows(ds: "ray.data.Dataset", *, dim: int = 16,
                  concurrency=(1, 4), batch_size: int = 64) -> "ray.data.Dataset":
     """Payloads -> exploded (item_id, bin, weight) rows of the byte-histogram

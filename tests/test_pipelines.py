@@ -514,6 +514,11 @@ def test_multimodal_resize_and_frame_sample():
     got = np.asarray(rs.set_index("item_id").loc[0, "pixels"], dtype=np.uint8)
     assert (got == want).all()
 
+    chk = multimodal.pixel_checksums(
+        multimodal.resize_images(dec, out_w=8, out_h=6)).to_pandas()
+    assert (chk["n_px"] == 48).all()
+    assert int(chk.set_index("item_id").loc[0, "px_sum"]) == int(want.sum())
+
     fr = multimodal.sample_frames(ds, frame_bytes=256, stride=4,
                                   concurrency=(1, 2)).to_pandas()
     n0 = len(np.frombuffer(src["payload"], dtype=np.uint8)) // 256
