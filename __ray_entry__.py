@@ -561,6 +561,47 @@ def q_multimodal_features(sf_dir: str):
     return multimodal.feature_rows(payloads, dim=16)
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio-shaped path: payload bytes as u8 PCM samples (codec stubbed),
+    per-32-sample-window RMS energy around the midpoint — an actor-pool
+    flat-map with a real vectorized kernel (pipelines/multimodal.py
+    AudioFrameEnergy). Oracle replays each sample via ord(substr(...)) and
+    aggregates sqrt(avg((v-128)^2)) per window."""
+    from bluegraph_ray.pipelines import multimodal
+
+    payloads = multimodal.payloads_from_text(_docs(sf_dir))
+    return multimodal.audio_frame_energy(payloads, win=32)
+
+
+def q_tfidf_docs(sf_dir: str):
+    """scikit-style tf-idf encoder (pipelines/encoders.TfIdfEncoder — the
+    reference's text encoder, /root/reference/bluegraph/preprocess/utils.py:80-99
+    and encoders.py:524-534: TfidfVectorizer sublinear_tf, max_features=128).
+    Fit = distributed document-frequency aggregate + driver-side top-128
+    vocab; transform = broadcast vocab in a stateless map. Dense vectors
+    exploded to nonzero (doc_id, token, weight) rows for value verification
+    (list columns don't hash stably across engines)."""
+    from bluegraph_ray.pipelines.encoders import TfIdfEncoder
+
+    docs = _docs(sf_dir)
+    enc = TfIdfEncoder("text", max_features=128).fit(docs)
+    out = enc.transform(docs)
+    toks = np.array(sorted(enc.vocab_, key=enc.vocab_.get))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray(batch["text_tfidf"].tolist(), dtype=np.float64)
+        if not len(mat):
+            return pd.DataFrame({"doc_id": [], "token": [], "weight": []})
+        rows, cols = np.nonzero(mat)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[rows],
+            "token": toks[cols],
+            "weight": np.round(mat[rows, cols], 9),
+        })
+
+    return out.map_batches(explode, batch_format="pandas", batch_size=None)
+
+
 def q_ngram_jaccard(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import ngram_jaccard_pairs
 
@@ -1342,6 +1383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
+        "tfidf_docs": q_tfidf_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
@@ -2146,6 +2189,36 @@ px AS (
 SELECT doc_id AS item_id, CAST(SUM(v) AS BIGINT) AS px_sum,
        COUNT(*) AS n_px
 FROM px GROUP BY 1
+""",
+        # u8-PCM window RMS: every full 32-sample window, energy around the
+        # 128 midpoint; per-sample replay via ord(substr)
+        "multimodal_audio": """
+WITH samp AS (
+  SELECT d.doc_id, t.j AS win_idx,
+         ord(substr(d.text, CAST(t.j * 32 + s.k AS INT), 1)) - 128.0 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, CAST(length(d.text) // 32 AS INT) - 1)) AS t(j),
+       UNNEST(generate_series(1, 32)) AS s(k))
+SELECT doc_id AS item_id, win_idx, round_even(sqrt(AVG(v * v)), 9) AS rms
+FROM samp GROUP BY 1, 2
+""",
+        # tf-idf: df counts + top-128 (df DESC, token) vocab, sublinear tf,
+        # smoothed idf ln((1+n)/(1+df))+1, L2 row normalization
+        "tfidf_docs": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z][a-z0-9_]+')) AS token
+  FROM documents),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+vocab AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 128),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+w AS (
+  SELECT t.doc_id, t.token,
+         (1.0 + ln(t.tf)) * (ln((1.0 + n.n) / (1.0 + v.df)) + 1.0) AS wt
+  FROM tf t JOIN vocab v USING (token), n)
+SELECT doc_id, token,
+  round_even(wt / GREATEST(sqrt(SUM(wt * wt) OVER (PARTITION BY doc_id)), 1e-12), 9) AS weight
+FROM w
 """,
         # byte histogram mod 16 (ord == byte value on ASCII), dense 16-bin
         # grid with zero backfill, L2 window normalization

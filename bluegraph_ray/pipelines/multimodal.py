@@ -242,6 +242,70 @@ def frame_digests(frames: "ray.data.Dataset",
                               batch_size=batch_size)
 
 
+class AudioFrameEnergy:
+    """Audio-shaped actor-pool stage: the payload byte stream is treated as
+    unsigned-8-bit PCM samples (the codec that would produce real samples is
+    stubbed, like ImageDecodeStub); per non-overlapping window of ``win``
+    samples emit the RMS energy around the u8 midpoint (128). Real vectorized
+    kernel; one input row -> n_windows output rows (flat-map shape). Full
+    windows only — the tail partial window is dropped, mirroring FrameSample."""
+
+    def __init__(self, win: int = 32):
+        self.win = int(win)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win = self.win
+        ids, idxs, rms = [], [], []
+        for item, p in zip(batch.column("item_id"), batch.column("payload")):
+            buf = np.frombuffer(p.as_py(), dtype=np.uint8)
+            n = len(buf) // win
+            if not n:
+                continue
+            x = buf[:n * win].astype(np.float64).reshape(n, win) - 128.0
+            e = np.sqrt(np.mean(x * x, axis=1))
+            ids.extend([item.as_py()] * n)
+            idxs.extend(range(n))
+            rms.extend(np.round(e, 9).tolist())
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "win_idx": pa.array(idxs, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+        })
+
+
+def audio_frame_energy(ds: "ray.data.Dataset", *, win: int = 32,
+                       concurrency=(1, 4),
+                       batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioFrameEnergy, batch_format="pyarrow",
+        fn_constructor_kwargs={"win": win},
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def resample_decimate(ds: "ray.data.Dataset", *, factor: int = 4,
+                      batch_size: int = 64) -> "ray.data.Dataset":
+    """Decimation resample of audio-shaped payloads: keep every ``factor``-th
+    sample. Emits (item_id, n_samples, sample_sum) — the scalar invariants of
+    the resampled stream (SQL-replayable by index arithmetic, like
+    pixel_checksums for the image path)."""
+
+    def dec(batch: pa.Table) -> pa.Table:
+        ids, counts, sums = [], [], []
+        for item, p in zip(batch.column("item_id"), batch.column("payload")):
+            buf = np.frombuffer(p.as_py(), dtype=np.uint8)[::factor]
+            ids.append(item.as_py())
+            counts.append(len(buf))
+            sums.append(int(buf.astype(np.int64).sum()))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(counts, pa.int64()),
+            "sample_sum": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(dec, batch_format="pyarrow", batch_size=batch_size)
+
+
 def pixel_checksums(ds: "ray.data.Dataset",
                     batch_size: int = 64) -> "ray.data.Dataset":
     """(item_id, pixels, ...) -> (item_id, px_sum, n_px): the scalar

@@ -284,6 +284,22 @@ def test_multimodal_text_payload_frames_and_features():
     got = sorted(map(tuple, frames[["item_id", "frame_idx", "frame_sha"]].to_numpy()))
     assert got == sorted(want)
 
+    energy = multimodal.audio_frame_energy(payloads, win=8).to_pandas()
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        nw = len(b) // 8
+        x = b[:nw * 8].astype(np.float64).reshape(nw, 8) - 128.0
+        want_rms = np.round(np.sqrt((x * x).mean(axis=1)), 9)
+        sub = energy[energy.item_id == i].sort_values("win_idx")
+        assert (sub["win_idx"].to_numpy() == np.arange(nw)).all()
+        assert np.allclose(sub["rms"].to_numpy(), want_rms)
+
+    dec = multimodal.resample_decimate(payloads, factor=3).to_pandas()
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode(), dtype=np.uint8)[::3]
+        row = dec[dec.item_id == i].iloc[0]
+        assert row["n_samples"] == len(b) and row["sample_sum"] == int(b.sum())
+
     rows = multimodal.feature_rows(payloads, dim=8).to_pandas()
     assert len(rows) == 6 * 8
     for i, t in enumerate(texts):
