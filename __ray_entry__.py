@@ -561,6 +561,16 @@ def q_multimodal_features(sf_dir: str):
     return multimodal.feature_rows(payloads, dim=16)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (pipelines/text.py
+    RepetitionStats): top-token / top-bigram / duplicated-bigram fractions
+    per document — the repetition family of training-data quality filters.
+    Pure per-row map, no shuffle."""
+    from bluegraph_ray.pipelines.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
 def q_multimodal_audio(sf_dir: str):
     """Audio-shaped path: payload bytes as u8 PCM samples (codec stubbed),
     per-32-sample-window RMS energy around the midpoint — an actor-pool
@@ -1385,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "tfidf_docs": q_tfidf_docs,
+        "doc_repetition": q_doc_repetition,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
@@ -2189,6 +2200,30 @@ px AS (
 SELECT doc_id AS item_id, CAST(SUM(v) AS BIGINT) AS px_sum,
        COUNT(*) AS n_px
 FROM px GROUP BY 1
+""",
+        # Gopher-style repetition signals: token/bigram top and duplicate
+        # fractions over the whitespace token list
+        "doc_repetition": """
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, GREATEST(LEN(t), 1) AS n FROM toks),
+tc AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(t) AS token FROM toks) GROUP BY 1, 2),
+ttop AS (SELECT doc_id, MAX(c) AS topc FROM tc GROUP BY 1),
+bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+    FROM toks, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS i))
+  GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, MAX(c) AS topb, SUM(c) AS nb,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+  FROM bc GROUP BY 1)
+SELECT b.doc_id,
+  round_even(t.topc / CAST(b.n AS DOUBLE), 9) AS top_token_frac,
+  round_even(COALESCE(s.topb / CAST(s.nb AS DOUBLE), 0), 9) AS top_bigram_frac,
+  round_even(COALESCE(s.dupb / CAST(s.nb AS DOUBLE), 0), 9) AS dup_bigram_frac
+FROM base b JOIN ttop t USING (doc_id) LEFT JOIN bstat s USING (doc_id)
 """,
         # u8-PCM window RMS: every full 32-sample window, energy around the
         # 128 midpoint; per-sample replay via ord(substr)

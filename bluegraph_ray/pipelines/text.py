@@ -87,6 +87,45 @@ def quality_scores(ds: "ray.data.Dataset", *, text_col: str = "text") -> "ray.da
     return ds.map_batches(QualityScore(text_col), batch_format="pandas", batch_size=None)
 
 
+class RepetitionStats:
+    """Gopher-style per-document repetition signals over whitespace tokens
+    (the repetition family of production quality filters — top-token
+    fraction, top-adjacent-bigram fraction, duplicated-bigram fraction).
+    Pure per-row math, no shuffle; SQL-replayable
+    (__ray_entry__.oracle_sql()["doc_repetition"])."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        top_tok, top_bg, dup_bg = [], [], []
+        for text in batch[self.text_col]:
+            toks = str(text).split(" ")
+            tc = Counter(toks)
+            top_tok.append(max(tc.values()) / max(len(toks), 1))
+            if len(toks) > 1:
+                bc = Counter(zip(toks, toks[1:]))
+                nb = len(toks) - 1
+                top_bg.append(max(bc.values()) / nb)
+                dup_bg.append(sum(c for c in bc.values() if c > 1) / nb)
+            else:
+                top_bg.append(0.0)
+                dup_bg.append(0.0)
+        out = batch[[c for c in batch.columns if c != self.text_col]].copy()
+        out["top_token_frac"] = np.round(top_tok, 9)
+        out["top_bigram_frac"] = np.round(top_bg, 9)
+        out["dup_bigram_frac"] = np.round(dup_bg, 9)
+        return out
+
+
+def repetition_stats(ds: "ray.data.Dataset", *,
+                     text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(RepetitionStats(text_col), batch_format="pandas",
+                          batch_size=None)
+
+
 class LangId:
     """Language-ID heuristic: CJK codepoint ratio, then stopword-marker votes,
     falling back to 'en'. Deterministic; an actor-pool stage (profiles built

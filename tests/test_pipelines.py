@@ -39,6 +39,33 @@ def test_quality_and_langid(docs_ds):
     assert len(lang) == len(q)
 
 
+def test_repetition_stats():
+    from collections import Counter
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b a", "x", "p q r p q p"],
+    })
+    out = (text.repetition_stats(ray.data.from_pandas(df))
+           .to_pandas().set_index("doc_id"))
+    assert "text" not in out.columns
+    for i, t in zip(df["doc_id"], df["text"]):
+        toks = t.split(" ")
+        tc = Counter(toks)
+        assert out.loc[i, "top_token_frac"] == pytest.approx(
+            max(tc.values()) / len(toks))
+        if len(toks) > 1:
+            bc = Counter(zip(toks, toks[1:]))
+            nb = len(toks) - 1
+            assert out.loc[i, "top_bigram_frac"] == pytest.approx(
+                max(bc.values()) / nb)
+            assert out.loc[i, "dup_bigram_frac"] == pytest.approx(
+                sum(c for c in bc.values() if c > 1) / nb)
+        else:
+            assert out.loc[i, "top_bigram_frac"] == 0.0
+            assert out.loc[i, "dup_bigram_frac"] == 0.0
+
+
 def test_fingerprints_deterministic(docs_ds):
     a = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
     b = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
