@@ -261,7 +261,8 @@ def q_matching_parts(sf_dir: str):
     from bluegraph_ray.stages.matching import maximal_matching
 
     edges = _cooc_edges(sf_dir, statistics=("frequency",))
-    return maximal_matching(edges)
+    # small-graph bucket count, same rationale as ktruss_parts
+    return maximal_matching(edges, num_buckets=4)
 
 
 def q_ktruss_parts(sf_dir: str):
@@ -275,7 +276,9 @@ def q_ktruss_parts(sf_dir: str):
     e = canon.map_batches(
         lambda b: b.rename(columns={"u": "src", "v": "dst"}),
         batch_format="pandas", batch_size=None)
-    return k_truss(e, 3)
+    # small-graph bucket count: every peel round pays num_buckets tasks per
+    # shuffle stage, so at sf-test scale 4 buckets beat the scale default 32
+    return k_truss(e, 3, num_buckets=4)
 
 
 def q_clustering_parts(sf_dir: str):
