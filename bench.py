@@ -417,6 +417,28 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     hll_distinct(docs, "doc_id")
     q["hll_distinct"] = round(time.perf_counter() - t0, 3)
 
+    # late round-3 additions: encoder / quality-signals / multimodal plumbing
+    from bluegraph_ray.pipelines import multimodal
+    from bluegraph_ray.pipelines.encoders import TfIdfEncoder
+    from bluegraph_ray.pipelines.text import repetition_stats
+
+    t0 = time.perf_counter()
+    enc = TfIdfEncoder("text", max_features=128).fit(docs)
+    enc.transform(docs).materialize()
+    q["tfidf"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    repetition_stats(docs).materialize()
+    q["repetition"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    payloads = multimodal.payloads_from_text(docs).materialize()
+    multimodal.frame_digests(
+        multimodal.sample_frames(payloads, frame_bytes=64, stride=2)).materialize()
+    multimodal.feature_rows(payloads, dim=16).materialize()
+    multimodal.audio_frame_energy(payloads, win=32).materialize()
+    q["multimodal"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "llm_suite_seconds",
         "value": round(sum(q.values()), 3),
