@@ -139,6 +139,29 @@ def q_hll_distinct_parts(sf_dir: str):
                          "exact_distinct": [exact]})
 
 
+def q_hll_by_priority(sf_dir: str):
+    """GROUPED HyperLogLog: per-o_orderpriority approximate distinct
+    customers (functions/sketches.hll_group_distinct — sparse (key, reg,
+    rho) max-combine, shuffle bounded by groups x 2^p independent of input
+    size), exact per-group distinct alongside via hash_distinct. Oracle
+    replays the per-group registers and estimator exactly."""
+    from bluegraph_ray.functions.sketches import hll_group_distinct
+    from bluegraph_ray.util import hash_aggregate, hash_distinct, tune_context
+
+    tune_context()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"])
+    est = hll_group_distinct(orders, "o_custkey", "o_orderpriority",
+                             num_buckets=8)
+    exact = hash_aggregate(
+        hash_distinct(orders, ["o_orderpriority", "o_custkey"],
+                      num_buckets=8),
+        "o_orderpriority", {"exact_distinct": ("o_custkey", "count")},
+        num_buckets=8,
+    ).to_pandas()
+    return est.merge(exact, on="o_orderpriority")
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed quantiles of l_extendedprice — value-histogram
     aggregation, no sort of the data (functions/quantiles.py). Rule: the
@@ -1381,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": q_rich_club,
         "degree_histogram": q_degree_histogram,
         "hll_distinct_parts": q_hll_distinct_parts,
+        "hll_by_priority": q_hll_by_priority,
         "cms_parts": q_cms_parts,
         "price_quantiles": q_price_quantiles,
         "pricing_summary": q_pricing_summary,
@@ -1926,6 +1950,38 @@ SELECT round_even(CASE WHEN raw_e <= 2.5 * 4096 AND zeros > 0
          THEN 4096.0 * ln(4096.0 / zeros) ELSE raw_e END, 6) AS hll_estimate,
        (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
 FROM raw
+""",
+        # grouped HLL: same registers/estimator with one extra GROUP BY key
+        "hll_by_priority": """
+WITH h AS (
+  SELECT o_orderpriority AS k,
+         ('0x' || substr(sha256(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT
+           AS h
+  FROM orders),
+rr AS (
+  SELECT k, CAST(h // 4503599627370496 AS BIGINT) AS reg,
+         h % 4503599627370496 AS w
+  FROM h),
+regs AS (
+  SELECT k, reg,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 52 - LENGTH(bin(w)) + 1 END) AS rho
+  FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT k, COUNT(*) AS nz, SUM(POWER(2.0, -rho)) AS s FROM regs GROUP BY 1),
+raw AS (
+  SELECT k, (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+              / (s + (4096 - nz)) AS raw_e,
+         4096 - nz AS zeros
+  FROM agg),
+ex AS (
+  SELECT o_orderpriority AS k, COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY 1)
+SELECT r.k AS o_orderpriority,
+  round_even(CASE WHEN raw_e <= 2.5 * 4096 AND zeros > 0
+    THEN 4096.0 * ln(4096.0 / zeros) ELSE raw_e END, 6) AS hll_estimate,
+  e.exact_distinct
+FROM raw r JOIN ex e ON e.k = r.k
 """,
         # exact discrete quantiles: smallest value with cum count >= ceil(qN)
         "price_quantiles": """

@@ -96,6 +96,42 @@ def hll_distinct(ds: "ray.data.Dataset", column: str, *, p: int = 12,
                                       num_buckets=num_buckets))
 
 
+def hll_group_distinct(ds: "ray.data.Dataset", column: str, key: str, *,
+                       p: int = 12, num_buckets: int = 16) -> pd.DataFrame:
+    """Per-key approximate COUNT(DISTINCT column): the GROUPED-sketch shape.
+
+    Sparse (key, reg, rho) partials with max-combine — the shuffle moves at
+    most groups x 2^p rows regardless of input size, and the driver holds
+    O(groups x 2^p) to run the estimator. The contract is low key
+    cardinality x huge value cardinality (per-language distinct documents,
+    per-tenant distinct users); high-cardinality keys should flip to exact
+    hash_distinct instead. Same register/rho/estimator math as
+    hll_registers, so the oracle replay extends with one GROUP BY key."""
+    m = 1 << p
+    low_bits = np.uint64(64 - p)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _sha_u64(batch[column].to_numpy())
+        reg = (h >> low_bits).astype(np.int64)
+        w = h & ((np.uint64(1) << low_bits) - np.uint64(1))
+        rho = (64 - p) - _bit_length_u64(w) + 1
+        out = pd.DataFrame({"k": batch[key].to_numpy(), "reg": reg,
+                            "rho": rho})
+        return out.groupby(["k", "reg"], sort=False).max().reset_index()
+
+    sparse = hash_aggregate(
+        ds.select_columns([key, column]).map_batches(
+            partial, batch_format="pandas", batch_size=None),
+        ["k", "reg"], {"rho": ("rho", "max")}, num_buckets=num_buckets,
+    ).to_pandas()
+    rows = []
+    for k, grp in sparse.groupby("k", sort=True):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[grp["reg"].to_numpy()] = grp["rho"].to_numpy()
+        rows.append((k, round(hll_estimate(regs), 6)))
+    return pd.DataFrame(rows, columns=[key, "hll_estimate"])
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: approximate frequencies in depth × width counters.
 # Combine = elementwise SUM (partials add exactly), so it rides the same

@@ -93,6 +93,30 @@ def test_hll_distinct_accuracy_and_merge_invariance():
     assert abs(hll_distinct(small, "v") - 40) < 3
 
 
+def test_hll_group_distinct_matches_per_group_sketch():
+    from bluegraph_ray.functions.sketches import (hll_distinct,
+                                                  hll_group_distinct)
+
+    df = pd.DataFrame({
+        "k": ["a"] * 3000 + ["b"] * 700 + ["c"] * 20,
+        "v": ([f"a-{i}" for i in range(3000)]
+              + [f"b-{i % 350}" for i in range(700)]     # b has dups: 350
+              + [f"c-{i}" for i in range(20)]),
+    })
+    ds = ray.data.from_pandas(df)
+    out = hll_group_distinct(ds, "v", "k").set_index("k")
+    # grouped sketch == running the global sketch on each group's subset
+    for k in ("a", "b", "c"):
+        sub = ray.data.from_pandas(df[df.k == k][["v"]])
+        assert out.loc[k, "hll_estimate"] == round(hll_distinct(sub, "v"), 6)
+    # and the estimates are accurate at these cardinalities
+    for k, n in (("a", 3000), ("b", 350), ("c", 20)):
+        assert abs(out.loc[k, "hll_estimate"] - n) / n < 0.08
+    # layout invariance
+    out2 = hll_group_distinct(ds.repartition(16), "v", "k").set_index("k")
+    assert (out2["hll_estimate"] == out["hll_estimate"]).all()
+
+
 def test_count_min_sketch_bounds_and_merge():
     from bluegraph_ray.functions.sketches import cms_query, cms_tables
 
