@@ -537,6 +537,20 @@ def q_doc_split(sf_dir: str):
     return hash_split(docs, train_pct=80)
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic per-language 5-doc sample (pipelines/dedup.
+    hash_sample_per_group): sha256 hash order IS the random order, so the
+    sample is reproducible across runs/layouts/cluster sizes and the
+    shuffle is bounded at groups x k rows per block."""
+    from bluegraph_ray.pipelines.dedup import hash_sample_per_group
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "doc_id"])
+    return hash_sample_per_group(docs, "lang", k=5, num_buckets=4)
+
+
 def q_multimodal_frames(sf_dir: str):
     """Video-shaped multimodal plumbing over opaque binary payloads
     (pipelines/multimodal.py; the codec itself is stubbed — the reference has
@@ -1423,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": q_multimodal_audio,
         "tfidf_docs": q_tfidf_docs,
         "doc_repetition": q_doc_repetition,
+        "doc_sample": q_doc_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
@@ -2259,6 +2274,16 @@ px AS (
 SELECT doc_id AS item_id, CAST(SUM(v) AS BIGINT) AS px_sum,
        COUNT(*) AS n_px
 FROM px GROUP BY 1
+""",
+        # deterministic per-group sample: sha256-prefix hash order, id
+        # tiebreak, k smallest per group
+        "doc_sample": """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      ('0x' || substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+      doc_id) AS rn
+  FROM documents) WHERE rn <= 5
 """,
         # Gopher-style repetition signals: token/bigram top and duplicate
         # fractions over the whitespace token list

@@ -688,3 +688,48 @@ def hash_split(
         })
 
     return ds.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def hash_sample_per_group(
+    ds: "ray.data.Dataset",
+    key: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "sample",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic per-group k-sample: rank ids by sha256(salt || id) and
+    keep each group's k smallest (ties broken by id). A uniform-without-
+    replacement sample that is reproducible across runs, block layouts and
+    cluster sizes — the hash IS the random order, so no RNG state ships
+    anywhere. Per-batch partial top-k caps the shuffle at groups x k rows
+    per input block (never the corpus); one bucketed combine finishes.
+    Replayable in SQL via the repo's sha256-prefix convention
+    (__ray_entry__.oracle_sql()["doc_sample"])."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [int.from_bytes(
+                hashlib.sha256(f"{salt}:{v}".encode()).digest()[:8], "big")
+             for v in batch[id_col]],
+            dtype=np.uint64,
+        )
+        out = batch[[key, id_col]].copy()
+        out["_h"] = h
+        out = (out.sort_values(["_h", id_col], kind="mergesort")
+               .groupby(key, sort=False).head(k))
+        hk = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+        out["_bucket"] = (hk % num_buckets).astype(np.int64)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.drop(columns=["_bucket"])
+               .sort_values(["_h", id_col], kind="mergesort")
+               .groupby(key, sort=False).head(k))
+        return out.drop(columns=["_h"])
+
+    return (ds.select_columns([key, id_col])
+            .map_batches(partial, batch_format="pandas", batch_size=None)
+            .groupby("_bucket")
+            .map_groups(combine, batch_format="pandas"))

@@ -39,6 +39,34 @@ def test_quality_and_langid(docs_ds):
     assert len(lang) == len(q)
 
 
+def test_hash_sample_per_group():
+    import hashlib
+
+    df = pd.DataFrame({
+        "g": ["x"] * 30 + ["y"] * 10 + ["z"] * 2,
+        "doc_id": list(range(42)),
+    })
+    out = dedup.hash_sample_per_group(
+        ray.data.from_pandas(df), "g", k=4).to_pandas()
+
+    def rank(v):
+        return int.from_bytes(
+            hashlib.sha256(f"sample:{v}".encode()).digest()[:8], "big")
+
+    for g, grp in df.groupby("g"):
+        want = sorted(grp["doc_id"], key=lambda v: (rank(v), v))[:4]
+        got = sorted(out[out.g == g]["doc_id"],
+                     key=lambda v: (rank(v), v))
+        assert got == want  # exactly the k hash-smallest ids per group
+
+    # layout invariance
+    out2 = dedup.hash_sample_per_group(
+        ray.data.from_pandas(df).repartition(9), "g", k=4).to_pandas()
+    a = sorted(map(tuple, out[["g", "doc_id"]].to_numpy()))
+    b = sorted(map(tuple, out2[["g", "doc_id"]].to_numpy()))
+    assert a == b
+
+
 def test_repetition_stats():
     from collections import Counter
 
