@@ -1148,6 +1148,19 @@ def q_walk_corpus_parts(sf_dir: str):
     return random_walks(handle, length=8, seed=7)
 
 
+def q_walk_weighted_parts(sf_dir: str):
+    """WEIGHTED deterministic walks (stages/build.walk_step_weighted): the
+    next hop is an exact frequency-proportional categorical draw via the
+    integer multiset trick — every arc becomes w hash replicas coded
+    u + rep*2^32 and the argmin over replicas is uniform over the weight
+    multiset. No float ln, no PRNG: the oracle expands arcs with
+    generate_series(0, w-1) and replays the same replica hashes."""
+    from bluegraph_ray.stages.walks import random_walks
+
+    handle = _cooc_graph(sf_dir)
+    return random_walks(handle, length=6, seed=7, weighted=True)
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1468,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parts": q_sssp_parts,
         "diameter_parts": q_diameter_parts,
         "walk_corpus_parts": q_walk_corpus_parts,
+        "walk_weighted_parts": q_walk_weighted_parts,
         "walk_skipgrams": q_walk_skipgrams,
         "deepwalk_embed": q_deepwalk_embed,
         "communities_parts": q_communities_parts,
@@ -2821,6 +2835,34 @@ walk(step, wid, node) AS (
        nxt := a.u))).nxt
   FROM walk w JOIN darcs a ON a.v = w.node
   WHERE w.step < 8
+  GROUP BY 1, 2
+)
+SELECT i.v AS walk_id, CAST(w.step AS BIGINT) AS step, n.v AS node
+FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
+""",
+        # weighted walks: arcs expand to freq replicas coded u + rep*2^32;
+        # lexicographic MIN(struct(h, nxt)) = the kernel's argmin + tiebreak
+        "walk_weighted_parts": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ids AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
+darcs AS MATERIALIZED (
+  SELECT iu.did AS u, iv.did AS v, a.f
+  FROM (SELECT src AS u, dst AS v, frequency AS f FROM edges
+        UNION ALL SELECT dst, src, frequency FROM edges) a
+  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v),
+walk(step, wid, node) AS (
+  SELECT 0, did, did FROM ids
+  UNION ALL
+  SELECT w.step + 1, w.wid,
+    (MIN(struct_pack(
+       h := {_walk_hash('w.wid', 'w.step + 1 + 7', 'a.u + r.rep * 4294967296')},
+       nxt := a.u))).nxt
+  FROM walk w JOIN darcs a ON a.v = w.node,
+       UNNEST(generate_series(0, a.f - 1)) AS r(rep)
+  WHERE w.step < 6
   GROUP BY 1, 2
 )
 SELECT i.v AS walk_id, CAST(w.step AS BIGINT) AS step, n.v AS node

@@ -614,6 +614,61 @@ class CsrPartition:
         nxt = np.minimum.reduceat(cand, seg)
         return idx, nxt.astype(np.int64)
 
+    def walk_step_weighted(self, pos_ref, step: int, seed: int):
+        """Weighted random-walk superstep: next(v) drawn with probability
+        proportional to the INTEGER arc weight, via the multiset trick —
+        each arc (u, v, w) becomes w candidate replicas coded
+        u + rep·2^32 (rep < w), and the hash-argmin over replicas is a
+        uniform draw over the weight multiset, i.e. an exact weighted
+        categorical draw. Pure integer arithmetic (no float ln / no PRNG),
+        so the choice stays order-free, layout-invariant and SQL-replayable
+        (the oracle expands arcs with generate_series(0, w-1) and hashes
+        the same replica codes). Expansion factor = mean arc weight per
+        step — the weighted-walk contract is small integer weights
+        (frequencies); huge weights should be bucketed upstream."""
+        pos = pos_ref if isinstance(pos_ref, np.ndarray) else ray.get(pos_ref)
+        idx = np.flatnonzero((pos >= self.lo) & (pos < self.hi))
+        if not len(idx):
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        v = pos[idx]
+        run = np.searchsorted(self.uniq_dst, v)
+        if not (run < len(self.uniq_dst)).all() or not (self.uniq_dst[run] == v).all():
+            raise ValueError("walk reached a vertex with no in-arcs "
+                             "(directed sink) — walks need undirected graphs")
+        ends = np.append(self.starts[1:], len(self.dst))
+        st = self.starts[run]
+        lens = ends[run] - st
+        total = int(lens.sum())
+        reps = np.repeat(np.arange(len(idx)), lens)
+        gather_ix = np.ones(total, dtype=np.int64)
+        seg = np.cumsum(lens) - lens
+        gather_ix[seg] = st
+        gather_ix[seg[1:]] = st[1:] - (ends[run[:-1]] - 1)
+        gather_ix = np.cumsum(gather_ix)
+        nbrs = self.src[gather_ix]
+        mult = np.rint(self.w[gather_ix]).astype(np.int64)
+        if (mult < 1).any():
+            raise ValueError("weighted walks need integer arc weights >= 1")
+        # expand each candidate arc into `mult` replicas
+        cand_ix = np.repeat(np.arange(total), mult)
+        rep_ix = (np.arange(len(cand_ix), dtype=np.int64)
+                  - np.repeat(np.cumsum(mult) - mult, mult))
+        nbrs2 = nbrs[cand_ix]
+        walker2 = reps[cand_ix]
+        code = nbrs2.astype(np.uint64) + (rep_ix.astype(np.uint64)
+                                          << np.uint64(32))
+        with np.errstate(over="ignore"):
+            h = ((idx[walker2].astype(np.uint64) * _WALK_C1)
+                 ^ (np.uint64(step + seed) * _WALK_C2)
+                 ^ (code * _WALK_C3)) * _WALK_C4
+        lens2 = np.add.reduceat(mult, seg)
+        seg2 = np.cumsum(lens2) - lens2
+        minh = np.minimum.reduceat(h, seg2)
+        cand = np.where(h == minh[walker2], nbrs2, np.iinfo(np.int64).max)
+        nxt = np.minimum.reduceat(cand, seg2)
+        return idx, nxt.astype(np.int64)
+
     def mode_label_gather(self, labels_ref) -> tuple[np.ndarray, np.ndarray]:
         """Weighted-mode incoming label per local v (community LPA step).
 

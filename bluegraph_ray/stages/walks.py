@@ -42,6 +42,7 @@ def random_walks(
     starts: np.ndarray | None = None,
     actors=None,
     output_path: str | None = None,
+    weighted: bool = False,
 ):
     """-> DataFrame(walk_id, step, node) with step 0..length; walk_id and
     node are vertex NAMES, one walk per start (default: every vertex).
@@ -92,8 +93,9 @@ def random_walks(
             trace[0] = pos
         for t in range(1, length + 1):
             ref = ray.put(pos)
+            step_fn = ("walk_step_weighted" if weighted else "walk_step")
             parts = ray.get(
-                [a.walk_step.remote(ref, t, seed) for a in actors])
+                [getattr(a, step_fn).remote(ref, t, seed) for a in actors])
             nxt = np.empty(n_walks, dtype=np.int64)
             for idx, vals in parts:
                 nxt[idx] = vals

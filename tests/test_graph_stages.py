@@ -347,6 +347,68 @@ def test_random_walks_valid_and_layout_invariant(karate_handle, tmp_path):
         random_walks(dh)
 
 
+def test_weighted_random_walks(karate_handle, tmp_path):
+    from bluegraph_ray.stages.build import (_WALK_C1, _WALK_C2, _WALK_C3,
+                                            _WALK_C4, build_graph)
+    from bluegraph_ray.stages.walks import random_walks
+
+    df, plain_handle = karate_handle
+    # unit weights: the multiset path (rep=0 only) must be bitwise the
+    # uniform hash-argmin path
+    h1 = build_graph(ray.data.from_pandas(df.assign(w=1)), weight="w",
+                     directed=False, n_partitions=3,
+                     path=str(tmp_path / "wu"))
+    uw = random_walks(h1, length=5, seed=3, weighted=True)
+    plain = random_walks(plain_handle, length=5, seed=3)
+    pd.testing.assert_frame_equal(
+        uw.sort_values(["walk_id", "step"]).reset_index(drop=True),
+        plain.sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+    # integer-weighted graph: exact local replay of the multiset rule
+    wdf = df.copy()
+    wdf["w"] = np.arange(len(wdf)) % 5 + 1
+    wh = build_graph(ray.data.from_pandas(wdf), weight="w", directed=False,
+                     n_partitions=3, path=str(tmp_path / "ww"))
+    out = random_walks(wh, length=6, seed=5, weighted=True)
+
+    names = np.asarray(wh.names)
+    did = {v: i for i, v in enumerate(names)}
+    adj: dict = {i: [] for i in range(wh.n)}
+    for r in wdf.itertuples():
+        adj[did[r.src]].append((did[r.dst], int(r.w)))
+        adj[did[r.dst]].append((did[r.src], int(r.w)))
+
+    def step_choice(wid, t, cur):
+        best = None
+        for u, w in adj[cur]:
+            for rep in range(w):
+                code = np.uint64(u) + (np.uint64(rep) << np.uint64(32))
+                with np.errstate(over="ignore"):
+                    h = ((np.uint64(wid) * _WALK_C1)
+                         ^ (np.uint64(t + 5) * _WALK_C2)
+                         ^ (code * _WALK_C3)) * _WALK_C4
+                key = (int(h), u)
+                if best is None or key < best:
+                    best = key
+        return best[1]
+
+    piv = out.pivot(index="walk_id", columns="step", values="node")
+    for name, row in piv.iterrows():
+        cur = did[name]
+        assert row[0] == name
+        for t in range(1, 7):
+            cur = step_choice(did[name], t, cur)
+            assert row[t] == names[cur]
+
+    # bitwise identical across a different partition layout
+    wh2 = build_graph(ray.data.from_pandas(wdf), weight="w", directed=False,
+                      n_partitions=2, path=str(tmp_path / "ww2"))
+    out2 = random_walks(wh2, length=6, seed=5, weighted=True)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["walk_id", "step"]).reset_index(drop=True),
+        out2.sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+
 def test_skipgram_pairs_match_bruteforce(karate_handle):
     from collections import Counter
 
