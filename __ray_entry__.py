@@ -1161,6 +1161,18 @@ def q_walk_weighted_parts(sf_dir: str):
     return random_walks(handle, length=6, seed=7, weighted=True)
 
 
+def q_walk_weighted_skipgrams(sf_dir: str):
+    """Skip-gram pairs (window 2) over the WEIGHTED walk corpus — the
+    node2vec-style training input where transition probability follows edge
+    frequency. Same reshape as walk_skipgrams; the oracle self-joins the
+    weighted walk recursion."""
+    from bluegraph_ray.stages.walks import random_walks, skipgram_pairs
+
+    handle = _cooc_graph(sf_dir)
+    walks = random_walks(handle, length=6, seed=7, weighted=True)
+    return skipgram_pairs(walks, window=2)
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1482,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_parts": q_diameter_parts,
         "walk_corpus_parts": q_walk_corpus_parts,
         "walk_weighted_parts": q_walk_weighted_parts,
+        "walk_weighted_skipgrams": q_walk_weighted_skipgrams,
         "walk_skipgrams": q_walk_skipgrams,
         "deepwalk_embed": q_deepwalk_embed,
         "communities_parts": q_communities_parts,
@@ -1598,6 +1611,33 @@ def _walk_hash(wid_expr: str, step_expr: str, u_expr: str) -> str:
     return (f"CAST((({x} % 4294967296) * {c4} "
             f"+ ((({x} // 4294967296) * {c4}) % 4294967296) * 4294967296"
             f") % {p} AS UBIGINT)")
+
+
+# weighted walk recursion shared by walk_weighted_parts and
+# walk_weighted_skipgrams: arcs expand to frequency replicas coded
+# u + rep*2^32 (stages/build.walk_step_weighted's multiset trick)
+_WEIGHTED_WALK_CTE = f"""{_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ids AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
+darcs AS MATERIALIZED (
+  SELECT iu.did AS u, iv.did AS v, a.f
+  FROM (SELECT src AS u, dst AS v, frequency AS f FROM edges
+        UNION ALL SELECT dst, src, frequency FROM edges) a
+  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v),
+walk(step, wid, node) AS (
+  SELECT 0, did, did FROM ids
+  UNION ALL
+  SELECT w.step + 1, w.wid,
+    (MIN(struct_pack(
+       h := {_walk_hash('w.wid', 'w.step + 1 + 7', 'a.u + r.rep * 4294967296')},
+       nxt := a.u))).nxt
+  FROM walk w JOIN darcs a ON a.v = w.node,
+       UNNEST(generate_series(0, a.f - 1)) AS r(rep)
+  WHERE w.step < 6
+  GROUP BY 1, 2
+)"""
 
 
 def _cms_col(h_expr: str, j_expr: str) -> str:
@@ -2843,30 +2883,19 @@ FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
         # weighted walks: arcs expand to freq replicas coded u + rep*2^32;
         # lexicographic MIN(struct(h, nxt)) = the kernel's argmin + tiebreak
         "walk_weighted_parts": f"""
-WITH RECURSIVE {_EDGES_FREQ},
-verts AS MATERIALIZED (SELECT DISTINCT v FROM
-  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
-ids AS MATERIALIZED (
-  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
-darcs AS MATERIALIZED (
-  SELECT iu.did AS u, iv.did AS v, a.f
-  FROM (SELECT src AS u, dst AS v, frequency AS f FROM edges
-        UNION ALL SELECT dst, src, frequency FROM edges) a
-  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v),
-walk(step, wid, node) AS (
-  SELECT 0, did, did FROM ids
-  UNION ALL
-  SELECT w.step + 1, w.wid,
-    (MIN(struct_pack(
-       h := {_walk_hash('w.wid', 'w.step + 1 + 7', 'a.u + r.rep * 4294967296')},
-       nxt := a.u))).nxt
-  FROM walk w JOIN darcs a ON a.v = w.node,
-       UNNEST(generate_series(0, a.f - 1)) AS r(rep)
-  WHERE w.step < 6
-  GROUP BY 1, 2
-)
+WITH RECURSIVE {_WEIGHTED_WALK_CTE}
 SELECT i.v AS walk_id, CAST(w.step AS BIGINT) AS step, n.v AS node
 FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
+""",
+        # skip-grams off the SAME weighted recursion
+        "walk_weighted_skipgrams": f"""
+WITH RECURSIVE {_WEIGHTED_WALK_CTE},
+wm AS MATERIALIZED (SELECT * FROM walk)
+SELECT c.v AS center, x.v AS context, COUNT(*) AS n
+FROM wm w1 JOIN wm w2 ON w2.wid = w1.wid
+  AND ABS(w2.step - w1.step) BETWEEN 1 AND 2
+JOIN ids c ON c.did = w1.node JOIN ids x ON x.did = w2.node
+GROUP BY 1, 2
 """,
         # skip-gram pair counts off the SAME walk recursion: ordered pairs
         # within each walk at step distance 1..2
