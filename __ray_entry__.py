@@ -1758,10 +1758,18 @@ m{k + 1} AS (
 # unique MSF), then component contraction by pointer jumping over the
 # chosen-edge functional graph (only 2-cycles can occur with distinct
 # ranks; the smaller label of a mutual pair becomes the root).
-def _boruvka_steps(rounds: int) -> str:
+# Pointer-jumping depth: after k jumps every pointer skips 2^k, so
+# flattening a chain of length L needs ceil(log2(L)) jumps. Round i
+# starts with <= V/2^(i-1) components (Borůvka at least halves per
+# round), hence chains of length <= V/2^(i-1) and
+# jumps_i = ceil(log2(V)) - (i-1) is provably sufficient — not the old
+# rounds-i heuristic. ``log2_v`` must satisfy 2^log2_v >= vertex count
+# of the instance the oracle runs on (sf-tied, like the unrolled round
+# counts: kcore 16 / MIS 10 / ktruss 10 / matching 12 below).
+def _boruvka_steps(rounds: int, log2_v: int = 12) -> str:
     out = []
     for i in range(1, rounds + 1):
-        jumps = max(1, rounds - i)  # round i starts with <= V/2^(i-1) comps
+        jumps = max(1, log2_v - (i - 1))
         out.append(f""",
 ie{i} AS MATERIALIZED (
   SELECT e.r, e.src AS u, e.dst AS v, lu.l AS cu, lv.l AS cv
@@ -1939,12 +1947,15 @@ FROM s
         # context-window chunking via 1-based inclusive list slices; a chunk
         # exists whenever i*stride < n_tokens (range upper bound is generous,
         # the WHERE prunes)
+        # chunk-index domain derived from the actual max token count (a
+        # fixed range(0, 4096) would silently truncate docs over 65k tokens)
         "chunked_docs": """
 SELECT doc_id, i AS chunk_id,
        LEN(toks[i * 16 + 1 : i * 16 + 24]) AS n_chunk_tokens,
        array_to_string(toks[i * 16 + 1 : i * 16 + 24], ' ') AS chunk
 FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
-     (SELECT UNNEST(range(0, 4096)) AS i)
+     (SELECT UNNEST(range(0, (SELECT MAX(LEN(STRING_SPLIT(text, ' '))) // 16
+                             + 1 FROM documents))) AS i)
 WHERE i * 16 < LEN(toks)
 """,
         # corpus vocabulary: tf = token occurrences, df = docs containing

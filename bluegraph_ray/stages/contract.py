@@ -35,10 +35,13 @@ def contract_graph(
     dst: str = "dst",
     weight: str | None = None,
     num_buckets: int = 64,
+    drop_unlabeled: bool = False,
 ) -> "ray.data.Dataset":
     """-> Dataset(cu, cv, weight, n_edges) with cu <= cv; ``labels`` is a
     dict or pd.Series mapping vertex -> community label. Unweighted edges
-    count 1 each."""
+    count 1 each. Edges with an endpoint missing from ``labels`` raise
+    (a partial label map silently shrinking the supergraph is a bug);
+    pass ``drop_unlabeled=True`` to filter them instead."""
     lab = labels if isinstance(labels, pd.Series) else pd.Series(labels)
     ref = ray.put(lab)
     cols = [src, dst] + ([weight] if weight else [])
@@ -47,6 +50,26 @@ def contract_graph(
         lm = ray.get(ref)
         cu = lm.reindex(batch[src].to_numpy()).to_numpy()
         cv = lm.reindex(batch[dst].to_numpy()).to_numpy()
+        miss = pd.isna(cu) | pd.isna(cv)
+        if miss.any():
+            if not drop_unlabeled:
+                bad = batch.loc[miss, [src, dst]].head(3).to_dict("records")
+                raise ValueError(
+                    f"contract_graph: {int(miss.sum())} edge(s) have an "
+                    f"endpoint missing from labels (e.g. {bad}); pass "
+                    "drop_unlabeled=True to filter them")
+            keep = ~miss
+            # reindex promoted to float to hold the NaNs — restore the label
+            # dtype so blocks with and without misses agree
+            batch = batch[keep]
+            cu = cu[keep].astype(lm.dtype, copy=False)
+            cv = cv[keep].astype(lm.dtype, copy=False)
+            if not len(batch):
+                return pd.DataFrame({
+                    "cu": np.array([], dtype=lm.dtype),
+                    "cv": np.array([], dtype=lm.dtype),
+                    "weight": np.array([], dtype=np.float64),
+                    "n_edges": np.array([], dtype=np.int64)})
         lo = np.minimum(cu, cv)
         hi = np.maximum(cu, cv)
         w = (batch[weight].to_numpy(dtype=np.float64) if weight

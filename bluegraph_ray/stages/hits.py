@@ -68,11 +68,13 @@ def hits(
         it = 0
         for it in range(1, limit + 1):
             t0 = time.perf_counter()
+            href = ray.put(h)  # one object-store copy per half-step, shared
             a = np.concatenate(
-                ray.get([p.pr_gather.remote(ray.put(h)) for p in fwd]))
+                ray.get([p.pr_gather.remote(href) for p in fwd]))
             a /= a.sum() or 1.0
+            aref = ray.put(a)
             h_new = np.concatenate(
-                ray.get([p.pr_gather.remote(ray.put(a)) for p in bwd]))
+                ray.get([p.pr_gather.remote(aref) for p in bwd]))
             h_new /= h_new.sum() or 1.0
             err = float(np.abs(h_new - h).sum())
             h = h_new

@@ -115,19 +115,57 @@ def _teleport_vector(n: int, personalization) -> np.ndarray | None:
     """Normalize a personalization spec to an L1-unit dense vector, or None
     for the uniform teleport. Accepts a dense array (sparse seeds as zeros)
     or an iterable of seed vertex ids (uniform over the seed set) — the
-    nx.pagerank ``personalization`` semantics on dense ids."""
+    nx.pagerank ``personalization`` semantics on dense ids.
+
+    Ambiguous specs raise instead of guessing: pass an explicit
+    ``{"weights": arr}`` / ``{"seeds": ids}`` dict to disambiguate (an
+    integer array is ALWAYS a seed list; a dense weight vector must be
+    float-typed and exactly length n)."""
     if personalization is None:
         return None
     p = np.zeros(n, dtype=np.float64)
-    arr = np.asarray(personalization)
-    if arr.shape == (n,) and np.issubdtype(arr.dtype, np.floating):
-        p[:] = arr  # dense weight vector
+    if isinstance(personalization, dict):
+        if set(personalization) == {"weights"}:
+            arr = np.asarray(personalization["weights"], dtype=np.float64)
+            if arr.shape != (n,):
+                raise ValueError(
+                    f"weights must have shape ({n},), got {arr.shape}")
+            p[:] = arr
+        elif set(personalization) == {"seeds"}:
+            p[_checked_seed_ids(personalization["seeds"], n)] = 1.0
+        else:
+            raise ValueError(
+                "personalization dict must have exactly one key, "
+                "'weights' or 'seeds'")
     else:
-        p[arr.astype(np.int64)] = 1.0  # seed id list: uniform over seeds
+        arr = np.asarray(personalization)
+        if np.issubdtype(arr.dtype, np.integer):
+            p[_checked_seed_ids(arr, n)] = 1.0  # uniform over the seed set
+        elif arr.shape == (n,) and np.issubdtype(arr.dtype, np.floating):
+            p[:] = arr  # dense weight vector
+        else:
+            raise ValueError(
+                "ambiguous personalization: pass integer seed ids, a "
+                f"float array of shape ({n},), or an explicit "
+                "{'weights': ...} / {'seeds': ...} dict "
+                f"(got dtype={arr.dtype}, shape={arr.shape})")
     s = p.sum()
     if s <= 0:
         raise ValueError("personalization must have positive total mass")
     return p / s
+
+
+def _checked_seed_ids(seeds, n: int) -> np.ndarray:
+    ids = np.asarray(seeds)
+    if ids.size and not np.issubdtype(ids.dtype, np.integer):
+        if not np.all(ids == np.floor(ids)):
+            raise ValueError("seed ids must be integers")
+    ids = ids.astype(np.int64)
+    if ids.size and (ids.min() < 0 or ids.max() >= n):
+        raise ValueError(
+            f"seed ids out of range [0, {n}): min={ids.min()}, "
+            f"max={ids.max()}")
+    return ids
 
 
 def pagerank(

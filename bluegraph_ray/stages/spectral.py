@@ -46,8 +46,9 @@ def _power_loop(handle, actors, update, x0, max_iter, iters, thresh,
         it = 0
         for it in range(1, limit + 1):
             t0 = time.perf_counter()
+            xref = ray.put(x)  # one object-store copy per superstep, shared
             gathered = np.concatenate(
-                ray.get([a.pr_gather.remote(ray.put(x)) for a in actors]))
+                ray.get([a.pr_gather.remote(xref) for a in actors]))
             x, err = update(x, gathered)
             step_secs.append(time.perf_counter() - t0)
             err_history.append(err)

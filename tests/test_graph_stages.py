@@ -241,6 +241,55 @@ def test_contract_graph_and_ego_network(karate_handle):
         assert got_edges == want_edges
 
 
+def test_contract_graph_partial_labels(karate_handle):
+    from bluegraph_ray.stages.contract import contract_graph
+
+    df, _ = karate_handle
+    g = to_nx(df)
+    labels = {n: ("blk0" if int(n[1:]) < 17 else "blk1") for n in g.nodes}
+    partial = dict(list(labels.items())[:-3])  # drop 3 vertices
+
+    with pytest.raises(Exception) as ei:  # surfaces via ray's UserCodeError
+        contract_graph(ray.data.from_pandas(df), partial).to_pandas()
+    assert "missing from labels" in str(ei.value)
+
+    # drop_unlabeled keeps exactly the fully-labeled edges
+    out = contract_graph(ray.data.from_pandas(df), partial,
+                         drop_unlabeled=True).to_pandas()
+    want: dict = {}
+    for u, v in g.edges:
+        if u in partial and v in partial:
+            key = tuple(sorted((partial[u], partial[v])))
+            w, n = want.get(key, (0.0, 0))
+            want[key] = (w + 1.0, n + 1)
+    got = {(r.cu, r.cv): (r.weight, r.n_edges) for r in out.itertuples()}
+    assert got == want
+
+
+def test_teleport_vector_validation():
+    from bluegraph_ray.stages.pagerank import _teleport_vector
+
+    n = 10
+    # integer arrays are ALWAYS seed lists, even length-n ones
+    p = _teleport_vector(n, np.arange(n))
+    assert np.allclose(p, 1.0 / n)
+    # explicit dict forms
+    assert np.allclose(_teleport_vector(n, {"seeds": [3]})[3], 1.0)
+    w = np.zeros(n); w[2] = 4.0
+    assert np.allclose(_teleport_vector(n, {"weights": w})[2], 1.0)
+    # float seed-id list (not length n) must raise, not be read as weights
+    with pytest.raises(ValueError, match="ambiguous"):
+        _teleport_vector(n, np.array([1.0, 2.0, 3.0]))
+    # out-of-range seed ids must raise, not scatter into garbage
+    with pytest.raises(ValueError, match="out of range"):
+        _teleport_vector(n, [n + 5])
+    with pytest.raises(ValueError, match="out of range"):
+        _teleport_vector(n, {"seeds": [-1]})
+    # wrong-shaped explicit weights must raise
+    with pytest.raises(ValueError, match="shape"):
+        _teleport_vector(n, {"weights": np.ones(n - 1)})
+
+
 def test_maximal_matching(karate_handle):
     from bluegraph_ray.stages.matching import maximal_matching
 
