@@ -842,17 +842,21 @@ def q_ego_parts(sf_dir: str):
 def q_minhash_candidates(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import minhash_lsh_candidates
 
+    # hash_mode pinned to the sha256 oracle path (production default is
+    # "fast"; the DuckDB replay needs byte-exact sha256 signatures)
     return minhash_lsh_candidates(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"]),
-        k=3, num_perm=64, bands=16)
+        k=3, num_perm=64, bands=16, hash_mode="sha256")
 
 
 def q_simhash_docs(sf_dir: str):
     from bluegraph_ray.pipelines.dedup import simhash_signatures
 
-    return simhash_signatures(ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    return simhash_signatures(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        hash_mode="sha256")  # oracle path; production default is "fast"
 
 
 def q_embedding_dups(sf_dir: str):
@@ -1323,7 +1327,8 @@ def q_clean_corpus(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return clean_corpus(docs, lang="en", min_quality=0.5,
-                        near_threshold=0.7, num_buckets=16)
+                        near_threshold=0.7, num_buckets=16,
+                        hash_mode="sha256")  # oracle path; default is "fast"
 
 
 def q_curation_table(sf_dir: str):

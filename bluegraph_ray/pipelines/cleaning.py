@@ -58,7 +58,7 @@ def clean_corpus(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
-    hash_mode: str = "sha256",
+    hash_mode: str = "fast",
     num_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """-> Dataset(doc_id, split) of surviving documents."""

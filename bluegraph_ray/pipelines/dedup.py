@@ -83,8 +83,9 @@ def _hash64(arr_of_bytes: list) -> np.ndarray:
 # LENGTH through a splitmix64 avalanche; shingle hashes are a Horner combine
 # of k consecutive token hashes. Only same-length tokens sharing a 16-byte
 # prefix collide — harmless at MinHash/SimHash recall levels. Not
-# SQL-replayable; ``hash_mode="sha256"`` stays the default so the DuckDB
-# oracles keep working.
+# SQL-replayable; ``hash_mode="fast"`` is the default — the oracle queries
+# in __ray_entry__ pin ``hash_mode="sha256"`` explicitly so the DuckDB
+# replays keep working.
 
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
@@ -218,14 +219,15 @@ class MinHasher:
     """Per-batch MinHash signatures: k-token shingles -> 64-bit hashes ->
     ``num_perm`` universal-hash minima. Deterministic (fixed seed).
 
-    ``hash_mode="sha256"`` (default) hashes each shingle with sha256 so the
-    DuckDB oracle can replay signatures byte-for-byte; ``hash_mode="fast"``
-    hashes ALL of a batch's shingles in one vectorized C call and reduces the
-    per-doc minima with ``np.minimum.reduceat`` — the production path (same
-    LSH recall, order-of-magnitude faster sketching, not SQL-replayable)."""
+    ``hash_mode="fast"`` (default, the production path) hashes ALL of a
+    batch's shingles in one vectorized C call and reduces the per-doc minima
+    with ``np.minimum.reduceat`` — order-of-magnitude faster sketching, not
+    SQL-replayable. ``hash_mode="sha256"`` hashes each shingle with sha256 so
+    the DuckDB oracle can replay signatures byte-for-byte (same LSH recall;
+    the oracle queries in __ray_entry__ pin it explicitly)."""
 
     def __init__(self, text_col="text", id_col="doc_id", k=3, num_perm=64,
-                 seed=7, hash_mode="sha256"):
+                 seed=7, hash_mode="fast"):
         if hash_mode not in ("sha256", "fast"):
             raise ValueError(f"unknown hash_mode {hash_mode!r}")
         self.text_col, self.id_col, self.k, self.num_perm = text_col, id_col, k, num_perm
@@ -271,7 +273,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
-    hash_mode: str = "sha256",
+    hash_mode: str = "fast",
     num_buckets: int = 16,
 ) -> "ray.data.Dataset":
     """MinHash+LSH candidate pairs: shingle -> minhash -> band -> bucket groupby.
@@ -311,14 +313,45 @@ def minhash_lsh_candidates(
             {id_col: ids, "band": band_ids, "bhash": band_hash, "sig": sig_list}
         )
 
+    def to_bands_fast(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized banding: reshape the (docs, num_perm) signature matrix
+        # to (docs*bands, rows_per_band) and FNV-fold the lanes numerically —
+        # no per-row Python, no string keys (band-cell equality is preserved;
+        # a 64-bit fold collision can only ADD a candidate pair, whose
+        # est_jaccard still comes from the full signatures)
+        if not len(batch):
+            return pd.DataFrame({id_col: [], "band": np.array([], np.int64),
+                                 "bhash": np.array([], np.int64), "sig": []})
+        sig_mat = np.stack(batch["sig"].to_numpy()).astype(np.int64)
+        n = len(batch)
+        lanes = sig_mat.reshape(n * bands, rows_per_band).astype(np.uint64)
+        h = np.full(n * bands, 0xCBF29CE484222325, dtype=np.uint64)
+        for c in range(rows_per_band):
+            h = (h * np.uint64(0x100000001B3)) ^ lanes[:, c]
+        # replicate signature POINTERS per band row, never the data (an
+        # axis-0 np.repeat of the matrix measured 45x slower at 5k docs)
+        obj = np.empty(n, dtype=object)
+        obj[:] = list(sig_mat)
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), bands),
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "bhash": h.astype(np.int64),
+            "sig": np.repeat(obj, bands),
+        })
+
     def bucket_tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        h = pd.util.hash_pandas_object(
-            batch["band"].astype(str) + "|" + batch["bhash"], index=False)
+        if len(batch) and batch["bhash"].dtype == np.int64:
+            h = pd.util.hash_pandas_object(
+                batch[["band", "bhash"]], index=False)
+        else:
+            h = pd.util.hash_pandas_object(
+                batch["band"].astype(str) + "|" + batch["bhash"], index=False)
         batch["_b"] = (h.to_numpy() % num_buckets).astype(np.int64)
         return batch
 
-    banded = (sigs.map_batches(to_bands, batch_format="pandas", batch_size=None)
+    band_fn = to_bands_fast if hash_mode == "fast" else to_bands
+    banded = (sigs.map_batches(band_fn, batch_format="pandas", batch_size=None)
               .map_batches(bucket_tag, batch_format="pandas", batch_size=None))
 
     empty = pd.DataFrame({"src": pd.Series([], dtype=object),
@@ -332,9 +365,9 @@ def minhash_lsh_candidates(
         if len(g) < 2:
             return empty
         g = g.sort_values(["band", "bhash", id_col], kind="mergesort")
-        codes = pd.factorize(
-            g["band"].astype(str) + "|" + g["bhash"], use_na_sentinel=False)[0]
-        brk = np.flatnonzero(np.diff(codes)) + 1
+        bb = g["band"].to_numpy()
+        kk = g["bhash"].to_numpy()  # int64 (fast) or str (sha256) — both ok
+        brk = np.flatnonzero((bb[1:] != bb[:-1]) | (kk[1:] != kk[:-1])) + 1
         starts = np.concatenate(([0], brk))
         ends = np.concatenate((brk, [len(g)]))
         srcs, dsts = [], []
@@ -466,7 +499,7 @@ class SimHasher:
     call and computes the per-doc bit votes with segmented ``add.reduceat``
     (production path; default sha256 stays DuckDB-replayable)."""
 
-    def __init__(self, text_col="text", id_col="doc_id", hash_mode="sha256"):
+    def __init__(self, text_col="text", id_col="doc_id", hash_mode="fast"):
         if hash_mode not in ("sha256", "fast"):
             raise ValueError(f"unknown hash_mode {hash_mode!r}")
         self.text_col, self.id_col, self.hash_mode = text_col, id_col, hash_mode
@@ -541,7 +574,7 @@ class SimHasher:
 
 
 def simhash_signatures(ds: "ray.data.Dataset", *, text_col="text",
-                       id_col="doc_id", hash_mode="sha256") -> "ray.data.Dataset":
+                       id_col="doc_id", hash_mode="fast") -> "ray.data.Dataset":
     return ds.map_batches(SimHasher(text_col, id_col, hash_mode),
                           batch_format="pandas", batch_size=None)
 

@@ -107,10 +107,23 @@ class TfIdfEncoder:
                 cnt.extend([1] * len(s))
             return pd.DataFrame({"token": toks, "df_part": cnt})
 
+        k = self.max_features
+
+        def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+            # each block of the (already exact, token-unique) df table keeps
+            # only its top-k by (df desc, token asc) — the driver merges
+            # <= blocks x max_features rows, never the full vocabulary
+            # (O(corpus) distinct tokens on code corpora)
+            return batch.sort_values(["df", "token"],
+                                     ascending=[False, True],
+                                     kind="mergesort").head(k)
+
         df_tbl = hash_aggregate(
             ds.map_batches(doc_tokens, batch_format="pandas", batch_size=None),
             "token", {"df": ("df_part", "sum")},
-        ).to_pandas()
+        ).map_batches(block_topk, batch_format="pandas",
+                      batch_size=None).to_pandas()
+        self.fit_rows_collected_ = len(df_tbl)  # <= blocks x max_features
         self.n_docs_ = ds.count()
         df_tbl = df_tbl.sort_values(["df", "token"], ascending=[False, True],
                                     kind="mergesort").head(self.max_features)

@@ -53,6 +53,32 @@ def test_tfidf_matches_formula():
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-9)
 
 
+def test_tfidf_fit_bounded_collect():
+    # corpus with FAR more distinct tokens than max_features: the driver
+    # must merge block-level top-k partials, never the full df table
+    rng = np.random.default_rng(11)
+    common = [f"kw{i}" for i in range(8)]
+    docs = []
+    for d in range(60):
+        uniq = [f"u{d}_{j}" for j in range(40)]  # 2400 near-unique tokens
+        picks = [common[i] for i in rng.integers(0, 8, size=d % 8 + 1)]
+        docs.append(" ".join(picks + uniq))
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(8)
+    k = 16
+    enc = TfIdfEncoder("text", max_features=k).fit(ds)
+    # driver-side merge is bounded by blocks x k, far below the vocabulary
+    n_distinct = len({t for d in docs for t in d.split()})
+    assert n_distinct > 2000
+    assert enc.fit_rows_collected_ <= 64 * k  # num_buckets x max_features
+    assert enc.fit_rows_collected_ < n_distinct / 2
+    # exact same vocab as the brute-force (df desc, token asc) top-k
+    from collections import Counter
+    dfc = Counter(t for d in docs for t in set(d.split()))
+    want = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert set(enc.vocab_) == {t for t, _ in want}
+
+
 def test_standard_scaler_with_imputation():
     df = pd.DataFrame({"a": [1.0, 2.0, 3.0, np.nan], "b": [10.0, 10.0, 10.0, 10.0]})
     ds = ray.data.from_pandas(df)
