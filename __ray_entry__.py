@@ -1177,6 +1177,43 @@ def q_walk_weighted_skipgrams(sf_dir: str):
     return skipgram_pairs(walks, window=2)
 
 
+def q_walk_biased_parts(sf_dir: str):
+    """node2vec p/q-BIASED second-order walks (stages/walks.
+    random_walks_biased, p=0.5, q=2.0 -> integer multipliers (4, 2, 1)):
+    candidates weigh frequency x 4 on a return hop, x 2 to a common
+    neighbour of prev, x 1 otherwise; the draw is the exact integer-multiset
+    hash-argmin, so the oracle replays it with generate_series(0, f*m - 1)
+    replicas and a LEFT JOIN membership test on (prev, cand)."""
+    from bluegraph_ray.stages.walks import random_walks_biased
+
+    handle = _cooc_graph(sf_dir)
+    return random_walks_biased(handle, length=5, seed=7, p=0.5, q=2.0)
+
+
+def q_walk_biased_skipgrams(sf_dir: str):
+    """Skip-gram pairs (window 2) over the BIASED walk corpus — the true
+    node2vec training input. Oracle self-joins the biased recursion."""
+    from bluegraph_ray.stages.walks import random_walks_biased, skipgram_pairs
+
+    handle = _cooc_graph(sf_dir)
+    walks = random_walks_biased(handle, length=5, seed=7, p=0.5, q=2.0)
+    return skipgram_pairs(walks, window=2)
+
+
+def q_node2vec_embed(sf_dir: str):
+    """node2vec embeddings: biased walks -> skip-grams -> shifted-PPMI SVD
+    (pipelines/graphembed.node2vec_embeddings). No SQL oracle (randomized
+    SVD); both upstream stages are hash-verified (walk_biased_parts,
+    walk_biased_skipgrams) and the factorization is seeded. Rows-only."""
+    from bluegraph_ray.pipelines.graphembed import node2vec_embeddings
+
+    handle = _cooc_graph(sf_dir)
+    out = node2vec_embeddings(handle, dimension=16, length=5, window=2,
+                              p=0.5, q=2.0)
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1459,6 +1496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_weighted_parts": q_walk_weighted_parts,
         "walk_weighted_skipgrams": q_walk_weighted_skipgrams,
         "walk_skipgrams": q_walk_skipgrams,
+        "walk_biased_parts": q_walk_biased_parts,          # new in r4
+        "walk_biased_skipgrams": q_walk_biased_skipgrams,  # new in r4
+        "node2vec_embed": q_node2vec_embed,                # new in r4
         "deepwalk_embed": q_deepwalk_embed,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,
@@ -1653,6 +1693,43 @@ walk(step, wid, node) AS (
        UNNEST(generate_series(0, a.f - 1)) AS r(rep)
   WHERE w.step < 6
   GROUP BY 1, 2
+)"""
+
+
+# node2vec biased walk recursion shared by walk_biased_parts and
+# walk_biased_skipgrams: state carries (prev, node); candidate replicas =
+# f x class multiplier with class resolved by equality (return) or a LEFT
+# JOIN membership probe of (prev, cand) against darcs (common neighbour).
+# p=0.5, q=2.0 -> (m_ret, m_base, m_far) = (4, 2, 1); step 1 (prev = -1)
+# degenerates to the plain weighted draw, exactly like the engine's
+# walk_step_weighted first step.
+_BIASED_WALK_CTE = f"""{_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ids AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
+darcs AS MATERIALIZED (
+  SELECT iu.did AS u, iv.did AS v, a.f
+  FROM (SELECT src AS u, dst AS v, frequency AS f FROM edges
+        UNION ALL SELECT dst, src, frequency FROM edges) a
+  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v),
+walk(step, wid, prev, node) AS (
+  SELECT 0, did, CAST(-1 AS BIGINT), did FROM ids
+  UNION ALL
+  SELECT w.step + 1, w.wid, w.node,
+    (MIN(struct_pack(
+       h := {_walk_hash('w.wid', 'w.step + 1 + 7', 'a.u + r.rep * 4294967296')},
+       nxt := a.u))).nxt
+  FROM walk w
+  JOIN darcs a ON a.v = w.node
+  LEFT JOIN darcs pe ON pe.v = w.prev AND pe.u = a.u,
+  UNNEST(generate_series(0, a.f * (CASE
+      WHEN w.prev < 0 THEN 1
+      WHEN a.u = w.prev THEN 4
+      WHEN pe.u IS NOT NULL THEN 2
+      ELSE 1 END) - 1)) AS r(rep)
+  WHERE w.step < 5
+  GROUP BY 1, 2, 3
 )"""
 
 
@@ -2917,6 +2994,24 @@ FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
         # skip-grams off the SAME weighted recursion
         "walk_weighted_skipgrams": f"""
 WITH RECURSIVE {_WEIGHTED_WALK_CTE},
+wm AS MATERIALIZED (SELECT * FROM walk)
+SELECT c.v AS center, x.v AS context, COUNT(*) AS n
+FROM wm w1 JOIN wm w2 ON w2.wid = w1.wid
+  AND ABS(w2.step - w1.step) BETWEEN 1 AND 2
+JOIN ids c ON c.did = w1.node JOIN ids x ON x.did = w2.node
+GROUP BY 1, 2
+""",
+        # node2vec biased walks: second-order state (prev, node) in the
+        # recursion; replicas = f x p/q class multiplier (4/2/1), class via
+        # equality / LEFT JOIN membership of (prev, cand)
+        "walk_biased_parts": f"""
+WITH RECURSIVE {_BIASED_WALK_CTE}
+SELECT i.v AS walk_id, CAST(w.step AS BIGINT) AS step, n.v AS node
+FROM walk w JOIN ids i ON i.did = w.wid JOIN ids n ON n.did = w.node
+""",
+        # skip-grams off the SAME biased recursion
+        "walk_biased_skipgrams": f"""
+WITH RECURSIVE {_BIASED_WALK_CTE},
 wm AS MATERIALIZED (SELECT * FROM walk)
 SELECT c.v AS center, x.v AS context, COUNT(*) AS n
 FROM wm w1 JOIN wm w2 ON w2.wid = w1.wid

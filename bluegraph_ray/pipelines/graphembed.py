@@ -46,6 +46,43 @@ def deepwalk_embeddings(
     from bluegraph_ray.stages.walks import random_walks, skipgram_pairs
 
     walks = random_walks(handle, length=length, seed=seed, actors=actors)
+    return _pairs_to_embeddings(handle, walks, window, dimension, shift,
+                                svd_seed, power_iters)
+
+
+def node2vec_embeddings(
+    handle: GraphHandle,
+    *,
+    dimension: int = 32,
+    length: int = 8,
+    window: int = 2,
+    p: float = 0.5,
+    q: float = 2.0,
+    seed: int = 7,
+    shift: float = 1.0,
+    svd_seed: int = 0,
+    power_iters: int = 2,
+    actors=None,
+) -> pd.DataFrame:
+    """node2vec: the same shifted-PPMI SVD factorization fed by p/q-BIASED
+    second-order walks (stages/walks.random_walks_biased — the reference's
+    node2vec surface, ``backends/stellargraph/embed/embedders.py:49``,
+    rebuilt without gensim). Walk + skip-gram stages are hash-verified
+    (oracles ``walk_biased_parts`` / ``walk_biased_skipgrams``); the SVD is
+    seeded and deterministic."""
+    from bluegraph_ray.stages.walks import random_walks_biased
+
+    walks = random_walks_biased(handle, length=length, seed=seed, p=p, q=q,
+                                actors=actors)
+    return _pairs_to_embeddings(handle, walks, window, dimension, shift,
+                                svd_seed, power_iters)
+
+
+def _pairs_to_embeddings(handle, walks, window, dimension, shift, svd_seed,
+                         power_iters) -> pd.DataFrame:
+    from bluegraph_ray.pipelines.textembed import ppmi_svd_factorize
+    from bluegraph_ray.stages.walks import skipgram_pairs
+
     pairs = skipgram_pairs(walks, window=window)
     names = np.asarray(handle.names)
     idx = pd.Index(names)

@@ -669,6 +669,120 @@ class CsrPartition:
         nxt = np.minimum.reduceat(cand, seg2)
         return idx, nxt.astype(np.int64)
 
+    # --- node2vec biased walks (second-order p/q transition) ---------------
+    #
+    # One superstep is a two-phase exchange (stages/walks.random_walks_biased):
+    #   A. the partition owning each walker's CURRENT vertex emits its
+    #      candidate arcs (walker, neighbour, int weight), pre-split by the
+    #      partition owning the walker's PREVIOUS vertex (all of a walker's
+    #      candidates share one prev, so they route to exactly one target);
+    #   B. the prev-owner classifies every candidate against prev's local
+    #      adjacency (return / common-neighbour / far), scales the integer
+    #      weight by the p/q multiplier, and finishes the same multiset
+    #      hash-argmin draw as walk_step_weighted.
+    # Candidate blocks move worker-to-worker through the object store
+    # (num_returns fan-out; the driver only routes refs) — the per-superstep
+    # exchange volume is Σ deg(cur), the same order as one gather.
+
+    def _ensure_arc_codes(self) -> np.ndarray:
+        """Sorted (dst << 32 | src) arc codes for O(log m) membership tests
+        (built lazily on first biased-walk superstep, cached)."""
+        if getattr(self, "_arc_codes", None) is None:
+            self._arc_codes = np.sort(
+                (self.dst.astype(np.uint64) << np.uint64(32))
+                | self.src.astype(np.uint64))
+        return self._arc_codes
+
+    def n2v_candidates(self, pos_ref, prev_ref, boundaries: np.ndarray):
+        """Phase A: candidate arcs for walks whose CURRENT vertex lies in
+        this partition, split into one (walker_idx, cand, w_int) block per
+        owner-of-prev partition (``boundaries`` = handle.boundaries)."""
+        pos = pos_ref if isinstance(pos_ref, np.ndarray) else ray.get(pos_ref)
+        prev = prev_ref if isinstance(prev_ref, np.ndarray) else ray.get(prev_ref)
+        n_parts = len(boundaries) - 1
+        z = np.empty(0, dtype=np.int64)
+        idx = np.flatnonzero((pos >= self.lo) & (pos < self.hi))
+        if not len(idx):
+            return [(z, z, z)] * n_parts if n_parts > 1 else (z, z, z)
+        v = pos[idx]
+        run = np.searchsorted(self.uniq_dst, v)
+        if not (run < len(self.uniq_dst)).all() or not (self.uniq_dst[run] == v).all():
+            raise ValueError("walk reached a vertex with no in-arcs "
+                             "(directed sink) — walks need undirected graphs")
+        ends = np.append(self.starts[1:], len(self.dst))
+        st = self.starts[run]
+        lens = ends[run] - st
+        total = int(lens.sum())
+        reps = np.repeat(np.arange(len(idx)), lens)
+        gather_ix = np.ones(total, dtype=np.int64)
+        seg = np.cumsum(lens) - lens
+        gather_ix[seg] = st
+        gather_ix[seg[1:]] = st[1:] - (ends[run[:-1]] - 1)
+        gather_ix = np.cumsum(gather_ix)
+        nbrs = self.src[gather_ix]
+        mult = np.rint(self.w[gather_ix]).astype(np.int64)
+        if (mult < 1).any():
+            raise ValueError("biased walks need integer arc weights >= 1")
+        widx = idx[reps]
+        owner = np.searchsorted(boundaries, prev[widx], side="right") - 1
+        blocks = []
+        for j in range(n_parts):
+            m = owner == j
+            blocks.append((widx[m], nbrs[m], mult[m]))
+        return blocks if n_parts > 1 else blocks[0]
+
+    def n2v_draw(self, prev_ref, step: int, seed: int,
+                 m_ret: int, m_base: int, m_far: int, *blocks):
+        """Phase B: finish the biased draw for walkers whose PREV vertex
+        lies here. Candidate class (node2vec d_tx): cand == prev -> return
+        (x m_ret); arc(prev, cand) exists -> common (x m_base); else far
+        (x m_far). Replica codes / hash identical to walk_step_weighted,
+        with the arc weight scaled by the class multiplier — an exact
+        categorical draw from the node2vec transition distribution."""
+        prev = prev_ref if isinstance(prev_ref, np.ndarray) else ray.get(prev_ref)
+        blocks = [b for b in blocks if len(b[0])]
+        z = np.empty(0, dtype=np.int64)
+        if not blocks:
+            return z, z
+        widx = np.concatenate([b[0] for b in blocks])
+        cand = np.concatenate([b[1] for b in blocks])
+        w = np.concatenate([b[2] for b in blocks])
+        pv = prev[widx]
+        is_ret = cand == pv
+        ac = self._ensure_arc_codes()
+        codes = (pv.astype(np.uint64) << np.uint64(32)) | cand.astype(np.uint64)
+        if len(ac):
+            at = np.searchsorted(ac, codes)
+            is_common = (at < len(ac)) & (ac[np.minimum(at, len(ac) - 1)]
+                                          == codes)
+        else:
+            is_common = np.zeros(len(codes), dtype=bool)
+        mclass = np.where(is_ret, m_ret, np.where(is_common, m_base, m_far))
+        mult = w * mclass
+        # replica expansion + hash-argmin, as in walk_step_weighted
+        total = len(cand)
+        cand_ix = np.repeat(np.arange(total), mult)
+        rep_ix = (np.arange(len(cand_ix), dtype=np.int64)
+                  - np.repeat(np.cumsum(mult) - mult, mult))
+        nbrs2 = cand[cand_ix]
+        walker2 = widx[cand_ix]
+        code = nbrs2.astype(np.uint64) + (rep_ix.astype(np.uint64)
+                                          << np.uint64(32))
+        with np.errstate(over="ignore"):
+            h = ((walker2.astype(np.uint64) * _WALK_C1)
+                 ^ (np.uint64(step + seed) * _WALK_C2)
+                 ^ (code * _WALK_C3)) * _WALK_C4
+        # each walker's rows are contiguous (one source partition per cur,
+        # boolean split preserves order) -> run boundaries via diff
+        chg = np.flatnonzero(np.diff(walker2)) + 1
+        seg = np.concatenate((np.zeros(1, dtype=np.int64), chg))
+        runlens = np.diff(np.append(seg, len(walker2)))
+        minh = np.minimum.reduceat(h, seg)
+        keep = np.where(h == np.repeat(minh, runlens), nbrs2,
+                        np.iinfo(np.int64).max)
+        nxt = np.minimum.reduceat(keep, seg)
+        return walker2[seg], nxt.astype(np.int64)
+
     def mode_label_gather(self, labels_ref) -> tuple[np.ndarray, np.ndarray]:
         """Weighted-mode incoming label per local v (community LPA step).
 

@@ -265,8 +265,9 @@ def detect_communities(
     if strategy == "louvain":
         from bluegraph_ray.stages.louvain import louvain_per_component
 
-        return louvain_per_component(edges, src=src, dst=dst, weight=weight,
-                                     n_partitions=n_partitions)
+        out = louvain_per_component(edges, src=src, dst=dst, weight=weight,
+                                    n_partitions=n_partitions).to_pandas()
+        return dict(zip(out["node"], out["community"]))
     if strategy == "girvan-newman":
         # per-component decomposition: removals never cross components, so
         # each component's loop is independent -> map_groups over components

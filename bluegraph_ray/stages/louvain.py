@@ -122,9 +122,16 @@ def louvain_per_component(
     dst: str = "dst",
     weight: str | None = None,
     n_partitions: int = 8,
-) -> dict:
+    max_component_edges: int = 5_000_000,
+) -> "ray.data.Dataset":
     """Distributed decomposition: CC first, then one louvain task per
-    component via groupby(component).map_groups."""
+    component via groupby(component).map_groups. -> Dataset(node, community).
+
+    Real graphs have one giant component, and Louvain's greedy phase-1 is
+    sequential — that component lands on a SINGLE worker. The
+    ``max_component_edges`` guard fails fast with a pointer at LPA
+    (stages/lpa.py, this engine's distributed-native community strategy)
+    instead of silently running a week-long single-core job."""
     import ray as _ray
 
     from bluegraph_ray.stages.build import build_graph
@@ -141,24 +148,35 @@ def louvain_per_component(
         total_w = float(edges.count())
     global_m2 = 2.0 * total_w
     cc = connected_components(handle)
-    comp_of = dict(zip((str(n) for n in handle.names), cc.values))
+    # label map stays numpy — a pd.Series keyed by node name (values int64,
+    # index the existing names array), broadcast once; NO O(n) Python dict
+    comp_of = pd.Series(cc.values.astype(np.int64),
+                        index=np.asarray([str(n) for n in handle.names]))
     ref = _ray.put(comp_of)
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         co = _ray.get(ref)
         batch = batch.copy()
-        batch["_comp"] = batch[src].astype(str).map(co).astype(np.int64)
+        comp = co.reindex(batch[src].astype(str).to_numpy()).to_numpy()
+        batch["_comp"] = comp.astype(np.int64)
         return batch
 
     def per_component(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > max_component_edges:
+            raise ValueError(
+                f"louvain_per_component: component {int(group['_comp'].iloc[0])} "
+                f"has {len(group)} edges > max_component_edges="
+                f"{max_component_edges}. Louvain's greedy phase is "
+                "single-worker per component; for graphs with a giant "
+                "component use the distributed LPA strategy "
+                "(detect_communities(strategy='lpa') / stages/lpa.py) or "
+                "raise max_component_edges explicitly.")
         part = louvain(group.drop(columns=["_comp"]), src=src, dst=dst,
                        weight=weight, m2=global_m2)
         return pd.DataFrame({"node": list(part), "community": list(part.values())})
 
-    out = (
+    return (
         edges.map_batches(tag, batch_format="pandas", batch_size=None)
         .groupby("_comp")
         .map_groups(per_component, batch_format="pandas")
-        .to_pandas()
     )
-    return dict(zip(out["node"], out["community"]))

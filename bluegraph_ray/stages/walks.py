@@ -119,6 +119,143 @@ def random_walks(
                 ray.kill(a)
 
 
+def _pq_multipliers(p: float, q: float) -> tuple[int, int, int]:
+    """node2vec bias factors (1/p, 1, 1/q) scaled to the smallest integer
+    triple (m_ret, m_base, m_far). Exact for rational p, q (floats are
+    snapped via limit_denominator) — the integer multipliers are what make
+    the multiset draw exact and SQL-replayable."""
+    from fractions import Fraction
+    from math import gcd, lcm
+
+    a_ret = 1 / Fraction(p).limit_denominator(10**6)
+    a_base = Fraction(1)
+    a_far = 1 / Fraction(q).limit_denominator(10**6)
+    scale = lcm(a_ret.denominator, a_base.denominator, a_far.denominator)
+    m = [int(a * scale) for a in (a_ret, a_base, a_far)]
+    g = gcd(*m)
+    return m[0] // g, m[1] // g, m[2] // g
+
+
+def random_walks_biased(
+    handle: GraphHandle,
+    *,
+    length: int = 8,
+    seed: int = 7,
+    p: float = 1.0,
+    q: float = 1.0,
+    starts: np.ndarray | None = None,
+    actors=None,
+    output_path: str | None = None,
+):
+    """node2vec-style second-order biased walks (reference surface:
+    ``backends/stellargraph/embed/embedders.py:49`` node2vec; semantics from
+    Grover & Leskovec 2016). -> DataFrame(walk_id, step, node), names.
+
+    Transition from (prev, cur): each neighbour x of cur weighs
+    w(cur,x) x alpha, alpha = 1/p if x == prev, 1 if x is a neighbour of
+    prev, 1/q otherwise. The alphas become exact integer multipliers
+    (:func:`_pq_multipliers`) on the arc-weight multiset, so the draw stays
+    an exact categorical sample, deterministic in (graph, seed), and
+    SQL-replayable (oracle_sql()["walk_biased_parts"]). Step 1 has no prev
+    and is the plain weighted first-order draw (walk_step_weighted).
+
+    Partitioning: a two-phase in-object-store exchange per superstep — see
+    CsrPartition.n2v_candidates/n2v_draw. Driver state stays O(#walks)
+    (two position vectors + refs); candidate blocks never leave plasma.
+    """
+    if handle.directed:
+        raise ValueError("random walks need undirected handles (a directed "
+                         "sink would strand the walk); build with "
+                         "directed=False or walk the bidirected expansion")
+    m_ret, m_base, m_far = _pq_multipliers(p, q)
+    own_actors = actors is None
+    if actors is None:
+        actors = make_partition_actors(handle)
+    try:
+        pos = (np.arange(handle.n, dtype=np.int64) if starts is None
+               else np.asarray(starts, dtype=np.int64))
+        start_ids = pos.copy()
+        prev = np.full(len(pos), -1, dtype=np.int64)
+        n_walks = len(pos)
+        names = np.asarray(handle.names)
+        boundaries = np.asarray(
+            handle.boundaries
+            or [(j * handle.n) // handle.n_partitions
+                for j in range(handle.n_partitions + 1)], dtype=np.int64)
+        n_parts = len(actors)
+
+        sink = None
+        trace = None
+        if output_path is not None:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(output_path, exist_ok=True)
+
+            def sink(step: int, nodes: np.ndarray) -> None:
+                pq.write_table(
+                    pa.table({"walk_id": names[start_ids],
+                              "step": np.full(n_walks, step, dtype=np.int64),
+                              "node": names[nodes]}),
+                    os.path.join(output_path, f"step={step:05d}.parquet"))
+        else:
+            trace = np.empty((length + 1, n_walks), dtype=np.int64)
+
+        def emit(step, nodes):
+            if sink is not None:
+                sink(step, nodes)
+            else:
+                trace[step] = nodes
+
+        emit(0, pos)
+        for t in range(1, length + 1):
+            pos_ref = ray.put(pos)
+            if t == 1:
+                parts = ray.get([a.walk_step_weighted.remote(pos_ref, t, seed)
+                                 for a in actors])
+            else:
+                prev_ref = ray.put(prev)
+                # phase A: candidate blocks, pre-split by owner-of-prev;
+                # refs only — the data moves worker-to-worker in plasma
+                if n_parts > 1:
+                    blocks = [a.n2v_candidates.options(num_returns=n_parts)
+                              .remote(pos_ref, prev_ref, boundaries)
+                              for a in actors]
+                    draws = [actors[j].n2v_draw.remote(
+                                 prev_ref, t, seed, m_ret, m_base, m_far,
+                                 *[blocks[i][j] for i in range(n_parts)])
+                             for j in range(n_parts)]
+                else:
+                    blocks = [a.n2v_candidates.remote(pos_ref, prev_ref,
+                                                      boundaries)
+                              for a in actors]
+                    draws = [actors[0].n2v_draw.remote(
+                                 prev_ref, t, seed, m_ret, m_base, m_far,
+                                 blocks[0])]
+                parts = ray.get(draws)
+            nxt = np.empty(n_walks, dtype=np.int64)
+            for idx, vals in parts:
+                nxt[idx] = vals
+            prev = pos
+            pos = nxt
+            emit(t, pos)
+        if output_path is not None:
+            return ray.data.read_parquet(output_path)
+        wid = np.tile(np.arange(n_walks, dtype=np.int64), length + 1)
+        steps = np.repeat(np.arange(length + 1, dtype=np.int64), n_walks)
+        return pd.DataFrame({
+            "walk_id": names[start_ids[wid]],
+            "step": steps,
+            "node": names[trace.ravel()],
+        })
+    finally:
+        if own_actors:
+            for a in actors:
+                ray.kill(a)
+
+
 def skipgram_pairs(
     walks: pd.DataFrame,
     *,

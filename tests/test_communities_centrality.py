@@ -246,8 +246,16 @@ def test_louvain_per_component_uses_global_2m():
     rows += [(f"b{u}", f"b{v}") for u, v in g.edges()]
     df = pd.DataFrame(rows, columns=["src", "dst"])
     whole = louvain(df)
-    fan = louvain_per_component(ray.data.from_pandas(df), n_partitions=4)
+    out = louvain_per_component(
+        ray.data.from_pandas(df), n_partitions=4).to_pandas()
+    fan = dict(zip(out["node"], out["community"]))
     assert fan == whole
+
+    # giant-component guard: a component above the cap must fail fast with
+    # a pointer at the distributed LPA strategy, not run single-worker
+    with pytest.raises(Exception, match="max_component_edges"):
+        louvain_per_component(ray.data.from_pandas(df), n_partitions=4,
+                              max_component_edges=10).to_pandas()
 
 
 def test_mst_deterministic_under_equal_weights():

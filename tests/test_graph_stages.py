@@ -458,6 +458,87 @@ def test_weighted_random_walks(karate_handle, tmp_path):
         out2.sort_values(["walk_id", "step"]).reset_index(drop=True))
 
 
+def test_node2vec_biased_walks(karate_handle, tmp_path):
+    """p/q-biased second-order walks: p=q=1 must equal the weighted walk
+    bitwise; (p=0.5, q=2) must match an independent per-step replay of the
+    multiset rule with prev-aware multipliers; output must be invariant to
+    the partition layout (the two-phase exchange is layout-free)."""
+    from bluegraph_ray.stages.build import (_WALK_C1, _WALK_C2, _WALK_C3,
+                                            _WALK_C4, build_graph)
+    from bluegraph_ray.stages.walks import (_pq_multipliers, random_walks,
+                                            random_walks_biased)
+
+    assert _pq_multipliers(0.5, 2.0) == (4, 2, 1)
+    assert _pq_multipliers(1.0, 1.0) == (1, 1, 1)
+    assert _pq_multipliers(2.0, 0.25) == (1, 2, 8)
+
+    df, _ = karate_handle
+    wdf = df.copy()
+    wdf["w"] = np.arange(len(wdf)) % 3 + 1
+    wh = build_graph(ray.data.from_pandas(wdf), weight="w", directed=False,
+                     n_partitions=3, path=str(tmp_path / "n2v"))
+
+    # degenerate bias == plain weighted walk, bitwise
+    neutral = random_walks_biased(wh, length=5, seed=5, p=1.0, q=1.0)
+    weighted = random_walks(wh, length=5, seed=5, weighted=True)
+    pd.testing.assert_frame_equal(
+        neutral.sort_values(["walk_id", "step"]).reset_index(drop=True),
+        weighted.sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+    # real bias vs brute-force second-order replay
+    seed, length = 5, 6
+    out = random_walks_biased(wh, length=length, seed=seed, p=0.5, q=2.0)
+    m_ret, m_base, m_far = _pq_multipliers(0.5, 2.0)
+    names = np.asarray(wh.names)
+    did = {v: i for i, v in enumerate(names)}
+    adj: dict = {i: [] for i in range(wh.n)}
+    for r in wdf.itertuples():
+        adj[did[r.src]].append((did[r.dst], int(r.w)))
+        adj[did[r.dst]].append((did[r.src], int(r.w)))
+    nbrs = {u: {v for v, _ in lst} for u, lst in adj.items()}
+
+    def step_choice(wid, t, prev, cur):
+        best = None
+        for u, w in adj[cur]:
+            if prev is None:
+                m = 1
+            elif u == prev:
+                m = m_ret
+            elif u in nbrs[prev]:
+                m = m_base
+            else:
+                m = m_far
+            for rep in range(w * m):
+                code = np.uint64(u) + (np.uint64(rep) << np.uint64(32))
+                with np.errstate(over="ignore"):
+                    h = ((np.uint64(wid) * _WALK_C1)
+                         ^ (np.uint64(t + seed) * _WALK_C2)
+                         ^ (code * _WALK_C3)) * _WALK_C4
+                key = (int(h), u)
+                if best is None or key < best:
+                    best = key
+        return best[1]
+
+    piv = out.pivot(index="walk_id", columns="step", values="node")
+    for name, row in piv.iterrows():
+        prev, cur = None, did[name]
+        assert row[0] == name
+        for t in range(1, length + 1):
+            prev, cur = cur, step_choice(did[name], t, prev, cur)
+            assert row[t] == names[cur], (name, t)
+
+    # layout invariance (single partition exercises the non-fan-out branch)
+    for npart, tag in ((1, "n2v1"), (2, "n2v2")):
+        wh2 = build_graph(ray.data.from_pandas(wdf), weight="w",
+                          directed=False, n_partitions=npart,
+                          path=str(tmp_path / tag))
+        out2 = random_walks_biased(wh2, length=length, seed=seed,
+                                   p=0.5, q=2.0)
+        pd.testing.assert_frame_equal(
+            out.sort_values(["walk_id", "step"]).reset_index(drop=True),
+            out2.sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+
 def test_skipgram_pairs_match_bruteforce(karate_handle):
     from collections import Counter
 
