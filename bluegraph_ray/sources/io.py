@@ -223,6 +223,183 @@ def parse_ntriples(text: str) -> list:
     return out
 
 
+def _ttl_tokens(text: str):
+    """Tokenize the Turtle subset: IRIs, strings, prefixed names, directives,
+    lang tags, ``^^``, punctuation. Yields (kind, value) with kind in
+    {iri, string, punct, word}."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "<":
+            j = text.index(">", i)
+            yield ("iri", text[i + 1:j])
+            i = j + 1
+            continue
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == '"':
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError("unterminated string literal in Turtle")
+            yield ("string", _nt_unescape(text[i + 1:j]))
+            i = j + 1
+            continue
+        if text.startswith("^^", i):
+            yield ("punct", "^^")
+            i += 2
+            continue
+        if c in ";,[]()":
+            yield ("punct", c)
+            i += 1
+            continue
+        if c == "." and (i + 1 >= n or text[i + 1] in " \t\r\n#"):
+            yield ("punct", ".")
+            i += 1
+            continue
+        j = i
+        while j < n and text[j] not in ' \t\r\n;,[]()"<#':
+            j += 1
+        tok = text[i:j]
+        # a trailing '.' on a bare token is the statement terminator
+        # (pnames in this subset never end in '.'; numbers keep theirs)
+        dot = tok.endswith(".") and not re.match(r"^[+-]?\d+\.$", tok)
+        if dot:
+            tok = tok[:-1]
+            j -= 1
+        yield ("word", tok)
+        i = j
+
+
+def parse_turtle(text: str) -> list:
+    """From-scratch parser for the Turtle subset that real OWL exports (and
+    the reference's own ``tests/test_ontology.ttl``) use: ``@prefix`` /
+    ``@base`` directives, prefixed names, ``a``, predicate (``;``) and
+    object (``,``) lists, anonymous blank-node property lists ``[ ... ]``
+    (OWL restrictions), string literals with ``^^datatype`` / ``@lang``
+    tags, numbers and booleans. -> the same (s, p, o, is_literal) tuples as
+    :func:`parse_ntriples`. RDF collections ``( ... )`` are not supported."""
+    toks = list(_ttl_tokens(text))
+    pos = 0
+    prefixes: dict = {}
+    base = [""]
+    bn = [0]
+    triples: list = []
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(expect: str | None = None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("unexpected end of Turtle input")
+        k, v = toks[pos]
+        pos += 1
+        if expect is not None and (k, v) != ("punct", expect):
+            raise ValueError(f"expected {expect!r}, got {k} {v!r}")
+        return k, v
+
+    def resolve_iri(v: str) -> str:
+        return v if "://" in v or not base[0] else base[0] + v
+
+    def resolve_pname(v: str) -> str:
+        pre, sep, local = v.partition(":")
+        if not sep or pre not in prefixes:
+            raise ValueError(f"unknown prefixed name {v!r} in Turtle subset")
+        return prefixes[pre] + local
+
+    def parse_term(k, v, as_subject=False):
+        """-> (value, is_literal); emits nested triples for [ ... ]."""
+        if k == "iri":
+            return resolve_iri(v), False
+        if k == "string":
+            nk, nv = peek()
+            if (nk, nv) == ("punct", "^^"):
+                take()
+                dk, dv = take()  # datatype iri/pname, dropped (reference
+                if dk not in ("iri", "word"):  # folds o.value anyway)
+                    raise ValueError("bad datatype after ^^")
+            elif nk == "word" and nv.startswith("@"):
+                take()  # language tag, dropped
+            return v, True
+        if (k, v) == ("punct", "["):
+            node = f"_:ttlb{bn[0]}"
+            bn[0] += 1
+            parse_po_list(node, "]")
+            take("]")
+            return node, False
+        if k == "word":
+            if v == "a":
+                return _RDF_TYPE, False
+            if v in ("true", "false") or re.match(
+                    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", v):
+                return v, True
+            if v.startswith("_:"):
+                return v, False
+            return resolve_pname(v), False
+        raise ValueError(f"unexpected Turtle token {k} {v!r}")
+
+    def parse_po_list(subject: str, closer: str):
+        while True:
+            k, v = peek()
+            if (k, v) == ("punct", closer) or k is None:
+                return
+            pk, pv = take()
+            pred, plit = parse_term(pk, pv)
+            if plit:
+                raise ValueError("literal in predicate position")
+            while True:
+                ok, ov = take()
+                obj, olit = parse_term(ok, ov)
+                triples.append((subject, pred, obj, olit))
+                if peek() == ("punct", ","):
+                    take()
+                    continue
+                break
+            if peek() == ("punct", ";"):
+                take()
+                # tolerate trailing ';' before the closer
+                continue
+            return
+
+    while pos < len(toks):
+        k, v = take()
+        if k == "word" and v.lower() in ("@prefix", "prefix"):
+            _, pname = take()
+            ik, iri = take()
+            if ik != "iri":
+                raise ValueError("@prefix needs an IRI")
+            prefixes[pname.rstrip(":")] = iri
+            if peek() == ("punct", "."):
+                take()
+            continue
+        if k == "word" and v.lower() in ("@base", "base"):
+            ik, iri = take()
+            if ik != "iri":
+                raise ValueError("@base needs an IRI")
+            base[0] = iri
+            if peek() == ("punct", "."):
+                take()
+            continue
+        subj, slit = parse_term(k, v, as_subject=True)
+        if slit:
+            raise ValueError("literal in subject position")
+        parse_po_list(subj, ".")
+        take(".")
+    return triples
+
+
 def frame_from_ontology(path: str | None = None, *, triples=None,
                         format: str = "nt",
                         remove_prop_uris: bool = False) -> RayPGFrame:
@@ -233,30 +410,34 @@ def frame_from_ontology(path: str | None = None, *, triples=None,
     properties to labeled targets become edges typed by predicate URI;
     literal predicates become node properties (multi-valued -> list).
 
-    ``format="nt"`` (N-Triples) parses natively — no rdflib needed; other
-    RDF serializations (turtle, xml) require rdflib and stay gated in this
-    container."""
+    ``format="nt"`` (N-Triples) and ``format="turtle"``/``"ttl"`` (the
+    OWL-export Turtle subset, :func:`parse_turtle`) parse natively — no
+    rdflib needed; other RDF serializations (xml, json-ld via rdflib)
+    require rdflib and stay gated in this container."""
     if path is None and triples is None:
         raise ValueError("Ontology source must be specified: both "
                          "'path' and 'triples' are None")
     if triples is None:
-        if format != "nt":
+        if format == "nt":
+            with open(path) as fh:
+                triples = parse_ntriples(fh.read())
+        elif format in ("turtle", "ttl"):
+            with open(path) as fh:
+                triples = parse_turtle(fh.read())
+        else:
             try:
                 import rdflib  # noqa: F401
             except ImportError as e:
                 raise NotImplementedError(
                     f"from_ontology(format={format!r}) requires rdflib "
                     "(absent in this container); N-Triples (format='nt') "
-                    "parses natively") from e
+                    "and Turtle (format='turtle') parse natively") from e
             g = __import__("rdflib").Graph()
             g.parse(path, format=format)
             triples = [(str(s), str(p),
                         o.value if hasattr(o, "value") else str(o),
                         hasattr(o, "value"))
                        for s, p, o in g]
-        else:
-            with open(path) as fh:
-                triples = parse_ntriples(fh.read())
 
     labels: dict = {}
     types: dict = {}

@@ -54,22 +54,45 @@ def partition_to_sets(partition: dict) -> list:
 
 
 def _girvan_newman_component(edges: pd.DataFrame, n_communities: int,
-                             weight: str | None, src: str, dst: str) -> dict:
-    """Brandes betweenness + edge removal loop on one component (driver-side
-    NetworkX, matching the reference's exact semantics)."""
+                             weight: str | None, src: str, dst: str,
+                             intermediate: bool = False) -> dict:
+    """Brandes betweenness + edge removal loop (driver-side NetworkX,
+    matching the reference's exact semantics,
+    backends/networkx/analyse/communities.py:83-109): with ``weight`` set
+    the most-valuable edge is the HEAVIEST one (reference ``heaviest``
+    selector, :42-44), else the highest-betweenness one.
+
+    ``intermediate=False`` -> {node: community} at the last layer with
+    <= n_communities communities; ``intermediate=True`` -> {node: [community
+    per layer]} across every layer up to that bound (reference :99-107)."""
+    import itertools
+    from operator import itemgetter
+
     import networkx as nx
 
     g = nx.Graph()
     for r in edges.itertuples(index=False):
-        d = r._asdict() if hasattr(r, "_asdict") else {}
         g.add_edge(getattr(r, src), getattr(r, dst),
                    **({weight: float(getattr(r, weight))} if weight else {}))
-    comps = list(nx.connected_components(g))
-    while len(comps) < n_communities and g.number_of_edges():
-        bt = nx.edge_betweenness_centrality(g, weight=None)
-        g.remove_edge(*max(bt, key=bt.get))
-        comps = list(nx.connected_components(g))
-    return community_sets_to_dict(comps)
+
+    def heaviest(graph):
+        u, v, _w = max(graph.edges(data=weight), key=itemgetter(2))
+        return (u, v)
+
+    gen = nx.algorithms.community.centrality.girvan_newman(
+        g, most_valuable_edge=heaviest if weight is not None else None)
+    layers = list(itertools.takewhile(
+        lambda c: len(c) <= n_communities, gen))
+    nodes = list(g.nodes())
+    if not intermediate:
+        return community_sets_to_dict(layers[-1]) if layers else {
+            n: 0 for n in nodes}
+    partition: dict = {n: [] for n in nodes}
+    for layer in layers:
+        for i, community in enumerate(layer):
+            for el in community:
+                partition[el].append(i)
+    return partition
 
 
 def _agglomerative_constrained(features: np.ndarray, conn: np.ndarray,
@@ -255,8 +278,14 @@ def detect_communities(
     linkage: str = "average",
     min_communities: int | None = None,
     max_communities: int | None = None,
+    intermediate: bool = False,
 ) -> dict:
-    """-> {node: community_label}."""
+    """-> {node: community_label}; with ``intermediate=True``
+    (girvan-newman only, reference
+    backends/networkx/analyse/communities.py:99-107) -> {node: [label per
+    GN layer]}."""
+    if intermediate and strategy != "girvan-newman":
+        raise ValueError("intermediate=True is a girvan-newman option")
     if strategy == "lpa":
         handle = build_graph(edges, src=src, dst=dst, weight=weight,
                              directed=False, n_partitions=n_partitions)
@@ -279,11 +308,12 @@ def detect_communities(
         cc = connected_components(handle)
         ncomp = len(np.unique(cc.values))
         pdf = edges.to_pandas()
-        if ncomp >= n_communities:
+        if ncomp >= n_communities and not intermediate:
             labels = {str(n): int(l) for n, l in zip(handle.names, cc.values)}
             return labels
         return {str(k): v for k, v in _girvan_newman_component(
-            pdf, n_communities, weight, src, dst).items()}
+            pdf, n_communities, weight, src, dst,
+            intermediate=intermediate).items()}
     if strategy == "hierarchical":
         pdf = edges.to_pandas() if hasattr(edges, "to_pandas") else edges
         nodes = np.sort(pd.unique(pd.concat([pdf[src], pdf[dst]]).to_numpy()))

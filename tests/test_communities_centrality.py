@@ -59,6 +59,51 @@ def test_girvan_newman_two_communities():
     assert sorted(map(sorted, sets)) == [["a", "b", "c"], ["x", "y", "z"]]
 
 
+def test_girvan_newman_intermediate_layers():
+    """GN ``intermediate=True`` (reference backends/networkx/analyse/
+    communities.py:99-107 + tests/analyse/test_communities.py:81-95): every
+    node maps to its community index at EACH layer up to n_communities; the
+    last layer equals the non-intermediate partition; layer community counts
+    are monotone; the weighted variant uses the heaviest-edge selector."""
+    # two triangles + a path tail: GN layers 2 then 3 then 4 communities
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"),
+            ("z", "t"), ("t", "u")]
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+    ds = ray.data.from_pandas(df)
+    inter = communities.detect_communities(
+        ds, strategy="girvan-newman", n_communities=4, intermediate=True,
+        n_partitions=2)
+    nodes = set(df["src"]) | set(df["dst"])
+    assert set(inter) == nodes
+    lens = {len(v) for v in inter.values()}
+    assert len(lens) == 1 and lens.pop() > 0  # same layer count everywhere
+    # per-layer community counts strictly increase and stay <= 4
+    n_layers = len(next(iter(inter.values())))
+    counts = [len({inter[n][i] for n in nodes}) for i in range(n_layers)]
+    assert counts == sorted(set(counts)) and counts[-1] <= 4
+    flat = communities.detect_communities(
+        ds, strategy="girvan-newman", n_communities=4, n_partitions=2)
+    last = {n: inter[n][-1] for n in nodes}
+    assert communities.partition_to_sets(last) == \
+        communities.partition_to_sets(flat)
+
+    # weighted: heaviest edge goes first (reference `heaviest`, :42-44) —
+    # weight the triangle edge (a,b) highest, so layer 1 cuts it, NOT the
+    # bridge; a-b end up together only via c
+    wdf = df.copy()
+    wdf["strength"] = 1.0
+    wdf.loc[0, "strength"] = 9.0  # (a, b)
+    winter = communities.detect_communities(
+        ray.data.from_pandas(wdf), strategy="girvan-newman",
+        weight="strength", n_communities=4, intermediate=True,
+        n_partitions=2)
+    assert set(winter) == nodes
+    # intermediate=True only applies to girvan-newman
+    with pytest.raises(ValueError, match="girvan-newman"):
+        communities.detect_communities(ds, strategy="lpa", intermediate=True)
+
+
 def test_unknown_strategies_raise():
     df, _ = karate()
     ds = ray.data.from_pandas(df)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -56,10 +58,11 @@ def test_gephi_export(tmp_path):
     )
 
 
-def test_ontology_non_nt_formats_gated():
-    # turtle/xml still require rdflib (absent here); N-Triples parses natively
+def test_ontology_non_native_formats_gated():
+    # xml still requires rdflib (absent here); N-Triples and the Turtle
+    # subset parse natively
     with pytest.raises(NotImplementedError):
-        gio.frame_from_ontology("/tmp/nope.ttl", format="turtle")
+        gio.frame_from_ontology("/tmp/nope.owl", format="xml")
 
 
 _ONTO_NT = """
@@ -99,6 +102,98 @@ def test_from_ontology_ntriples(tmp_path):
              for r in f.edges_df().to_dict("records")}
     assert types == {("Neuron", "Cell"): ["IS_SUBCLASS_OF"],
                      ("Neuron", "Brain"): ["part_of"]}
+
+
+_ONTO_TTL = """
+@prefix : <http://ex.org/onto#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@base <http://ex.org/onto> .
+
+<http://ex.org/onto> rdf:type owl:Ontology .
+
+:partOf rdf:type owl:ObjectProperty ;
+        rdfs:label "part_of"@en .
+
+:Cell rdf:type owl:Class ;
+      rdfs:label "Cell"@en ;
+      :definition "Basic unit \\"of\\" life"^^xsd:string ;
+      :synonym "cellule"@fr , "zelle" .
+
+# nested anonymous restriction + plain superclass in one predicate list
+:Neuron rdf:type owl:Class ;
+        rdfs:subClassOf :Cell ,
+                        [ rdf:type owl:Restriction ;
+                          owl:onProperty :partOf ;
+                          owl:someValuesFrom :Brain
+                        ] ;
+        rdfs:label "Neuron"@en .
+
+:Brain a owl:Class ;
+       rdfs:label "Brain"@en .
+
+:n1 rdf:type owl:NamedIndividual ;
+    rdfs:label "my neuron" .
+
+:Unlabeled rdf:type owl:Class .
+"""
+
+
+def test_from_ontology_turtle(tmp_path):
+    """Native Turtle-subset path (sources/io.parse_turtle) must fold to the
+    exact same frame as the equivalent N-Triples (reference core/io.py:617,
+    whose default format is turtle)."""
+    p = tmp_path / "onto.ttl"
+    p.write_text(_ONTO_TTL)
+    f = gio.frame_from_ontology(str(p), format="turtle",
+                                remove_prop_uris=True)
+    assert sorted(f.nodes()) == ["Brain", "Cell", "Neuron", "my neuron"]
+    nd = f.nodes_df().set_index("@id")
+    assert nd.loc["Cell", "definition"] == 'Basic unit "of" life'
+    assert sorted(nd.loc["Cell", "synonym"]) == ["cellule", "zelle"]
+    types = {(r["@source_id"], r["@target_id"]): list(r["@type"])
+             for r in f.edges_df().to_dict("records")}
+    assert types == {("Neuron", "Cell"): ["IS_SUBCLASS_OF"],
+                     ("Neuron", "Brain"): ["part_of"]}
+
+
+_REF_TTL = "/root/reference/tests/test_ontology.ttl"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_TTL),
+                    reason="reference fixture not present")
+def test_from_ontology_reference_fixture():
+    """Mirror the reference's own test_from_ontology assertions
+    (tests/io/test_pgframes.py:198-210) on its fixture: 10 nodes, 14 edges,
+    annotation props a/b resolved to their labeled names."""
+    f = gio.frame_from_ontology(_REF_TTL, format="turtle")
+    assert len(f.nodes()) == 10
+    assert len(f.edges()) == 14
+    nd = f.nodes_df().set_index("@id")
+    assert nd.loc["Agent", "a"] == "hello"
+    assert nd.loc["Action", "a"] == "Lala"
+    assert nd.loc["Agent", "b"] == "bye"
+    assert nd.loc["Action", "b"] == "Lblb"
+
+
+def test_parse_turtle_forms():
+    t = gio.parse_turtle(
+        '@prefix ex: <http://e/> .\n'
+        'ex:s a ex:C ; ex:p "x"@en , "1.5"^^ex:dt ; ex:q 2.5 , true .\n'
+        '<http://a> ex:p [ ex:r ex:o ] .\n')
+    assert ("http://e/s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://e/C", False) in t
+    assert ("http://e/s", "http://e/p", "x", True) in t
+    assert ("http://e/s", "http://e/p", "1.5", True) in t
+    assert ("http://e/s", "http://e/q", "2.5", True) in t
+    assert ("http://e/s", "http://e/q", "true", True) in t
+    bn = [o for s, p, o, l in t if s == "http://a" and p == "http://e/p"][0]
+    assert bn.startswith("_:")
+    assert (bn, "http://e/r", "http://e/o", False) in t
+    with pytest.raises(ValueError):
+        gio.parse_turtle("und:efined ex:p ex:o .")
 
 
 def test_parse_ntriples_forms():
