@@ -1214,6 +1214,57 @@ def q_node2vec_embed(sf_dir: str):
     return out
 
 
+def q_hierarchy_edges(sf_dir: str):
+    """Child->parent taxonomy edge extraction (customer -> nation -> region)
+    — the distributed front half of the Poincaré embedder. The tiny
+    nation/region tables are broadcast via ``ray.put`` and joined inside
+    ``map_batches`` (vectorized ``Series.map`` + string concat); only the
+    customer fact table streams."""
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet",
+        columns=["r_regionkey", "r_name"]).to_pandas()
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nref)
+        return pd.DataFrame({
+            "src": "cust:" + batch["c_custkey"].astype(str),
+            "dst": "nation:" + batch["c_nationkey"].map(nm),
+        })
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    nr = pd.DataFrame({
+        "src": "nation:" + nation["n_name"],
+        "dst": "region:" + nation["n_regionkey"].map(rmap),
+    })
+    return cust.map_batches(to_edges, batch_format="pandas").union(
+        ray.data.from_pandas(nr))
+
+
+def q_poincare_embed(sf_dir: str):
+    """Poincaré-ball embeddings of the customer->nation->region taxonomy
+    (pipelines/hyperbolic.poincare_embeddings — fills the reference's gensim
+    poincare slot, ``backends/gensim/embed/embedders.py:30-93``, rebuilt as
+    numpy Riemannian SGD). Edge extraction is hash-verified separately
+    (``hierarchy_edges``); the RSGD training loop is seeded/deterministic
+    but not SQL-expressible. Rows-only driver check."""
+    from bluegraph_ray.pipelines.hyperbolic import poincare_embeddings
+
+    out = poincare_embeddings(
+        q_hierarchy_edges(sf_dir), dimension=8, epochs=15, negative=5,
+        batch_size=2048, num_buckets=8)
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1499,6 +1550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_biased_parts": q_walk_biased_parts,          # new in r4
         "walk_biased_skipgrams": q_walk_biased_skipgrams,  # new in r4
         "node2vec_embed": q_node2vec_embed,                # new in r4
+        "hierarchy_edges": q_hierarchy_edges,              # new in r4
+        "poincare_embed": q_poincare_embed,                # new in r4
         "deepwalk_embed": q_deepwalk_embed,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,
@@ -1995,6 +2048,13 @@ FROM m
 """
 
     return {
+        "hierarchy_edges": """
+SELECT 'cust:' || c_custkey AS src, 'nation:' || n_name AS dst
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'nation:' || n_name AS src, 'region:' || r_name AS dst
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
         "cooc_edges": f"""
 WITH {_EDGES_FREQ},
 ef AS (SELECT entity, COUNT(*) AS freq FROM occ GROUP BY 1),
