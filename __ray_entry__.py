@@ -1265,6 +1265,77 @@ def q_poincare_embed(sf_dir: str):
     return out
 
 
+def q_kg_triples(sf_dir: str):
+    """Knowledge-graph triple extraction from the relational tables —
+    (customer)-[in_nation]->(nation), (supplier)-[in_nation]->(nation),
+    (order)-[placed_by]->(customer), (order)-[contains]->(part). Pure
+    per-batch vectorized string maps over pruned reads; only the lineitem
+    branch needs a distinct (same part can repeat within an order)."""
+    from bluegraph_ray.util import hash_distinct, tune_context
+
+    tune_context()
+
+    def _map(path, cols, fn):
+        return ray.data.read_parquet(f"{sf_dir}/{path}", columns=cols) \
+            .map_batches(fn, batch_format="pandas")
+
+    def _triples(src_pfx, src_col, rel, dst_pfx, dst_col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": src_pfx + b[src_col].astype(str),
+                "rel": rel,
+                "dst": dst_pfx + b[dst_col].astype(str),
+            })
+        return fn
+
+    cust = _map("customer.parquet", ["c_custkey", "c_nationkey"],
+                _triples("cust:", "c_custkey", "in_nation",
+                         "nation:", "c_nationkey"))
+    supp = _map("supplier.parquet", ["s_suppkey", "s_nationkey"],
+                _triples("supp:", "s_suppkey", "in_nation",
+                         "nation:", "s_nationkey"))
+    orders = _map("orders.parquet", ["o_orderkey", "o_custkey"],
+                  _triples("order:", "o_orderkey", "placed_by",
+                           "cust:", "o_custkey"))
+    li = hash_distinct(
+        _map("lineitem.parquet", ["l_orderkey", "l_partkey"],
+             _triples("order:", "l_orderkey", "contains",
+                      "part:", "l_partkey")),
+        ["src", "dst"], num_buckets=16)
+    return cust.union(supp).union(orders).union(li)
+
+
+_KG_CACHE: dict = {}
+
+
+def _kge_query(sf_dir: str, model: str):
+    from bluegraph_ray.pipelines.kge import kge_embeddings
+
+    if sf_dir not in _KG_CACHE:  # both KGE queries fit the same triples
+        _KG_CACHE[sf_dir] = q_kg_triples(sf_dir).to_pandas()
+    fit = kge_embeddings(_KG_CACHE[sf_dir], model=model, dimension=16,
+                         epochs=3, negative=4, batch_size=8192, seed=0,
+                         num_buckets=16)
+    out = fit["nodes"]
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
+def q_kge_distmult(sf_dir: str):
+    """DistMult knowledge-graph embeddings over the TPC-H triple table
+    (pipelines/kge.kge_embeddings — the reference's stellargraph "distmult"
+    name, ``backends/stellargraph/embed/embedders.py:49-57``, rebuilt as
+    numpy SGD). Triple extraction hash-verified separately (kg_triples);
+    the SGD fit is seeded/deterministic but not SQL-expressible. Rows-only."""
+    return _kge_query(sf_dir, "distmult")
+
+
+def q_kge_complex(sf_dir: str):
+    """ComplEx KGE over the same triples — the antisymmetric-capable model
+    (reference "complex" slot). Rows-only; see q_kge_distmult."""
+    return _kge_query(sf_dir, "complex")
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1552,6 +1623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_embed": q_node2vec_embed,                # new in r4
         "hierarchy_edges": q_hierarchy_edges,              # new in r4
         "poincare_embed": q_poincare_embed,                # new in r4
+        "kg_triples": q_kg_triples,                        # new in r4
+        "kge_distmult": q_kge_distmult,                    # new in r4
+        "kge_complex": q_kge_complex,                      # new in r4
         "deepwalk_embed": q_deepwalk_embed,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,
@@ -2054,6 +2128,18 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 UNION ALL
 SELECT 'nation:' || n_name AS src, 'region:' || r_name AS dst
 FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+        "kg_triples": """
+SELECT 'cust:' || c_custkey AS src, 'in_nation' AS rel,
+       'nation:' || c_nationkey AS dst FROM customer
+UNION ALL
+SELECT 'supp:' || s_suppkey, 'in_nation', 'nation:' || s_nationkey
+FROM supplier
+UNION ALL
+SELECT 'order:' || o_orderkey, 'placed_by', 'cust:' || o_custkey FROM orders
+UNION ALL
+SELECT DISTINCT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey
+FROM lineitem
 """,
         "cooc_edges": f"""
 WITH {_EDGES_FREQ},

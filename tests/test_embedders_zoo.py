@@ -114,3 +114,130 @@ def test_poincare_empty_edges():
     out = poincare_embeddings(pd.DataFrame({"src": [], "dst": []}),
                               dimension=4)
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# KGE: DistMult / ComplEx (pipelines/kge.py)
+# ---------------------------------------------------------------------------
+
+from bluegraph_ray.pipelines.kge import (kge_embeddings, kge_score,
+                                         score_triples)
+
+
+def test_kge_score_formulas():
+    rng = np.random.default_rng(0)
+    es, wr, eo = rng.normal(size=(3, 6)), rng.normal(size=(3, 6)), \
+        rng.normal(size=(3, 6))
+    want = np.sum(es * wr * eo, axis=-1)
+    assert np.allclose(kge_score("distmult", es, wr, eo), want)
+    # DistMult is exactly symmetric in (s, o)
+    assert np.allclose(kge_score("distmult", es, wr, eo),
+                       kge_score("distmult", eo, wr, es))
+    # ComplEx: Re(<s, r, conj(o)>) with [real | imag] layout
+    s = es[:, :3] + 1j * es[:, 3:]
+    r = wr[:, :3] + 1j * wr[:, 3:]
+    o = eo[:, :3] + 1j * eo[:, 3:]
+    want_c = np.real(np.sum(s * r * np.conj(o), axis=-1))
+    assert np.allclose(kge_score("complex", es, wr, eo), want_c)
+    # and is NOT symmetric in general
+    assert not np.allclose(kge_score("complex", es, wr, eo),
+                           kge_score("complex", eo, wr, es))
+
+
+def test_kge_validation():
+    t = pd.DataFrame({"src": ["a"], "rel": ["r"], "dst": ["b"]})
+    with pytest.raises(ValueError, match="unknown KGE model"):
+        kge_embeddings(t, model="transformer")
+    with pytest.raises(ValueError, match="even dimension"):
+        kge_embeddings(t, model="complex", dimension=5)
+    with pytest.raises(ValueError, match="max_triples"):
+        kge_embeddings(pd.concat([t.assign(dst=f"b{i}") for i in range(9)]),
+                       max_triples=4)
+
+
+def _group_kg(groups=3, size=6):
+    rows = []
+    for g in range(groups):
+        members = [f"e{g}_{i}" for i in range(size)]
+        for a in members:
+            for b in members:
+                if a != b:
+                    rows.append((a, "same_group", b))
+    return pd.DataFrame(rows, columns=["src", "rel", "dst"])
+
+
+def test_distmult_learns_group_structure():
+    kg = _group_kg()
+    fit = kge_embeddings(kg, model="distmult", dimension=16, epochs=150,
+                         negative=6, seed=1, batch_size=64)
+    assert fit["model"] == "distmult"
+    assert list(fit["relations"]["@id"]) == ["same_group"]
+    # deterministic
+    fit2 = kge_embeddings(kg, model="distmult", dimension=16, epochs=150,
+                          negative=6, seed=1, batch_size=64)
+    assert np.array_equal(np.stack(fit["nodes"]["embedding"].to_numpy()),
+                          np.stack(fit2["nodes"]["embedding"].to_numpy()))
+    # AUC: intra-group positives vs cross-group negatives
+    pos = score_triples(kg, fit)["score"].to_numpy()
+    rng = np.random.default_rng(0)
+    ents = fit["nodes"]["@id"].to_numpy()
+    groups = {e: e.split("_")[0] for e in ents}
+    neg_rows = []
+    while len(neg_rows) < 200:
+        a, b = rng.choice(ents, 2, replace=False)
+        if groups[a] != groups[b]:
+            neg_rows.append((a, "same_group", b))
+    neg = score_triples(
+        pd.DataFrame(neg_rows, columns=["src", "rel", "dst"]), fit
+    )["score"].to_numpy()
+    auc = np.mean(pos[:, None] > neg[None, :])
+    assert auc > 0.9
+
+
+def test_complex_learns_antisymmetric_cycle():
+    n = 20
+    kg = pd.DataFrame({"src": [f"v{i}" for i in range(n)],
+                       "rel": "next",
+                       "dst": [f"v{(i + 1) % n}" for i in range(n)]})
+    fit = kge_embeddings(kg, model="complex", dimension=32, epochs=800,
+                         negative=8, seed=2, batch_size=32,
+                         learning_rate=0.05)
+    fwd = score_triples(kg, fit)["score"].to_numpy()
+    rev = score_triples(kg.rename(columns={"src": "dst", "dst": "src"}),
+                        fit)["score"].to_numpy()
+    # antisymmetric relation: trained direction dominates the reverse
+    assert np.mean(fwd) > np.mean(rev) + 1.0
+    assert np.mean(fwd[:, None] > rev[None, :]) > 0.85
+
+
+def test_score_triples_distributed_matches_local():
+    import ray
+
+    kg = _group_kg(groups=2, size=4)
+    fit = kge_embeddings(kg, model="complex", dimension=8, epochs=20,
+                         seed=0, batch_size=32)
+    local = score_triples(kg, fit)
+    dist = score_triples(ray.data.from_pandas(kg), fit).to_pandas()
+    merged = local.merge(dist, on=["src", "rel", "dst"],
+                         suffixes=("_l", "_d"))
+    assert len(merged) == len(kg)
+    assert np.allclose(merged["score_l"], merged["score_d"])
+    # unknown entity scores NaN, not an error
+    unk = score_triples(pd.DataFrame(
+        {"src": ["nope"], "rel": ["same_group"], "dst": ["e0_0"]}), fit)
+    assert np.isnan(unk["score"]).all()
+
+
+def test_kge_dataset_input_and_empty():
+    import ray
+
+    kg = _group_kg(groups=2, size=3)
+    ds = ray.data.from_pandas(pd.concat([kg, kg], ignore_index=True))
+    fit = kge_embeddings(ds, model="distmult", dimension=8, epochs=3,
+                         num_buckets=4, seed=5)
+    fit_pd = kge_embeddings(kg, model="distmult", dimension=8, epochs=3,
+                            seed=5)
+    assert np.array_equal(np.stack(fit["nodes"]["embedding"].to_numpy()),
+                          np.stack(fit_pd["nodes"]["embedding"].to_numpy()))
+    empty = kge_embeddings(pd.DataFrame({"src": [], "rel": [], "dst": []}))
+    assert len(empty["nodes"]) == 0 and len(empty["relations"]) == 0
