@@ -1336,6 +1336,111 @@ def q_kge_complex(sf_dir: str):
     return _kge_query(sf_dir, "complex")
 
 
+def _part_features(sf_dir: str) -> "ray.data.Dataset":
+    """(node=l_partkey, retailprice/1000, size/50) — scaled numeric part
+    features for the inductive encoders (scaling keeps the sigmoid/relu
+    pre-activations in range; any real pipeline would use the
+    StandardScalerEncoder here)."""
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": b["p_partkey"].astype(np.int64),
+            "retailprice": b["p_retailprice"].astype(np.float64) / 1000.0,
+            "size": b["p_size"].astype(np.float64) / 50.0,
+        })
+
+    return part.map_batches(fn, batch_format="pandas")
+
+
+def q_sage_agg_parts(sf_dir: str):
+    """GraphSAGE mean-aggregator as a relational plan
+    (pipelines/sage.mean_neighbor_features): symmetrized co-occurrence
+    edges hash-joined to the part feature table on the neighbor endpoint,
+    hash-aggregated mean per node. Exactly replayable in SQL (AVG over the
+    neighbor join)."""
+    from bluegraph_ray.pipelines.sage import mean_neighbor_features
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)) \
+        .select_columns(["src", "dst"])
+    agg = mean_neighbor_features(edges, _part_features(sf_dir),
+                                 num_buckets=16)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["retailprice"] = np.round(b["retailprice"].to_numpy(), 6)
+        b["size"] = np.round(b["size"].to_numpy(), 6)
+        return b
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _edge_pairs(sf_dir: str) -> pd.DataFrame:
+    """Symmetrized cooc edges as (center, context, n=frequency) training
+    pairs for the unsupervised inductive encoders."""
+    e = _cooc_edges(sf_dir, statistics=("frequency",)) \
+        .select_columns(["src", "dst", "frequency"]).to_pandas()
+    return pd.concat([
+        e.rename(columns={"src": "center", "dst": "context",
+                          "frequency": "n"}),
+        e.rename(columns={"src": "context", "dst": "center",
+                          "frequency": "n"}),
+    ], ignore_index=True)
+
+
+def q_attri2vec_embed(sf_dir: str):
+    """attri2vec over the part co-occurrence graph: sigmoid feature encoder
+    vs free context table, BCE on frequency-weighted edge pairs
+    (pipelines/sage.attri2vec_fit — the reference's stellargraph
+    "attri2vec" name, ``backends/stellargraph/embed/embedders.py:56``).
+    SGD fit is seeded/deterministic, not SQL-expressible. Rows-only."""
+    from bluegraph_ray.pipelines.sage import attri2vec_fit
+
+    fit = attri2vec_fit(_part_features(sf_dir), _edge_pairs(sf_dir),
+                        dimension=16, epochs=3, negative=4,
+                        batch_size=8192, seed=0)
+    out = fit["nodes"]
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
+def q_graphsage_embed(sf_dir: str):
+    """GraphSAGE-mean over the part co-occurrence graph (reference
+    "graphsage" slot): h = l2norm(leakyrelu([x ; mean_N x] W)), trained
+    unsupervised on frequency-weighted edge pairs. The aggregation stage is
+    hash-verified separately (sage_agg_parts). Rows-only."""
+    from bluegraph_ray.pipelines.sage import graphsage_fit
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)) \
+        .select_columns(["src", "dst"]).to_pandas()
+    fit = graphsage_fit(_part_features(sf_dir), edges, _edge_pairs(sf_dir),
+                        dimension=16, epochs=3, negative=4,
+                        batch_size=8192, seed=0)
+    out = fit["nodes"]
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
+def q_dgi_embed(sf_dir: str):
+    """Deep Graph Infomax over the part co-occurrence graph (reference
+    "*_dgi" slots): SAGE encoder + bilinear discriminator vs
+    shuffled-feature corruption. Rows-only."""
+    from bluegraph_ray.pipelines.sage import dgi_fit
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)) \
+        .select_columns(["src", "dst"]).to_pandas()
+    fit = dgi_fit(_part_features(sf_dir), edges, dimension=16, epochs=20,
+                  seed=0)
+    out = fit["nodes"]
+    out["embedding"] = [np.round(v, 9) for v in out["embedding"]]
+    return out
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1626,6 +1731,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,                        # new in r4
         "kge_distmult": q_kge_distmult,                    # new in r4
         "kge_complex": q_kge_complex,                      # new in r4
+        "sage_agg_parts": q_sage_agg_parts,                # new in r4
+        "attri2vec_embed": q_attri2vec_embed,              # new in r4
+        "graphsage_embed": q_graphsage_embed,              # new in r4
+        "dgi_embed": q_dgi_embed,                          # new in r4
         "deepwalk_embed": q_deepwalk_embed,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,
@@ -2140,6 +2249,17 @@ SELECT 'order:' || o_orderkey, 'placed_by', 'cust:' || o_custkey FROM orders
 UNION ALL
 SELECT DISTINCT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey
 FROM lineitem
+""",
+        "sage_agg_parts": f"""
+WITH {_EDGES_FREQ},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+f AS (SELECT p_partkey AS node, p_retailprice / 1000.0 AS retailprice,
+             p_size / 50.0 AS psize FROM part)
+SELECT s.src AS node,
+  round_even(AVG(f.retailprice), 6) AS retailprice,
+  round_even(AVG(f.psize), 6) AS "size"
+FROM sym s JOIN f ON s.dst = f.node
+GROUP BY 1
 """,
         "cooc_edges": f"""
 WITH {_EDGES_FREQ},

@@ -241,3 +241,161 @@ def test_kge_dataset_input_and_empty():
                           np.stack(fit_pd["nodes"]["embedding"].to_numpy()))
     empty = kge_embeddings(pd.DataFrame({"src": [], "rel": [], "dst": []}))
     assert len(empty["nodes"]) == 0 and len(empty["relations"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Inductive encoders: attri2vec / GraphSAGE-mean / DGI (pipelines/sage.py)
+# ---------------------------------------------------------------------------
+
+from bluegraph_ray.pipelines.sage import (attri2vec_fit, dgi_fit,
+                                          embed_batches, graphsage_fit,
+                                          mean_neighbor_features)
+
+
+def _two_clusters(size=8):
+    """Two dense clusters (ring + chords) joined by one bridge; features
+    carry the cluster signal plus deterministic noise."""
+    nodes, edges = [], []
+    for tag in ("a", "b"):
+        mem = [f"{tag}{i}" for i in range(size)]
+        nodes += mem
+        for i in range(size):
+            edges.append((mem[i], mem[(i + 1) % size]))
+            edges.append((mem[i], mem[(i + 3) % size]))
+    edges.append(("a0", "b0"))
+    rng = np.random.default_rng(42)
+    feats = pd.DataFrame({
+        "node": nodes,
+        "f0": [1.0 if n[0] == "a" else 0.0 for n in nodes],
+        "f1": [0.0 if n[0] == "a" else 1.0 for n in nodes],
+        "f2": rng.normal(0, 0.1, len(nodes)),
+        "f3": rng.normal(0, 0.1, len(nodes)),
+    })
+    e = pd.DataFrame(edges, columns=["src", "dst"])
+    e = pd.DataFrame({  # canonical undirected form, no multi-edges
+        "src": np.minimum(e["src"], e["dst"]),
+        "dst": np.maximum(e["src"], e["dst"]),
+    }).drop_duplicates().reset_index(drop=True)
+    pairs = pd.concat([
+        e.rename(columns={"src": "center", "dst": "context"}),
+        e.rename(columns={"src": "context", "dst": "center"}),
+    ], ignore_index=True).assign(n=1)
+    return feats, e, pairs
+
+
+def _intra_minus_inter(emb_df):
+    mat = np.stack(emb_df["embedding"].to_numpy())
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12)
+    names = emb_df.iloc[:, 0].to_numpy()
+    a = norm[[n[0] == "a" for n in names]]
+    b = norm[[n[0] == "b" for n in names]]
+    intra = (np.mean(a @ a.T) + np.mean(b @ b.T)) / 2
+    inter = np.mean(a @ b.T)
+    return intra - inter
+
+
+def test_mean_neighbor_features_local_and_distributed():
+    import ray
+
+    feats, e, _ = _two_clusters(4)
+    local = mean_neighbor_features(e, feats).sort_values(
+        "node").reset_index(drop=True)
+    # hand check one node: a0's neighbors (undirected)
+    nbrs = set()
+    for s, d in e.itertuples(index=False):
+        if s == "a0":
+            nbrs.add(d)
+        if d == "a0":
+            nbrs.add(s)
+    want = feats[feats["node"].isin(nbrs)][["f0", "f1", "f2", "f3"]].mean()
+    got = local[local["node"] == "a0"].iloc[0]
+    assert np.allclose(got[["f0", "f1", "f2", "f3"]].astype(float),
+                       want.to_numpy())
+    dist = mean_neighbor_features(
+        ray.data.from_pandas(e), ray.data.from_pandas(feats),
+        num_buckets=4).to_pandas().sort_values("node").reset_index(drop=True)
+    assert np.allclose(local[["f0", "f1", "f2", "f3"]].to_numpy(),
+                       dist[["f0", "f1", "f2", "f3"]].to_numpy())
+    assert list(local["node"]) == list(dist["node"])
+
+
+def test_attri2vec_separates_clusters_and_is_inductive():
+    feats, _, pairs = _two_clusters()
+    fit = attri2vec_fit(feats, pairs, dimension=8, epochs=200, seed=1,
+                        batch_size=32, learning_rate=0.5, negative=8)
+    assert _intra_minus_inter(fit["nodes"]) > 0.25
+    fit2 = attri2vec_fit(feats, pairs, dimension=8, epochs=200, seed=1,
+                         batch_size=32, learning_rate=0.5, negative=8)
+    assert np.array_equal(np.stack(fit["nodes"]["embedding"].to_numpy()),
+                          np.stack(fit2["nodes"]["embedding"].to_numpy()))
+    # inductive: a NEVER-SEEN node with cluster-a features embeds nearer
+    # the a-centroid than the b-centroid
+    new = pd.DataFrame({"node": ["fresh"], "f0": [1.0], "f1": [0.0],
+                        "f2": [0.05], "f3": [-0.02]})
+    h = np.stack(embed_batches(new, fit)["embedding"].to_numpy())[0]
+    mat = np.stack(fit["nodes"]["embedding"].to_numpy())
+    names = fit["nodes"]["node"].to_numpy()
+    ca = mat[[n[0] == "a" for n in names]].mean(axis=0)
+    cb = mat[[n[0] == "b" for n in names]].mean(axis=0)
+    assert np.linalg.norm(h - ca) < np.linalg.norm(h - cb)
+
+
+def test_graphsage_distributed_inference_matches_fit():
+    import ray
+
+    feats, e, pairs = _two_clusters()
+    fit = graphsage_fit(feats, e, pairs, dimension=8, epochs=60, seed=3,
+                        batch_size=32, learning_rate=0.1)
+    assert _intra_minus_inter(fit["nodes"]) > 1.0
+    # the distributed path (mean_neighbor_features + embed_batches) must
+    # reproduce the trainer's own embeddings for every training node
+    agg = mean_neighbor_features(
+        ray.data.from_pandas(e), ray.data.from_pandas(feats),
+        num_buckets=4).to_pandas()
+    agg = agg.rename(columns={c: f"agg_{c}" for c in ("f0", "f1", "f2",
+                                                      "f3")})
+    rows = feats.merge(agg, on="node")
+    out = embed_batches(ray.data.from_pandas(rows), fit).to_pandas()
+    merged = fit["nodes"].merge(out, on="node", suffixes=("_fit", "_inf"))
+    assert len(merged) == len(feats)
+    a = np.stack(merged["embedding_fit"].to_numpy())
+    b = np.stack(merged["embedding_inf"].to_numpy())
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_dgi_discriminates_real_from_corrupted():
+    from bluegraph_ray.pipelines.sage import (_mean_agg, _sage_inputs,
+                                              _stable_sigmoid)
+
+    feats, e, _ = _two_clusters()
+    fit = dgi_fit(feats, e, dimension=8, epochs=200, seed=4,
+                  learning_rate=0.1)
+    names = fit["nodes"]["node"].to_numpy()
+    X = feats.sort_values("node")[["f0", "f1", "f2", "f3"]].to_numpy()
+    si, di = _sage_inputs(X, names, e, "src", "dst", True)
+    Z = np.concatenate([X, _mean_agg(X, si, di, len(X))], axis=1)
+    H = np.maximum(Z @ fit["W"], 0.0)
+    s = _stable_sigmoid(H.mean(axis=0))
+    rng = np.random.default_rng(99)  # fresh corruption, not a training draw
+    Xc = X[rng.permutation(len(X))]
+    Zc = np.concatenate([Xc, _mean_agg(Xc, si, di, len(X))], axis=1)
+    Hc = np.maximum(Zc @ fit["W"], 0.0)
+    d_real = _stable_sigmoid(H @ (fit["M"] @ s))
+    d_fake = _stable_sigmoid(Hc @ (fit["M"] @ s))
+    assert d_real.mean() > d_fake.mean() + 0.2
+    # deterministic
+    fit2 = dgi_fit(feats, e, dimension=8, epochs=200, seed=4,
+                   learning_rate=0.1)
+    assert np.array_equal(np.stack(fit["nodes"]["embedding"].to_numpy()),
+                          np.stack(fit2["nodes"]["embedding"].to_numpy()))
+
+
+def test_sage_guards():
+    feats, e, pairs = _two_clusters(4)
+    with pytest.raises(ValueError, match="max_nodes"):
+        attri2vec_fit(feats, pairs, max_nodes=3)
+    with pytest.raises(ValueError, match="pairs > max_pairs"):
+        attri2vec_fit(feats, pairs, max_pairs=3)
+    with pytest.raises(ValueError, match="duplicate node"):
+        attri2vec_fit(pd.concat([feats, feats]), pairs)
