@@ -400,6 +400,111 @@ def parse_turtle(text: str) -> list:
     return triples
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+
+
+def parse_rdfxml(text: str) -> list:
+    """From-scratch parser for the RDF/XML subset real OWL exports use
+    (stdlib ElementTree, no rdflib): ``rdf:RDF`` root, typed node elements
+    (``<owl:Class rdf:about=...>`` emits the rdf:type triple),
+    ``rdf:Description``, nested node elements (OWL restriction bnodes),
+    ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID``, ``rdf:resource`` object
+    properties, literal property elements (``rdf:datatype`` / ``xml:lang``
+    tags dropped, matching :func:`parse_ntriples`), literal property
+    ATTRIBUTES, ``rdf:parseType="Resource"`` bnode shorthand, and
+    ``xml:base`` resolution. RDF containers/collections and
+    ``parseType="Collection"`` are not supported. -> the same
+    (s, p, o, is_literal) tuples as the other parsers."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    triples: list = []
+    bn = [0]
+
+    def expand(tag: str) -> str:
+        if tag.startswith("{"):
+            return tag[1:].replace("}", "")
+        raise ValueError(f"unqualified RDF/XML name {tag!r} (subset "
+                         "requires namespaced elements/attributes)")
+
+    def resolve(ref: str, base: str) -> str:
+        if "://" in ref or ref.startswith("_:") or not base:
+            return ref
+        if ref.startswith("#") or not ref:
+            return base.split("#")[0] + ref
+        return base.rstrip("/#") + "/" + ref
+
+    def fresh_bnode() -> str:
+        bn[0] += 1
+        return f"_:xmlb{bn[0]}"
+
+    def node_subject(el, base: str) -> str:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return resolve(about, base)
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if rid is not None:
+            return resolve("#" + rid, base)
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            return "_:" + nid
+        return fresh_bnode()
+
+    def parse_props(s: str, el, base: str) -> None:
+        # non-rdf attributes are literal property shortcuts
+        for k, v in el.attrib.items():
+            if k == _XML_BASE:
+                continue
+            ku = expand(k)
+            if ku.startswith(_RDF_NS):
+                continue
+            triples.append((s, ku, v, True))
+        for child in el:
+            base_c = child.get(_XML_BASE, base)
+            p = expand(child.tag)
+            res = child.get(f"{{{_RDF_NS}}}resource")
+            if res is not None:
+                triples.append((s, p, resolve(res, base_c), False))
+                continue
+            nid = child.get(f"{{{_RDF_NS}}}nodeID")
+            if nid is not None and len(child) == 0:
+                triples.append((s, p, "_:" + nid, False))
+                continue
+            if child.get(f"{{{_RDF_NS}}}parseType") == "Resource":
+                b = fresh_bnode()
+                triples.append((s, p, b, False))
+                parse_props(b, child, base_c)
+                continue
+            kids = list(child)
+            if kids:
+                if len(kids) != 1:
+                    raise ValueError(
+                        f"property element {p!r} with {len(kids)} child "
+                        "node elements (subset allows one)")
+                o = parse_node(kids[0], base_c)
+                triples.append((s, p, o, False))
+            else:
+                triples.append((s, p, (child.text or "").strip(), True))
+
+    def parse_node(el, base: str) -> str:
+        base = el.get(_XML_BASE, base)
+        s = node_subject(el, base)
+        tag = expand(el.tag)
+        if tag != _RDF_NS + "Description":
+            triples.append((s, _RDF_TYPE, tag, False))
+        parse_props(s, el, base)
+        return s
+
+    base0 = root.get(_XML_BASE, "")
+    if expand(root.tag) == _RDF_NS + "RDF":
+        for el in root:
+            parse_node(el, el.get(_XML_BASE, base0))
+    else:
+        parse_node(root, base0)
+    return triples
+
+
 def frame_from_ontology(path: str | None = None, *, triples=None,
                         format: str = "nt",
                         remove_prop_uris: bool = False) -> RayPGFrame:
@@ -410,10 +515,11 @@ def frame_from_ontology(path: str | None = None, *, triples=None,
     properties to labeled targets become edges typed by predicate URI;
     literal predicates become node properties (multi-valued -> list).
 
-    ``format="nt"`` (N-Triples) and ``format="turtle"``/``"ttl"`` (the
-    OWL-export Turtle subset, :func:`parse_turtle`) parse natively — no
-    rdflib needed; other RDF serializations (xml, json-ld via rdflib)
-    require rdflib and stay gated in this container."""
+    ``format="nt"`` (N-Triples), ``format="turtle"``/``"ttl"`` (the
+    OWL-export Turtle subset, :func:`parse_turtle`) and
+    ``format="xml"``/``"rdfxml"``/``"owl"`` (the RDF/XML subset,
+    :func:`parse_rdfxml`) parse natively — no rdflib needed; other RDF
+    serializations (json-ld via rdflib) stay gated in this container."""
     if path is None and triples is None:
         raise ValueError("Ontology source must be specified: both "
                          "'path' and 'triples' are None")
@@ -424,6 +530,9 @@ def frame_from_ontology(path: str | None = None, *, triples=None,
         elif format in ("turtle", "ttl"):
             with open(path) as fh:
                 triples = parse_turtle(fh.read())
+        elif format in ("xml", "rdfxml", "owl"):
+            with open(path) as fh:
+                triples = parse_rdfxml(fh.read())
         else:
             try:
                 import rdflib  # noqa: F401

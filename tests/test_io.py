@@ -59,10 +59,10 @@ def test_gephi_export(tmp_path):
 
 
 def test_ontology_non_native_formats_gated():
-    # xml still requires rdflib (absent here); N-Triples and the Turtle
-    # subset parse natively
+    # json-ld still requires rdflib (absent here); N-Triples, the Turtle
+    # subset and the RDF/XML subset parse natively
     with pytest.raises(NotImplementedError):
-        gio.frame_from_ontology("/tmp/nope.owl", format="xml")
+        gio.frame_from_ontology("/tmp/nope.jsonld", format="json-ld")
 
 
 _ONTO_NT = """
@@ -157,6 +157,85 @@ def test_from_ontology_turtle(tmp_path):
              for r in f.edges_df().to_dict("records")}
     assert types == {("Neuron", "Cell"): ["IS_SUBCLASS_OF"],
                      ("Neuron", "Brain"): ["part_of"]}
+
+
+_ONTO_XML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="http://ex.org/onto#"
+         xml:base="http://ex.org/onto">
+  <owl:Ontology rdf:about="http://ex.org/onto"/>
+  <owl:ObjectProperty rdf:about="#partOf">
+    <rdfs:label xml:lang="en">part_of</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="#Cell">
+    <rdfs:label xml:lang="en">Cell</rdfs:label>
+    <ex:definition rdf:datatype="http://www.w3.org/2001/XMLSchema#string"
+      >Basic unit "of" life</ex:definition>
+    <ex:synonym xml:lang="fr">cellule</ex:synonym>
+    <ex:synonym>zelle</ex:synonym>
+  </owl:Class>
+  <owl:Class rdf:about="#Neuron">
+    <rdfs:subClassOf rdf:resource="#Cell"/>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="#partOf"/>
+        <owl:someValuesFrom rdf:resource="#Brain"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+    <rdfs:label xml:lang="en">Neuron</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="#Brain">
+    <rdfs:label xml:lang="en">Brain</rdfs:label>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="#n1">
+    <rdfs:label>my neuron</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:Class rdf:about="#Unlabeled"/>
+</rdf:RDF>
+"""
+
+
+def test_from_ontology_rdfxml(tmp_path):
+    """Native RDF/XML-subset path (sources/io.parse_rdfxml) must fold to
+    the exact same frame as the N-Triples / Turtle equivalents (reference
+    core/io.py:617 parses the same serializations via rdflib)."""
+    p = tmp_path / "onto.owl"
+    p.write_text(_ONTO_XML)
+    f = gio.frame_from_ontology(str(p), format="xml", remove_prop_uris=True)
+    assert sorted(f.nodes()) == ["Brain", "Cell", "Neuron", "my neuron"]
+    nd = f.nodes_df().set_index("@id")
+    assert nd.loc["Cell", "definition"] == 'Basic unit "of" life'
+    assert sorted(nd.loc["Cell", "synonym"]) == ["cellule", "zelle"]
+    types = {(r["@source_id"], r["@target_id"]): list(r["@type"])
+             for r in f.edges_df().to_dict("records")}
+    assert types == {("Neuron", "Cell"): ["IS_SUBCLASS_OF"],
+                     ("Neuron", "Brain"): ["part_of"]}
+
+
+def test_parse_rdfxml_forms():
+    t = gio.parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://e/">'
+        '<rdf:Description rdf:about="http://a" ex:name="lit-attr">'
+        '<ex:p rdf:resource="http://b"/>'
+        '<ex:q rdf:parseType="Resource"><ex:r>7</ex:r></ex:q>'
+        '<ex:s rdf:nodeID="z"/>'
+        '</rdf:Description>'
+        '<ex:Thing rdf:nodeID="z"><ex:v>x</ex:v></ex:Thing>'
+        '</rdf:RDF>')
+    assert ("http://a", "http://e/name", "lit-attr", True) in t
+    assert ("http://a", "http://e/p", "http://b", False) in t
+    bn = [o for s, p, o, l in t
+          if s == "http://a" and p == "http://e/q"][0]
+    assert bn.startswith("_:") and (bn, "http://e/r", "7", True) in t
+    assert ("http://a", "http://e/s", "_:z", False) in t
+    assert ("_:z", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://e/Thing", False) in t
+    assert ("_:z", "http://e/v", "x", True) in t
+    with pytest.raises(ValueError):
+        gio.parse_rdfxml("<unqualified><also/></unqualified>")
 
 
 _REF_TTL = "/root/reference/tests/test_ontology.ttl"
