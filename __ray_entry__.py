@@ -1441,6 +1441,23 @@ def q_dgi_embed(sf_dir: str):
     return out
 
 
+def q_wys_embed(sf_dir: str):
+    """Watch Your Step attention-walk embeddings over the part
+    co-occurrence graph (pipelines/graphembed.watchyourstep_embeddings —
+    the reference's stellargraph "watchyourstep" name). Dense-power
+    transductive trainer (reference parity), seeded/deterministic, not
+    SQL-expressible. Rows-only."""
+    from bluegraph_ray.pipelines.graphembed import watchyourstep_embeddings
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)) \
+        .select_columns(["src", "dst"])
+    out = watchyourstep_embeddings(edges, dimension=16, window=3,
+                                   epochs=25, seed=0, num_buckets=16)
+    nodes = out["nodes"]
+    nodes["embedding"] = [np.round(v, 9) for v in nodes["embedding"]]
+    return nodes
+
+
 def q_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs (window 2) from the deterministic walk
     corpus — the DeepWalk reshape (stages/walks.skipgram_pairs), counts
@@ -1735,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attri2vec_embed": q_attri2vec_embed,              # new in r4
         "graphsage_embed": q_graphsage_embed,              # new in r4
         "dgi_embed": q_dgi_embed,                          # new in r4
+        "wys_embed": q_wys_embed,                          # new in r4
         "deepwalk_embed": q_deepwalk_embed,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,

@@ -78,6 +78,97 @@ def node2vec_embeddings(
                                 svd_seed, power_iters)
 
 
+def watchyourstep_embeddings(
+    edges,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    dimension: int = 32,
+    window: int = 5,
+    num_walks: int = 80,
+    neg_coef: float = 5.0,
+    epochs: int = 200,
+    learning_rate: float = 0.05,
+    seed: int = 0,
+    undirected: bool = True,
+    max_nodes: int = 4000,
+    num_buckets: int = 16,
+) -> dict:
+    """Watch Your Step (Abu-El-Haija et al., NeurIPS 2018) from scratch —
+    the reference's stellargraph ``"watchyourstep"`` name
+    (``backends/stellargraph/embed/embedders.py:52``, trained there through
+    TF's AdjacencyPowerGenerator + graph_log_likelihood; both absent here).
+
+    Learns attention q = softmax(theta) over transition-matrix powers
+    T^1..T^window plus split embeddings L, R by gradient descent on the
+    graph log-likelihood
+    ``-sum_ij [ num_walks*E_ij*logsig(L R^T) + neg_coef*[A=0]*log(1-sig) ]``
+    with E = sum_k q_k T^k. Like the reference's generator, the trainer
+    materializes DENSE n x n walk matrices, so it is hard-guarded by
+    ``max_nodes`` — this is a transductive small-graph model by
+    construction; corpus-scale embeddings belong to the walk family
+    (deepwalk/node2vec above). Returns {"nodes": DataFrame(node,
+    embedding) with embedding = [L ; R], "attention": q}."""
+    if hasattr(edges, "to_pandas") and not isinstance(edges, pd.DataFrame):
+        from bluegraph_ray.util import hash_distinct
+        pdf = hash_distinct(edges.select_columns([src, dst]), [src, dst],
+                            num_buckets=num_buckets).to_pandas()
+    else:
+        pdf = pd.DataFrame(edges)[[src, dst]].drop_duplicates()
+    pdf = pdf.sort_values([src, dst], kind="stable").reset_index(drop=True)
+    names = np.sort(pd.unique(pd.concat([pdf[src], pdf[dst]]).to_numpy()))
+    n = len(names)
+    if n > max_nodes:
+        raise ValueError(
+            f"watchyourstep_embeddings: {n} nodes > max_nodes={max_nodes}. "
+            "WYS materializes dense n^2 transition powers (as the "
+            "reference's TF generator does); use the distributed walk "
+            "family (deepwalk/node2vec) at corpus scale or raise "
+            "max_nodes explicitly.")
+    half = dimension // 2
+    if n == 0:
+        return {"nodes": pd.DataFrame({"node": names, "embedding": []}),
+                "attention": np.array([])}
+    pos = pd.Index(names)
+    si = pos.get_indexer(pdf[src]).astype(np.int64)
+    di = pos.get_indexer(pdf[dst]).astype(np.int64)
+    A = np.zeros((n, n))
+    A[si, di] = 1.0
+    if undirected:
+        A[di, si] = 1.0
+    T = A / np.maximum(A.sum(axis=1, keepdims=True), 1.0)
+    powers = [T]
+    for _ in range(window - 1):
+        powers.append(powers[-1] @ T)
+    powers = np.stack(powers)                     # (window, n, n)
+    zmask = (A == 0).astype(float)
+    np.fill_diagonal(zmask, 0.0)
+
+    rng = np.random.default_rng(seed)
+    L = rng.normal(0.0, 1.0 / np.sqrt(max(half, 1)), size=(n, half))
+    R = rng.normal(0.0, 1.0 / np.sqrt(max(half, 1)), size=(n, half))
+    theta = np.zeros(window)
+    for _ in range(epochs):
+        q = np.exp(theta - theta.max())
+        q /= q.sum()
+        E = num_walks * np.einsum("k,kij->ij", q, powers)
+        S = L @ R.T
+        P = 1.0 / (1.0 + np.exp(-np.clip(S, -30, 30)))
+        dS = -(E * (1.0 - P)) + neg_coef * zmask * P
+        logsig = np.minimum(S, 0.0) - np.log1p(np.exp(-np.abs(S)))
+        dq = -num_walks * np.einsum("kij,ij->k", powers, logsig)
+        dtheta = q * (dq - float(q @ dq))
+        L -= learning_rate * (dS @ R) / n
+        R -= learning_rate * (dS.T @ L) / n
+        theta -= learning_rate * dtheta / (n * n)
+    q = np.exp(theta - theta.max())
+    q /= q.sum()
+    emb = np.concatenate([L, R], axis=1)
+    return {"nodes": pd.DataFrame({"node": list(names),
+                                   "embedding": list(emb)}),
+            "attention": q}
+
+
 def _pairs_to_embeddings(handle, walks, window, dimension, shift, svd_seed,
                          power_iters) -> pd.DataFrame:
     from bluegraph_ray.pipelines.textembed import ppmi_svd_factorize

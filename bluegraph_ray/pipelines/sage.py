@@ -244,6 +244,16 @@ def _mean_agg(X, si, di, n):
     return M / np.maximum(deg, 1.0)[:, None]
 
 
+def _gcn_agg(X, si, di, n):
+    """Kipf-Welling propagation with self-loops: (D^-1/2 (A+I) D^-1/2) X."""
+    deg = np.ones(n)  # the self-loop
+    np.add.at(deg, si, 1.0)
+    inv = 1.0 / np.sqrt(deg)
+    out = X * (inv * inv)[:, None]
+    np.add.at(out, si, X[di] * (inv[si] * inv[di])[:, None])
+    return out
+
+
 def graphsage_fit(
     features,
     edges,
@@ -330,28 +340,43 @@ def dgi_fit(
     learning_rate: float = 0.05,
     seed: int = 0,
     undirected: bool = True,
+    encoder: str = "sage",
     max_nodes: int = 10_000_000,
 ) -> dict:
-    """Deep Graph Infomax over the same one-layer SAGE encoder: maximize
-    D(h_v, s) for real patches vs corrupted ones, where s =
-    sigmoid(mean_v h_v), D(h, s) = sigmoid(h^T M s), and the corruption
-    shuffles FEATURE ROWS while keeping the adjacency (so corrupted
-    patches aggregate wrong neighbor features — the paper's C(X, A)).
-    Full-batch gradient steps; deterministic in (inputs, seed)."""
+    """Deep Graph Infomax: maximize D(h_v, s) for real patches vs corrupted
+    ones, where s = sigmoid(mean_v h_v), D(h, s) = sigmoid(h^T M s), and
+    the corruption shuffles FEATURE ROWS while keeping the adjacency (so
+    corrupted patches aggregate wrong neighbor features — the paper's
+    C(X, A)). ``encoder="sage"`` uses the one-layer mean-aggregator
+    h = relu([x ; mean_N x] W) (the reference's "graphsage_dgi");
+    ``encoder="gcn"`` uses Kipf-Welling propagation
+    h = relu((D^-1/2 (A+I) D^-1/2 X) W) (the "gcn_dgi" /
+    "cluster_gcn_dgi" slots). Full-batch gradient steps; deterministic in
+    (inputs, seed)."""
+    if encoder not in ("sage", "gcn"):
+        raise ValueError(f"unknown DGI encoder {encoder!r}; "
+                         "choose 'sage' or 'gcn'")
     names, cols, X = _collect_features(features, node, feature_cols,
                                        max_nodes, "dgi_fit")
     n, d_in = X.shape
     si, di = _sage_inputs(X, names, edges, src, dst, undirected)
     rng = np.random.default_rng(seed)
-    W = rng.normal(0.0, 1.0 / np.sqrt(max(2 * d_in, 1)),
-                   size=(2 * d_in, dimension))
+    w_in = d_in if encoder == "gcn" else 2 * d_in
+    W = rng.normal(0.0, 1.0 / np.sqrt(max(w_in, 1)),
+                   size=(w_in, dimension))
     M = rng.normal(0.0, 1.0 / np.sqrt(dimension),
                    size=(dimension, dimension))
-    Z = np.concatenate([X, _mean_agg(X, si, di, n)], axis=1)
+
+    def _enc_input(F):
+        if encoder == "gcn":
+            return _gcn_agg(F, si, di, n)
+        return np.concatenate([F, _mean_agg(F, si, di, n)], axis=1)
+
+    Z = _enc_input(X)
     for _ in range(epochs):
         perm = rng.permutation(n)
         Xc = X[perm]
-        Zc = np.concatenate([Xc, _mean_agg(Xc, si, di, n)], axis=1)
+        Zc = _enc_input(Xc)
         zr, zc = Z @ W, Zc @ W
         H, Hc = np.maximum(zr, 0.0), np.maximum(zc, 0.0)
         s = _stable_sigmoid(H.mean(axis=0))               # readout (dim,)
@@ -368,7 +393,8 @@ def dgi_fit(
         W -= learning_rate * dW
         M -= learning_rate * dM
     emb = np.maximum(Z @ W, 0.0)
-    return {"model": "dgi", "W": W, "M": M, "feature_cols": cols,
+    return {"model": "dgi", "encoder": encoder, "W": W, "M": M,
+            "feature_cols": cols,
             "nodes": pd.DataFrame({node: names, "embedding": list(emb)})}
 
 
@@ -404,9 +430,15 @@ def embed_batches(
                 if agg_prefix + c in batch.columns:
                     A[:, i] = batch[agg_prefix + c].to_numpy(
                         dtype=np.float64)
-            Z = np.concatenate([X, A], axis=1)
-            emb = (_sage_forward(Z, W)[2] if model == "graphsage"
-                   else np.maximum(Z @ W, 0.0))
+            if fit.get("encoder") == "gcn":
+                # gcn rows carry the propagated features in the agg
+                # columns (produce with _gcn_agg / a normalized
+                # mean_neighbor_features variant)
+                emb = np.maximum(A @ W, 0.0)
+            else:
+                Z = np.concatenate([X, A], axis=1)
+                emb = (_sage_forward(Z, W)[2] if model == "graphsage"
+                       else np.maximum(Z @ W, 0.0))
         return pd.DataFrame({node: batch[node], out_col: list(emb)})
 
     if isinstance(features, pd.DataFrame):

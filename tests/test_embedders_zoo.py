@@ -399,3 +399,67 @@ def test_sage_guards():
         attri2vec_fit(feats, pairs, max_pairs=3)
     with pytest.raises(ValueError, match="duplicate node"):
         attri2vec_fit(pd.concat([feats, feats]), pairs)
+
+
+# ---------------------------------------------------------------------------
+# DGI gcn encoder + Watch Your Step
+# ---------------------------------------------------------------------------
+
+
+def test_dgi_gcn_encoder_variant():
+    from bluegraph_ray.pipelines.sage import (_gcn_agg, _sage_inputs,
+                                              _stable_sigmoid, dgi_fit)
+
+    feats, e, _ = _two_clusters()
+    fit = dgi_fit(feats, e, dimension=8, epochs=200, seed=4,
+                  learning_rate=0.1, encoder="gcn")
+    assert fit["encoder"] == "gcn"
+    assert fit["W"].shape == (4, 8)  # d_in, not 2*d_in
+    names = fit["nodes"]["node"].to_numpy()
+    X = feats.sort_values("node")[["f0", "f1", "f2", "f3"]].to_numpy()
+    si, di = _sage_inputs(X, names, e, "src", "dst", True)
+    Z = _gcn_agg(X, si, di, len(X))
+    H = np.maximum(Z @ fit["W"], 0.0)
+    s = _stable_sigmoid(H.mean(axis=0))
+    rng = np.random.default_rng(99)
+    Zc = _gcn_agg(X[rng.permutation(len(X))], si, di, len(X))
+    Hc = np.maximum(Zc @ fit["W"], 0.0)
+    d_real = _stable_sigmoid(H @ (fit["M"] @ s))
+    d_fake = _stable_sigmoid(Hc @ (fit["M"] @ s))
+    assert d_real.mean() > d_fake.mean() + 0.2
+    with pytest.raises(ValueError, match="unknown DGI encoder"):
+        dgi_fit(feats, e, encoder="gat")
+
+
+def test_gcn_agg_matches_dense_formula():
+    from bluegraph_ray.pipelines.sage import _gcn_agg, _sage_inputs
+
+    feats, e, _ = _two_clusters(4)
+    X = feats.sort_values("node")[["f0", "f1", "f2", "f3"]].to_numpy()
+    names = np.sort(feats["node"].to_numpy())
+    si, di = _sage_inputs(X, names, e, "src", "dst", True)
+    n = len(X)
+    A = np.zeros((n, n))
+    A[si, di] = 1.0
+    A += np.eye(n)
+    dinv = 1.0 / np.sqrt(A.sum(axis=1))
+    want = (dinv[:, None] * A * dinv[None, :]) @ X
+    assert np.allclose(_gcn_agg(X, si, di, n), want)
+
+
+def test_watchyourstep_two_clusters():
+    from bluegraph_ray.pipelines.graphembed import watchyourstep_embeddings
+
+    _, e, _ = _two_clusters()
+    out = watchyourstep_embeddings(e, dimension=16, window=3, epochs=150,
+                                   seed=0)
+    assert out["attention"].shape == (3,)
+    assert out["attention"].sum() == pytest.approx(1.0)
+    assert np.all(out["attention"] > 0)
+    assert _intra_minus_inter(out["nodes"]) > 0.5
+    out2 = watchyourstep_embeddings(e, dimension=16, window=3, epochs=150,
+                                    seed=0)
+    assert np.array_equal(np.stack(out["nodes"]["embedding"].to_numpy()),
+                          np.stack(out2["nodes"]["embedding"].to_numpy()))
+    with pytest.raises(ValueError, match="max_nodes"):
+        watchyourstep_embeddings(e, max_nodes=3)
