@@ -1483,6 +1483,28 @@ def q_deepwalk_embed(sf_dir: str):
     return out
 
 
+def q_fastrp_embed(sf_dir: str):
+    """FastRP embeddings over the co-occurrence graph, d=8, exactly 3
+    mean-aggregation supersteps with weights (1.0, 1.0, 0.8)
+    (pipelines/graphembed.fastrp_embeddings). Deterministic end to end —
+    the very-sparse projection comes from the walk-hash mix of
+    (dense id, dim), so the FULL embedding is value-verified by a
+    recursive-CTE replay (the only model in the zoo with a complete SQL
+    oracle). Emitted long-form (node, dim, value) for the hash compare."""
+    from bluegraph_ray.pipelines.graphembed import fastrp_embeddings
+
+    handle = _cooc_graph(sf_dir)
+    out = fastrp_embeddings(handle, dimension=8,
+                            iteration_weights=(1.0, 1.0, 0.8), seed=7)
+    emb = np.stack(out["embedding"].to_numpy())
+    n, d = emb.shape
+    return pd.DataFrame({
+        "node": np.repeat(out["node"].to_numpy(), d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), n),
+        "value": np.round(emb, 9).ravel(),
+    })
+
+
 def q_diameter_parts(sf_dir: str):
     """Double-sweep pseudo-diameter of the co-occurrence graph
     (stages/sssp.pseudo_diameter): BFS from the minimum entity, re-BFS from
@@ -1726,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
+        "fastrp_embed": q_fastrp_embed,                    # new in r4
         "eigenvector_power12": q_eigenvector_power12,
         "katz_power12": q_katz_power12,
         "link_pred_parts": q_link_pred_parts,
@@ -3519,6 +3542,60 @@ ev(it, node, x) AS (
   )
 )
 SELECT node, round_even(x, 9) AS eigenvector FROM ev WHERE it = 12
+""",
+        # FastRP: very-sparse hash projection (±sqrt(3) at hash%6 ∈ {{0,1}})
+        # + 3 mean-aggregation steps over the weighted arcs, per-node L2
+        # normalization per step (window PARTITION BY node over the dims),
+        # weighted accumulation (1.0, 1.0, 0.8). Zero-weight self-loops
+        # keep every vertex in the recursion AND carry the accumulator:
+        # acc(v, k) of the previous level rides the (v, v, 0) arc.
+        "fastrp_embed": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ids AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS did FROM verts),
+arcs AS MATERIALIZED (
+  SELECT iu.did AS u, iv.did AS v, CAST(a.f AS DOUBLE) AS w
+  FROM (SELECT src AS u, dst AS v, frequency AS f FROM edges
+        UNION ALL SELECT dst, src, frequency FROM edges) a
+  JOIN ids iu ON iu.v = a.u JOIN ids iv ON iv.v = a.v
+  UNION ALL SELECT did, did, CAST(0.0 AS DOUBLE) FROM ids),
+inw AS MATERIALIZED (SELECT v, SUM(w) AS iw FROM arcs GROUP BY 1),
+dims AS MATERIALIZED (SELECT UNNEST(generate_series(0, 7)) AS k),
+rp(it, node, k, x, acc) AS (
+  SELECT 0, i.did, d.k,
+    CASE ({_walk_hash('i.did', 'd.k + 7', 'i.did')} % 6)
+      WHEN 0 THEN SQRT(3.0) WHEN 1 THEN -SQRT(3.0)
+      ELSE CAST(0.0 AS DOUBLE)
+    END,
+    CAST(0.0 AS DOUBLE)
+  FROM ids i CROSS JOIN dims d
+  UNION ALL
+  SELECT it, v, k, xn,
+    acc0 + (CASE WHEN it <= 2 THEN 1.0 ELSE 0.8 END) * xn
+  FROM (
+    SELECT it, v, k,
+      CASE WHEN nrm = 0 THEN 0.0 ELSE s / nrm END AS xn, acc0
+    FROM (
+      SELECT it, v, k, s, SQRT(SUM(s * s) OVER (PARTITION BY v)) AS nrm,
+             acc0
+      FROM (
+        SELECT rp.it + 1 AS it, a.v AS v, rp.k AS k,
+               SUM(a.w * rp.x) / ANY_VALUE(iw.iw) AS s,
+               SUM(CASE WHEN a.u = a.v THEN rp.acc ELSE 0.0 END) AS acc0
+        FROM rp JOIN arcs a ON a.u = rp.node
+        JOIN inw iw ON iw.v = a.v
+        WHERE rp.it < 3
+        GROUP BY 1, 2, 3
+      )
+    )
+  )
+)
+SELECT i.v AS node, CAST(rp.k AS BIGINT) AS dim,
+       round_even(rp.acc, 9) AS value
+FROM rp JOIN ids i ON i.did = rp.node
+WHERE rp.it = 3
 """,
         # Katz: x' = 0.1·A·x + 1 from x0 = 0 (self-loops w=0 keep every
         # vertex in the recursion); single L2 normalization at the end

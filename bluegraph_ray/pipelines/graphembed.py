@@ -78,6 +78,72 @@ def node2vec_embeddings(
                                 svd_seed, power_iters)
 
 
+def fastrp_embeddings(
+    handle: GraphHandle,
+    *,
+    dimension: int = 8,
+    iteration_weights: tuple = (1.0, 1.0, 0.8),
+    seed: int = 7,
+    actors=None,
+) -> pd.DataFrame:
+    """FastRP (Chen et al. 2019, "Fast and Accurate Network Embeddings via
+    Very Sparse Random Projection") — the classic sketch-propagation node
+    embedder, fully distributed and, unlike the walk family, completely
+    deterministic end to end (no PRNG: the very-sparse projection is drawn
+    from the engine's splitmix64-style hash of (node id, dim), so the whole
+    pipeline is SQL-replayable — oracle ``fastrp_embed``).
+
+    init   R[v,k] = +sqrt(3) if h(v,k) % 6 == 0, -sqrt(3) if == 1, else 0
+           (Achlioptas / very-sparse JL with s = 3)
+    step i X <- D^-1 A X   (mean over weighted in-neighbours; one
+           ``mat_gather`` superstep on the shared CsrPartition actors),
+           then per-node L2 normalization (zero rows stay zero)
+    out    sum_i iteration_weights[i] * X_i
+
+    One (n, d) dense vector lives on the driver per superstep — the same
+    memory contract as PageRank/eigenvector; everything edge-shaped stays
+    in the actors. Returns DataFrame(node, embedding)."""
+    import ray
+
+    from bluegraph_ray.stages.build import (_WALK_C1, _WALK_C2, _WALK_C3,
+                                            _WALK_C4, make_partition_actors,
+                                            out_weights)
+
+    own = actors is None
+    if actors is None:
+        actors = make_partition_actors(handle)
+    try:
+        n = handle.n
+        did = np.arange(n, dtype=np.uint64)
+        X = np.zeros((n, dimension), dtype=np.float64)
+        root3 = np.sqrt(3.0)
+        with np.errstate(over="ignore"):
+            for k in range(dimension):
+                h = ((did * _WALK_C1)
+                     ^ (np.uint64(k + seed) * _WALK_C2)
+                     ^ (did * _WALK_C3)) * _WALK_C4
+                r = h % np.uint64(6)
+                X[:, k] = np.where(r == 0, root3,
+                                   np.where(r == 1, -root3, 0.0))
+        inw = out_weights(handle, actors)  # undirected: in-weight == out
+        inv = np.divide(1.0, inw, out=np.zeros_like(inw), where=inw > 0)
+        emb = np.zeros_like(X)
+        for wt in iteration_weights:
+            ref = ray.put(X)
+            X = np.concatenate(
+                ray.get([a.mat_gather.remote(ref) for a in actors]), axis=0)
+            X *= inv[:, None]
+            nrm = np.sqrt((X * X).sum(axis=1))
+            X /= np.where(nrm > 0.0, nrm, 1.0)[:, None]
+            emb += wt * X
+        return pd.DataFrame({"node": list(np.asarray(handle.names)),
+                             "embedding": list(emb)})
+    finally:
+        if own:
+            for a in actors:
+                ray.kill(a)
+
+
 def watchyourstep_embeddings(
     edges,
     *,

@@ -463,3 +463,66 @@ def test_watchyourstep_two_clusters():
                           np.stack(out2["nodes"]["embedding"].to_numpy()))
     with pytest.raises(ValueError, match="max_nodes"):
         watchyourstep_embeddings(e, max_nodes=3)
+
+
+def test_fastrp_matches_dense_replicate(tmp_path):
+    """FastRP supersteps == the dense D^-1 A propagation with hash init,
+    per-step L2 row normalization and weighted accumulation."""
+    import ray
+
+    from bluegraph_ray.pipelines.graphembed import fastrp_embeddings
+    from bluegraph_ray.stages.build import (_WALK_C1, _WALK_C2, _WALK_C3,
+                                            _WALK_C4, build_graph)
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 30, 120)
+    dst = rng.integers(0, 30, 120)
+    keep = src != dst
+    df = pd.DataFrame({
+        "src": [f"v{int(s):02d}" for s in src[keep]],
+        "dst": [f"v{int(d):02d}" for d in dst[keep]],
+        "w": rng.integers(1, 5, int(keep.sum())).astype(np.int64),
+    }).drop_duplicates(["src", "dst"])
+    handle = build_graph(ray.data.from_pandas(df), weight="w",
+                         directed=False, n_partitions=4,
+                         path=str(tmp_path / "g"))
+    weights = (1.0, 0.5, 0.25)
+    got = fastrp_embeddings(handle, dimension=6, iteration_weights=weights,
+                            seed=11)
+    names = np.asarray(handle.names)
+    assert list(got["node"]) == list(names)
+
+    # dense replicate over the same dense-id order
+    n, d = len(names), 6
+    pos = pd.Index(names)
+    A = np.zeros((n, n))
+    si = pos.get_indexer(df["src"])
+    di = pos.get_indexer(df["dst"])
+    # undirected build folds (src,dst)+(dst,src); duplicate pairs sum
+    np.add.at(A, (si, di), df["w"].to_numpy().astype(float))
+    np.add.at(A, (di, si), df["w"].to_numpy().astype(float))
+    did = np.arange(n, dtype=np.uint64)
+    X = np.zeros((n, d))
+    with np.errstate(over="ignore"):
+        for k in range(d):
+            h = ((did * _WALK_C1) ^ (np.uint64(k + 11) * _WALK_C2)
+                 ^ (did * _WALK_C3)) * _WALK_C4
+            r = h % np.uint64(6)
+            X[:, k] = np.where(r == 0, np.sqrt(3.0),
+                               np.where(r == 1, -np.sqrt(3.0), 0.0))
+    inw = A.sum(axis=0)
+    want = np.zeros_like(X)
+    for wt in weights:
+        X = (A.T @ X) / np.maximum(inw, 1e-300)[:, None]
+        nrm = np.sqrt((X * X).sum(axis=1))
+        X /= np.where(nrm > 0, nrm, 1.0)[:, None]
+        want += wt * X
+    emb = np.stack(got["embedding"].to_numpy())
+    assert np.allclose(emb, want, atol=1e-12)
+    # deterministic across runs / partition counts
+    h2 = build_graph(ray.data.from_pandas(df), weight="w", directed=False,
+                     n_partitions=2, path=str(tmp_path / "g2"))
+    got2 = fastrp_embeddings(h2, dimension=6, iteration_weights=weights,
+                             seed=11)
+    assert np.allclose(np.stack(got2["embedding"].to_numpy()), emb,
+                       atol=1e-12)
