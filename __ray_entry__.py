@@ -1725,6 +1725,62 @@ def q_source_graph(sf_dir: str):
     return res.vertex_table
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (pipelines/text.redact_pii): the documents table has no
+    PII by construction, so the query first plants deterministic synthetic
+    PII per doc (email / IPv4 / phone / SSN shapes derived from doc_id;
+    docs with doc_id % 3 == 0 stay clean) with vectorized string concat,
+    then redacts. The oracle plants the identical strings with `` || `` and
+    chains regexp_replace in the same pattern order, so counts and the
+    redacted text compare byte for byte."""
+    from bluegraph_ray.pipelines.text import redact_pii
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        pii = (" reach u" + d.astype(str) + "@ex" + (d % 5).astype(str)
+               + ".com or 10.0." + (d % 256).astype(str) + "."
+               + (d % 100).astype(str) + " call " + (100 + d % 900).astype(str)
+               + "-555-" + (1000 + d % 9000).astype(str) + " ssn "
+               + (100 + d % 900).astype(str) + "-" + (10 + d % 90).astype(str)
+               + "-" + (1000 + d % 9000).astype(str))
+        out = batch[["doc_id"]].copy()
+        out["text"] = np.where(d % 3 == 0, batch["text"],
+                               batch["text"] + pii)
+        return out
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas", batch_size=None)
+    return redact_pii(docs)
+
+
+def q_decontaminated(sf_dir: str):
+    """Benchmark decontamination (pipelines/dedup.decontaminate): benchmark
+    side = docs with doc_id % 50 == 0, train side = the rest; k=3 token
+    shingles; hash_mode="sha256" pinned so the DuckDB oracle replays the
+    8-byte-prefix hashes exactly (the production default is the vectorized
+    "fast" hasher — dedup.py:86)."""
+    from bluegraph_ray.pipelines.dedup import decontaminate
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            m = (batch["doc_id"] % 50 == 0)
+            return batch[m if keep_bench else ~m]
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pandas",
+                             batch_size=None)
+    train = docs.map_batches(side(False), batch_format="pandas",
+                             batch_size=None)
+    return decontaminate(train, bench, k=3, hash_mode="sha256")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -1748,6 +1804,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
+        # (window math: blocks 1+2 total 52 with the three new r4 queries at
+        # the front — lang_quality + doc_fingerprints slip past the 50-entry
+        # cap this round; both already hold r2-green rows and rotate forward
+        # in round 5.)
+        "pii_redact": q_pii_redact,                        # new in r4
+        "decontaminated": q_decontaminated,                # new in r4
         "fastrp_embed": q_fastrp_embed,                    # new in r4
         "eigenvector_power12": q_eigenvector_power12,
         "katz_power12": q_katz_power12,
@@ -2686,6 +2748,65 @@ FROM s GROUP BY 1, 2
         "dedup_exact": """
 SELECT SHA256(text) AS content_sha256, MIN(doc_id) AS doc_id
 FROM documents GROUP BY text
+""",
+        # PII redaction replay: plant the identical synthetic PII, then chain
+        # regexp_replace in the engine's pattern order, counting on the
+        # progressively redacted text (len(regexp_extract_all)) exactly as
+        # PiiRedactor does.
+        "pii_redact": r"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text
+    ELSE text || ' reach u' || doc_id || '@ex' || (doc_id % 5)
+      || '.com or 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+      || ' call ' || (100 + doc_id % 900) || '-555-' || (1000 + doc_id % 9000)
+      || ' ssn ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 90)
+      || '-' || (1000 + doc_id % 9000)
+    END AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id, t0,
+  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1 FROM planted),
+s2 AS (SELECT *, regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                 '<PHONE>', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                 '<IP>', 'g') AS t3 FROM s2)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t2,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t3,
+    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+  regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean_text
+FROM s3
+""",
+        # decontamination replay: same k=3 token shingles (short docs fold to
+        # one whole-doc shingle), sha256-prefix hashes, distinct benchmark
+        # (doc_id % 50 = 0) side, occurrence-counting LEFT JOIN probe.
+        "decontaminated": """
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, len(toks) - 2)]
+      ELSE [array_to_string(toks, ' ')]
+    END AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(sha256(s.s), 1, 16))::UBIGINT AS h
+  FROM sh, UNNEST(shs) AS s(s)
+),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 50 = 0)
+SELECT h.doc_id, CAST(COUNT(b.h) AS BIGINT) AS n_hits,
+       COUNT(b.h) > 0 AS contaminated
+FROM hashed h LEFT JOIN bench b ON b.h = h.h
+WHERE h.doc_id % 50 <> 0
+GROUP BY 1
 """,
         "doc_stats": f"""
 SELECT doc_id,

@@ -766,3 +766,70 @@ def hash_sample_per_group(
             .map_batches(partial, batch_format="pandas", batch_size=None)
             .groupby("_bucket")
             .map_groups(combine, batch_format="pandas"))
+
+
+def decontaminate(
+    train: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    hash_mode: str = "fast",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag every training document that shares
+    at least one k-token shingle with the (small) benchmark/eval set — the
+    standard guard against test-set leakage in a training corpus (GPT-3
+    appendix C / PaLM style n-gram overlap).
+
+    Plan shape is the canonical small-side broadcast: the benchmark's
+    distinct shingle hashes are collected ONCE (eval sets are thousands of
+    docs, not terabytes), sorted, ``ray.put`` into the object store, and
+    every training batch probes them with a vectorized ``np.isin`` — zero
+    shuffle, the corpus streams through a stateless map. ``hash_mode`` is
+    the shared sketch convention (dedup.py:86): "fast" = the vectorized
+    production hasher, "sha256" = the 8-byte-prefix mode the DuckDB oracle
+    replays token for token (oracle ``decontaminated``).
+
+    Returns (id_col, n_hits, contaminated): occurrence counts of
+    benchmark-overlapping shingles per training doc and the drop flag.
+    """
+    if hash_mode not in ("sha256", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    def _doc_shingles(texts) -> tuple:
+        """(hashes, bounds): doc d's shingle hashes occupy
+        hashes[bounds[d]:bounds[d+1]] — both hash modes."""
+        if hash_mode == "fast":
+            return _fast_shingle_hashes(list(texts), k)
+        per_doc = [_token_shingles(t, k) for t in texts]
+        bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in per_doc], out=bounds[1:])
+        flat = [s.encode() for doc in per_doc for s in doc]
+        return _hash64(flat), bounds
+
+    def bench_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h, _ = _doc_shingles(batch[text_col].to_numpy())
+        return pd.DataFrame({"h": np.unique(h)})
+
+    bench = np.unique(
+        benchmark.select_columns([text_col])
+        .map_batches(bench_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()["h"].to_numpy())
+    bench_ref = ray.put(bench)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        h, bounds = _doc_shingles(batch[text_col].to_numpy())
+        hit = np.isin(h, b).astype(np.int64)
+        n = np.add.reduceat(hit, bounds[:-1]) if len(hit) else \
+            np.zeros(len(batch), dtype=np.int64)
+        n[bounds[:-1] == bounds[1:]] = 0  # empty docs: reduceat artifact
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_hits": n.astype(np.int64),
+            "contaminated": n > 0,
+        })
+
+    return (train.select_columns([id_col, text_col])
+            .map_batches(probe, batch_format="pandas", batch_size=4096))

@@ -383,3 +383,66 @@ def chunk_documents(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pandas", batch_size=None)
+
+
+# PII patterns kept to the regex subset Python ``re`` and DuckDB's RE2
+# interpret identically (character classes, bounded repeats, \b, \d) so the
+# oracle can replay redaction with regexp_replace(..., 'g') verbatim.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+class PiiRedactor:
+    """Actor-pool PII scrub: count + replace emails / phone numbers / IPv4
+    addresses / SSN-shaped ids with typed placeholder tokens. Regexes are
+    compiled once per actor in ``__init__``; per batch everything runs
+    through pandas' vectorized ``str.count`` / ``str.replace`` (C loops, no
+    Python-per-row). Patterns apply in declaration order — counts are taken
+    on the progressively redacted text, exactly like the SQL replay chains
+    regexp_replace, so overlapping matches resolve identically."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 patterns: tuple = PII_PATTERNS):
+        import re
+
+        self.text_col, self.id_col = text_col, id_col
+        self.compiled = [(name, re.compile(pat), repl)
+                         for name, pat, repl in patterns]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].astype("string")
+        out = {self.id_col: batch[self.id_col]}
+        for name, rx, repl in self.compiled:
+            out[f"n_{name}"] = s.str.count(rx).astype(np.int64)
+            s = s.str.replace(rx, repl, regex=True)
+        out["clean_text"] = s.astype(object)
+        return pd.DataFrame(out)
+
+
+def redact_pii(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple = PII_PATTERNS,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """-> (id_col, n_email, n_phone, n_ip, n_ssn, clean_text): per-doc PII
+    category counts and the redacted text. Stateless streaming map — no
+    shuffle, safe at any corpus size; placeholder tokens keep the byte
+    layout stable for downstream token accounting. ``concurrency=N`` turns
+    the stage into an actor pool (regexes compile once per actor); default
+    is stateless tasks with the pickled instance — these four patterns are
+    cheap enough that pool warm-up would dominate."""
+    cols = docs.select_columns([id_col, text_col])
+    if concurrency:
+        return cols.map_batches(
+            PiiRedactor, fn_constructor_kwargs={
+                "text_col": text_col, "id_col": id_col, "patterns": patterns},
+            batch_format="pandas", batch_size=4096, concurrency=concurrency)
+    return cols.map_batches(PiiRedactor(text_col, id_col, patterns),
+                            batch_format="pandas", batch_size=4096)

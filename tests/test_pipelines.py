@@ -759,3 +759,56 @@ def test_chunk_documents_windows():
     for r in d1.itertuples():
         covered.update(r.chunk.split(" "))
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_redact_pii_counts_and_text():
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "mail bob.smith+x@corp.example.org now",
+            "call 415-555-0199 or 415.555.0123 from 192.168.0.1",
+            "ssn 123-45-6789 plain words",
+            "nothing sensitive here",
+        ],
+    })
+    out = (text.redact_pii(ray.data.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_email"] == 1
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> now"
+    assert out.loc[1, "n_phone"] == 2
+    assert out.loc[1, "n_ip"] == 1
+    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE> from <IP>"
+    assert out.loc[2, "n_ssn"] == 1
+    assert out.loc[2, "clean_text"] == "ssn <SSN> plain words"
+    assert out.loc[3, ["n_email", "n_phone", "n_ip", "n_ssn"]].sum() == 0
+    assert out.loc[3, "clean_text"] == "nothing sensitive here"
+    # actor-pool path produces the identical table
+    out2 = (text.redact_pii(ray.data.from_pandas(df), concurrency=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
+
+
+@pytest.mark.parametrize("hash_mode", ["sha256", "fast"])
+def test_decontaminate_flags_overlaps(hash_mode):
+    bench = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta"],
+    })
+    train = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "x alpha beta gamma y",        # shares 'alpha beta gamma'
+            "beta gamma delta",            # whole-doc == a bench shingle
+            "alpha gamma beta",            # same tokens, wrong order
+            "unrelated words entirely z",
+        ],
+    })
+    out = (dedup.decontaminate(ray.data.from_pandas(train),
+                               ray.data.from_pandas(bench),
+                               k=3, hash_mode=hash_mode)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["contaminated"].tolist() == [True, True, False, False]
+    assert out["n_hits"].tolist() == [1, 1, 0, 0]
+    with pytest.raises(ValueError, match="hash_mode"):
+        dedup.decontaminate(ray.data.from_pandas(train),
+                            ray.data.from_pandas(bench), hash_mode="x")
