@@ -1781,6 +1781,19 @@ def q_decontaminated(sf_dir: str):
     return decontaminate(train, bench, k=3, hash_mode="sha256")
 
 
+def q_packed_windows(sf_dir: str):
+    """Sequence packing (pipelines/text.pack_sequences): lay the corpus'
+    tokens end to end in doc-id order and cut 128-token training windows;
+    emits the (window_id, doc_id, tok_start, n_window_tokens) assignment
+    table. The distributed two-level prefix sum replays as one
+    SUM() OVER (ORDER BY doc_id) in the oracle."""
+    from bluegraph_ray.pipelines.text import pack_sequences
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    return pack_sequences(_docs(sf_dir), window=128, num_buckets=8)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -1804,12 +1817,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
-        # (window math: blocks 1+2 total 52 with the three new r4 queries at
-        # the front — lang_quality + doc_fingerprints slip past the 50-entry
-        # cap this round; both already hold r2-green rows and rotate forward
-        # in round 5.)
+        # (window math: blocks 1+2 total 53 with the six new r4 queries at
+        # the front — embedding_dups + lang_quality + doc_fingerprints slip
+        # past the 50-entry cap this round; all three already hold r2-green
+        # rows and rotate forward in round 5.)
         "pii_redact": q_pii_redact,                        # new in r4
         "decontaminated": q_decontaminated,                # new in r4
+        "packed_windows": q_packed_windows,                # new in r4
         "fastrp_embed": q_fastrp_embed,                    # new in r4
         "eigenvector_power12": q_eigenvector_power12,
         "katz_power12": q_katz_power12,
@@ -2783,6 +2797,31 @@ SELECT doc_id,
     '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
   regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean_text
 FROM s3
+""",
+        # sequence-packing replay: the two-level distributed prefix sum is
+        # exactly SUM(n) OVER (ORDER BY doc_id); each doc emits one row per
+        # 128-token window its global span [off, off+n) touches.
+        "packed_windows": """
+WITH c AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+    CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+         AS BIGINT) AS off
+  FROM c
+),
+w AS (
+  SELECT doc_id, n, off,
+    UNNEST(generate_series(off // 128, (off + n - 1) // 128)) AS window_id
+  FROM o
+)
+SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+  CAST(GREATEST(window_id * 128, off) - off AS BIGINT) AS tok_start,
+  CAST(LEAST((window_id + 1) * 128, off + n)
+       - GREATEST(window_id * 128, off) AS BIGINT) AS n_window_tokens
+FROM w
 """,
         # decontamination replay: same k=3 token shingles (short docs fold to
         # one whole-doc shingle), sha256-prefix hashes, distinct benchmark

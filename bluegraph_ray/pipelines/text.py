@@ -446,3 +446,89 @@ def redact_pii(
             batch_format="pandas", batch_size=4096, concurrency=concurrency)
     return cols.map_batches(PiiRedactor(text_col, id_col, patterns),
                             batch_format="pandas", batch_size=4096)
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    *,
+    window: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Sequence packing: lay every document's tokens end to end in doc-id
+    order and cut the global stream into fixed ``window``-token training
+    contexts — the standard LLM pretraining packing step. Emits the
+    assignment table (window_id, doc_id, tok_start, n_window_tokens): doc
+    slice [tok_start, tok_start + n_window_tokens) fills its part of
+    window_id; a doc spanning a boundary emits one row per window it
+    touches.
+
+    The global prefix sum is two-level, never driver-bound: per-doc token
+    counts stream through a map; bucket = doc_id // width partials reduce
+    to ``num_buckets`` totals; ONLY those (num_buckets ints) reach the
+    driver for the exclusive cumsum, are broadcast back via ``ray.put``,
+    and each bucket finishes its own within-bucket prefix sum + slice
+    emission in one ``map_groups`` — driver state O(num_buckets), shuffle
+    bounded by the (id, n) count table, text never moves. Replayable in SQL
+    with one SUM() OVER (ORDER BY doc_id) (oracle ``packed_windows``)."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    from bluegraph_ray.util import hash_aggregate
+
+    def count_toks(batch: pd.DataFrame) -> pd.DataFrame:
+        n = (batch[text_col].str.count(" ") + 1).astype(np.int64)
+        return pd.DataFrame({id_col: batch[id_col], "n": n})
+
+    # materialized: the (id, n) table is ~16 B/doc and is consumed three
+    # times (max id, bucket totals, slice emission) — caching it means the
+    # text column is scanned exactly once; spill handles any overflow.
+    counts = docs.select_columns([id_col, text_col]).map_batches(
+        count_toks, batch_format="pandas", batch_size=None).materialize()
+    max_id = int(counts.max(id_col))
+    width = max(1, (max_id + num_buckets) // num_buckets)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_pack_bucket"] = (batch[id_col] // width).astype(np.int64)
+        return out
+
+    tagged = counts.map_batches(tag, batch_format="pandas", batch_size=None)
+    totals = hash_aggregate(
+        tagged, "_pack_bucket", {"_tot": ("n", "sum")},
+        num_buckets=min(num_buckets, 16)).to_pandas()
+    totals = totals.sort_values("_pack_bucket").reset_index(drop=True)
+    tot = totals["_tot"].to_numpy(dtype=np.int64)
+    base = np.zeros(len(totals), dtype=np.int64)
+    np.cumsum(tot[:-1], out=base[1:])
+    base_ref = ray.put(dict(zip(totals["_pack_bucket"].astype(int), base.tolist())))
+
+    W = int(window)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        g = group.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = g["n"].to_numpy(dtype=np.int64)
+        off = np.zeros(len(g), dtype=np.int64)
+        np.cumsum(n[:-1], out=off[1:])
+        off += bases[int(g["_pack_bucket"].iat[0])]
+        first_w = off // W
+        last_w = (off + n - 1) // W
+        m = last_w - first_w + 1
+        total = int(m.sum())
+        rep = np.repeat(np.arange(len(g)), m)
+        starts = np.zeros(len(g), dtype=np.int64)
+        np.cumsum(m[:-1], out=starts[1:])
+        wid = first_w[rep] + (np.arange(total) - starts[rep])
+        o, nn = off[rep], n[rep]
+        lo = np.maximum(wid * W, o)
+        hi = np.minimum((wid + 1) * W, o + nn)
+        return pd.DataFrame({
+            "window_id": wid,
+            id_col: g[id_col].to_numpy()[rep],
+            "tok_start": lo - o,
+            "n_window_tokens": hi - lo,
+        })
+
+    return tagged.groupby("_pack_bucket").map_groups(
+        per_bucket, batch_format="pandas")

@@ -812,3 +812,39 @@ def test_decontaminate_flags_overlaps(hash_mode):
     with pytest.raises(ValueError, match="hash_mode"):
         dedup.decontaminate(ray.data.from_pandas(train),
                             ray.data.from_pandas(bench), hash_mode="x")
+
+
+def test_pack_sequences_covers_stream_exactly():
+    rng = np.random.default_rng(5)
+    n_docs = 60
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64) * 3,  # sparse ids
+        "text": [" ".join(f"t{j}" for j in range(rng.integers(1, 40)))
+                 for _ in range(n_docs)],
+    })
+    W = 16
+    out = (text.pack_sequences(ray.data.from_pandas(df), window=W,
+                               num_buckets=4)
+           .to_pandas().sort_values(["window_id", "doc_id"])
+           .reset_index(drop=True))
+    n = df["text"].str.count(" ").to_numpy() + 1
+    total = int(n.sum())
+    # every token covered exactly once, windows full except the last
+    assert out["n_window_tokens"].sum() == total
+    per_w = out.groupby("window_id")["n_window_tokens"].sum()
+    assert (per_w.iloc[:-1] == W).all()
+    assert per_w.index.tolist() == list(range(len(per_w)))
+    # serial replay: offsets by doc_id order
+    off = np.concatenate(([0], np.cumsum(n[:-1])))
+    want = []
+    for d, o, k in zip(df["doc_id"], off, n):
+        for w in range(o // W, (o + k - 1) // W + 1):
+            lo, hi = max(w * W, o), min((w + 1) * W, o + k)
+            want.append((w, d, lo - o, hi - lo))
+    want = pd.DataFrame(want, columns=["window_id", "doc_id", "tok_start",
+                                       "n_window_tokens"])
+    pd.testing.assert_frame_equal(
+        out, want.sort_values(["window_id", "doc_id"])
+        .reset_index(drop=True), check_dtype=False)
+    with pytest.raises(ValueError, match="window"):
+        text.pack_sequences(ray.data.from_pandas(df), window=0)
