@@ -238,6 +238,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         random_walks(handle, length=8, actors=actors)
         queries["walks8"] = round(time.perf_counter() - t0, 3)
 
+        from bluegraph_ray.pipelines.graphembed import fastrp_embeddings
+
+        t0 = time.perf_counter()
+        fastrp_embeddings(handle, dimension=32, actors=actors)
+        queries["fastrp_d32"] = round(time.perf_counter() - t0, 3)
+
     for a in actors:
         ray.kill(a)
 
@@ -430,6 +436,23 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     repetition_stats(docs).materialize()
     q["repetition"] = round(time.perf_counter() - t0, 3)
+
+    # round-4 additions: PII scrub / decontamination / sequence packing
+    from bluegraph_ray.pipelines.dedup import decontaminate
+    from bluegraph_ray.pipelines.text import pack_sequences, redact_pii
+
+    t0 = time.perf_counter()
+    redact_pii(docs).materialize()
+    q["pii_redact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_side = docs.limit(max(n_docs // 50, 1))
+    decontaminate(docs, bench_side, k=3, hash_mode="fast").materialize()
+    q["decontaminate_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pack_sequences(docs, window=2048, num_buckets=32).materialize()
+    q["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     payloads = multimodal.payloads_from_text(docs).materialize()
