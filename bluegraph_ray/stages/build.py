@@ -493,14 +493,40 @@ class CsrPartition:
 
     def mat_gather(self, xw_ref) -> np.ndarray:
         """Matrix form of :meth:`pr_gather`: input (n, d) — returns the dense
-        (hi-lo, d) slice of Σ_{u->v} X(u)·w(u,v). One reduceat along axis 0;
-        used by the propagation embedder (pipelines/embedpipe.py)."""
+        (hi-lo, d) slice of Σ_{u->v} X(u)·w(u,v). Cache-blocked like the
+        scalar gather, with the chunk arc budget scaled DOWN by d so the
+        (chunk, d) product temp stays cache-sized instead of round-tripping
+        a full-length (arcs, d) matrix through DRAM; chunk bounds align to
+        dst-run boundaries, so per-run reduction order — and every output
+        bit — matches the one-shot kernel (unit-tested). Used by the
+        propagation embedder (pipelines/embedpipe.py) and FastRP
+        (pipelines/graphembed.py)."""
         xw = xw_ref if isinstance(xw_ref, np.ndarray) else ray.get(xw_ref)
-        out = np.zeros((self.hi - self.lo, xw.shape[1]), dtype=np.float64)
-        if len(self.dst):
-            vals = xw[self.src] * self.w[:, None]
-            sums = np.add.reduceat(vals, self.starts, axis=0)
-            out[self.uniq_dst - self.lo] = sums
+        xw = np.asarray(xw, dtype=np.float64)
+        d = int(xw.shape[1])
+        out = np.zeros((self.hi - self.lo, d), dtype=np.float64)
+        if not len(self.dst):
+            return out
+        if getattr(self, "_mat_key", None) != d:
+            budget = max(4096, 131_072 // max(d, 1))
+            self._mat_chunks = _gather_chunks(self.starts, len(self.dst),
+                                              budget)
+            ends = np.append(self.starts[self._mat_chunks[1:-1]],
+                             len(self.dst))
+            begins = self.starts[self._mat_chunks[:-1]]
+            self._mat_vals = np.empty((int((ends - begins).max()), d))
+            self._mat_key = d
+        starts, cb, src = self.starts, self._mat_chunks, self._src_ix
+        nruns, total = len(starts), len(self.dst)
+        for ci in range(len(cb) - 1):
+            a, b = int(cb[ci]), int(cb[ci + 1])
+            arc_lo = int(starts[a])
+            arc_hi = int(starts[b]) if b < nruns else total
+            v = self._mat_vals[: arc_hi - arc_lo]
+            np.take(xw, src[arc_lo:arc_hi], axis=0, out=v)
+            v *= self.w[arc_lo:arc_hi, None]
+            out[self._udl[a:b]] = np.add.reduceat(
+                v, starts[a:b] - arc_lo, axis=0)
         return out
 
     def min_label_gather(self, labels_ref) -> np.ndarray:

@@ -965,3 +965,51 @@ def test_deepwalk_embeddings_structure(karate_handle):
         if not g.has_edge(u, v):
             rand.append(float(norm[pos[u]] @ norm[pos[v]]))
     assert np.mean(adj) > np.mean(rand) + 0.1
+
+
+def test_mat_gather_chunked_bitwise_equals_oneshot(tmp_path):
+    """The cache-blocked matrix gather must reproduce the naive one-shot
+    (arcs, d) kernel bit for bit, across d values that change the chunk
+    budget."""
+    df = random_graph(seed=23)
+    handle = build_graph(ray.data.from_pandas(df), weight="mi",
+                         directed=False, n_partitions=3,
+                         path=str(tmp_path / "g"))
+    actors = make_partition_actors(handle)
+    try:
+        rng = np.random.default_rng(4)
+        for d in (1, 3, 32, 200):
+            X = rng.random((handle.n, d))
+            ref = ray.put(X)
+            got = np.concatenate(
+                ray.get([a.mat_gather.remote(ref) for a in actors]), axis=0)
+            # naive replicate over the full arc table
+            src, dst, w = handle_arcs(handle)
+            want = np.zeros((handle.n, d))
+            order = np.argsort(dst, kind="stable")
+            s, t, ww = src[order], dst[order], w[order]
+            ch = np.flatnonzero(np.diff(t)) + 1
+            starts = np.concatenate(([0], ch))
+            vals = X[s] * ww[:, None]
+            want[t[starts]] = np.add.reduceat(vals, starts, axis=0)
+            assert (got == want).all(), f"d={d}"
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+
+def handle_arcs(handle):
+    """All (src, dst, w) arcs of a built graph, read back from the buckets."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    srcs, dsts, ws = [], [], []
+    for b in range(handle.n_partitions):
+        pdir = f"{handle.path}/bucket={b}"
+        if os.path.isdir(pdir):
+            t = pq.read_table(pdir, columns=["src_id", "dst_id", "w"])
+            srcs.append(t.column("src_id").to_numpy())
+            dsts.append(t.column("dst_id").to_numpy())
+            ws.append(t.column("w").to_numpy())
+    return (np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws))
