@@ -1781,6 +1781,21 @@ def q_decontaminated(sf_dir: str):
     return decontaminate(train, bench, k=3, hash_mode="sha256")
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Span-level duplicate detection (pipelines/dedup.duplicate_spans):
+    every 3-token span hash occurring 2+ times across the corpus, with doc
+    spread / occurrence counts — the ExactSubstr candidate table. k=3 keeps
+    the small-vocab test corpus meaningfully duplicated;
+    hash_mode="sha256" pinned for the byte-exact oracle replay (production
+    default is the vectorized fast hasher)."""
+    from bluegraph_ray.pipelines.dedup import duplicate_spans
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    return duplicate_spans(_docs(sf_dir), k=3, min_count=2,
+                           hash_mode="sha256")
+
+
 def q_packed_windows(sf_dir: str):
     """Sequence packing (pipelines/text.pack_sequences): lay the corpus'
     tokens end to end in doc-id order and cut 128-token training windows;
@@ -1817,13 +1832,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
-        # (window math: blocks 1+2 total 53 with the six new r4 queries at
-        # the front — embedding_dups + lang_quality + doc_fingerprints slip
-        # past the 50-entry cap this round; all three already hold r2-green
-        # rows and rotate forward in round 5.)
+        # (window math: block 1 holds 46 entries with the seven new r4
+        # queries at the front, so the 50-entry cap covers block 1 plus the
+        # first 4 of block 2 — embedding_dups lsh_knn lang_quality
+        # doc_fingerprints slip past the cap this round; all four already
+        # hold r2-green rows and lead the round-5 window.)
         "pii_redact": q_pii_redact,                        # new in r4
         "decontaminated": q_decontaminated,                # new in r4
         "packed_windows": q_packed_windows,                # new in r4
+        "duplicate_spans": q_duplicate_spans,              # new in r4
         "fastrp_embed": q_fastrp_embed,                    # new in r4
         "eigenvector_power12": q_eigenvector_power12,
         "katz_power12": q_katz_power12,
@@ -2822,6 +2839,28 @@ SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
   CAST(LEAST((window_id + 1) * 128, off + n)
        - GREATEST(window_id * 128, off) AS BIGINT) AS n_window_tokens
 FROM w
+""",
+        # span-dedup replay: identical trigram construction + sha256-prefix
+        # hashes, grouped by hash with an occurrence floor
+        "duplicate_spans": """
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, len(toks) - 2)]
+      ELSE [array_to_string(toks, ' ')]
+    END AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(sha256(s.s), 1, 16))::UBIGINT AS h
+  FROM sh, UNNEST(shs) AS s(s)
+)
+SELECT h AS span_hash,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  MIN(doc_id) AS example_doc
+FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
 """,
         # decontamination replay: same k=3 token shingles (short docs fold to
         # one whole-doc shingle), sha256-prefix hashes, distinct benchmark

@@ -833,3 +833,69 @@ def decontaminate(
 
     return (train.select_columns([id_col, text_col])
             .map_batches(probe, batch_format="pandas", batch_size=4096))
+
+
+def duplicate_spans(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    hash_mode: str = "fast",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Span-level duplicate detection — the candidate generator of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every k-token span
+    whose hash occurs ``min_count``+ times across the corpus, the passages
+    an ExactSubstr pass would cut. Complements the doc-level sketches
+    (MinHash/SimHash find near-duplicate DOCUMENTS; this finds repeated
+    PASSAGES inside otherwise-distinct documents — boilerplate, licenses,
+    quoted text).
+
+    Plan: per-batch k-token span hashes (the shared sketch hashers,
+    dedup.py:86) fold map-side to distinct (hash, doc, count) partials,
+    then ONE bucketed aggregate by span hash — the shuffle carries
+    int64-only rows bounded by distinct spans, never text. Returns
+    (span_hash uint64, n_docs, n_occurrences, example_doc = min doc id).
+    ``hash_mode="sha256"`` is the oracle-replayable mode (query
+    ``duplicate_spans``); "fast" is the production default.
+    """
+    if hash_mode not in ("sha256", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    def spans(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy()
+        if hash_mode == "fast":
+            h, bounds = _fast_shingle_hashes(list(texts), k)
+        else:
+            per_doc = [_token_shingles(t, k) for t in texts]
+            bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in per_doc], out=bounds[1:])
+            h = _hash64([s.encode() for doc in per_doc for s in doc])
+        ids = np.repeat(batch[id_col].to_numpy(), np.diff(bounds))
+        # map-side combine: (hash, doc) distinct + occurrence counts
+        part = (pd.DataFrame({"span_hash": h, id_col: ids})
+                .groupby(["span_hash", id_col], sort=False)
+                .size().rename("n").reset_index())
+        part["_bucket"] = (part["span_hash"]
+                           % np.uint64(num_buckets)).astype(np.int64)
+        return part
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("span_hash", sort=False)
+        out = g.agg(
+            n_docs=(id_col, "nunique"),
+            n_occurrences=("n", "sum"),
+            example_doc=(id_col, "min"),
+        ).reset_index()
+        out = out[out["n_occurrences"] >= min_count]
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+        return out
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(spans, batch_format="pandas", batch_size=4096)
+            .groupby("_bucket")
+            .map_groups(combine, batch_format="pandas"))

@@ -848,3 +848,38 @@ def test_pack_sequences_covers_stream_exactly():
         .reset_index(drop=True), check_dtype=False)
     with pytest.raises(ValueError, match="window"):
         text.pack_sequences(ray.data.from_pandas(df), window=0)
+
+
+@pytest.mark.parametrize("hash_mode", ["sha256", "fast"])
+def test_duplicate_spans_finds_repeated_passages(hash_mode):
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "license header alpha beta end",    # 'license header alpha' etc
+            "license header alpha gamma end",   # shares 1 trigram with doc0
+            "license header alpha beta end",    # exact dup of doc0
+            "totally different words here now",
+        ],
+    })
+    out = (dedup.duplicate_spans(ray.data.from_pandas(df), k=3,
+                                 min_count=2, hash_mode=hash_mode)
+           .to_pandas())
+    # brute-force replicate
+    from collections import Counter
+    spans = []
+    for did, t in zip(df["doc_id"], df["text"]):
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            spans.append((" ".join(toks[i:i + 3]), did))
+    occ = Counter(s for s, _ in spans)
+    dup = {s for s, c in occ.items() if c >= 2}
+    assert len(out) == len(dup)
+    got = dict(zip(out["span_hash"], zip(out["n_docs"], out["n_occurrences"],
+                                         out["example_doc"])))
+    assert len(got) == len(dup)
+    for s in dup:
+        docs = [d for t, d in spans if t == s]
+        want = (len(set(docs)), len(docs), min(docs))
+        assert want in got.values()
+    # 'license header alpha' occurs in docs 0,1,2 -> a (3,3,0) row exists
+    assert (3, 3, 0) in got.values()
