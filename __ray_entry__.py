@@ -1796,6 +1796,65 @@ def q_duplicate_spans(sf_dir: str):
                            hash_mode="sha256")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """End-to-end fuzzy-dedup cluster assignment
+    (pipelines/dedup.dedup_clusters): MinHash+LSH candidates at
+    est_jaccard >= 0.5 -> connected components over the pair graph ->
+    (doc_id, cluster = min doc id of the near-dup group,
+    is_representative). Same sketch parameters as `minhash_candidates`
+    (k=3, 64 perms, 16 bands, sha256 oracle mode); the oracle replays the
+    candidate pairs then closes them with a recursive transitive-closure
+    CTE (tractable at sf0.01 — clusters are tiny)."""
+    from bluegraph_ray.pipelines.dedup import dedup_clusters
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    return dedup_clusters(_docs(sf_dir), threshold=0.5, k=3, num_perm=64,
+                          bands=16, hash_mode="sha256", n_partitions=4)
+
+
+def q_clean_spans(sf_dir: str):
+    """Exact-substring span CUT (pipelines/dedup.remove_duplicate_spans):
+    remove every token covered by a 3-token span whose hash occurs 2+
+    times corpus-wide; emits (doc_id, clean_text, n_removed_tokens).
+    hash_mode="sha256" pinned for the byte-exact replay; the oracle expands
+    duplicated marks to covered token indices and anti-joins the token
+    table."""
+    from bluegraph_ray.pipelines.dedup import remove_duplicate_spans
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    return remove_duplicate_spans(_docs(sf_dir), k=3, min_count=2,
+                                  hash_mode="sha256")
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (pipelines/tokenizer.bpe_train): the first 12
+    merges learned over the corpus word-frequency table — (rank, lhs, rhs,
+    merged, freq). The word table is distributed (term_stats); the merge
+    loop is driver-side, vocabulary-bounded (max_words set above the sf0.01
+    distinct-word count so the oracle's full-table replay matches). Oracle:
+    12 unrolled merge steps (pair recount -> best by count desc / pair asc
+    -> gaps-and-islands greedy application) — sf-tied like the other
+    unrolled oracles."""
+    from bluegraph_ray.pipelines.tokenizer import bpe_train
+
+    return bpe_train(_docs(sf_dir), num_merges=12, min_freq=1,
+                     max_words=5_000_000)
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE merge application (pipelines/tokenizer.bpe_token_counts): per-doc
+    subword token count under the 12 learned merges — broadcast actor-pool
+    encode with a per-actor word memo. Oracle: final symbol table of the
+    unrolled merge chain, summed per doc over word occurrences."""
+    from bluegraph_ray.pipelines.tokenizer import bpe_token_counts, bpe_train
+
+    docs = _docs(sf_dir)
+    merges = bpe_train(docs, num_merges=12, min_freq=1, max_words=5_000_000)
+    return bpe_token_counts(docs, merges)
+
+
 def q_packed_windows(sf_dir: str):
     """Sequence packing (pipelines/text.pack_sequences): lay the corpus'
     tokens end to end in doc-id order and cut 128-token training windows;
@@ -1832,11 +1891,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
-        # (window math: block 1 holds 46 entries with the seven new r4
-        # queries at the front, so the 50-entry cap covers block 1 plus the
-        # first 4 of block 2 — embedding_dups lsh_knn lang_quality
-        # doc_fingerprints slip past the cap this round; all four already
-        # hold r2-green rows and lead the round-5 window.)
+        # (window math: block 1 holds exactly 50 entries with the eleven
+        # new r4 queries at the front, so the 50-entry cap covers precisely
+        # the never-checked + new-in-r4 set — every block-2 entry
+        # (components_parts communities_parts minhash_candidates
+        # simhash_docs embedding_dups lsh_knn lang_quality
+        # doc_fingerprints) already holds an r2-green row and leads the
+        # round-5 window.)
+        "dedup_clusters": q_dedup_clusters,                # new in r4
+        "clean_spans": q_clean_spans,                      # new in r4
+        "bpe_merges": q_bpe_merges,                        # new in r4
+        "bpe_tokens": q_bpe_tokens,                        # new in r4
         "pii_redact": q_pii_redact,                        # new in r4
         "decontaminated": q_decontaminated,                # new in r4
         "packed_windows": q_packed_windows,                # new in r4
@@ -2218,6 +2283,81 @@ m{k + 1} AS (
 # rounds-i heuristic. ``log2_v`` must satisfy 2^log2_v >= vertex count
 # of the instance the oracle runs on (sf-tied, like the unrolled round
 # counts: kcore 16 / MIS 10 / ktruss 10 / matching 12 below).
+# Unrolled BPE merge steps over the distinct-word symbol table (pipelines/
+# tokenizer.bpe_train's determinism contract: best pair = max count, ties ->
+# lexicographically smallest (lhs, rhs); application = greedy left-to-right
+# non-overlap, replayed as gaps-and-islands alternating keeps so runs of a
+# self-adjacent pair like (a, a) over "aaaa" merge every OTHER position).
+def _bpe_steps(num_merges: int) -> str:
+    out = ["""
+wf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) GROUP BY w
+),
+sym0 AS MATERIALIZED (
+  SELECT w, i AS pos, substr(w, i, 1) AS s
+  FROM wf, UNNEST(generate_series(1, length(w))) AS g(i)
+)"""]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        out.append(f""",
+pc{i} AS MATERIALIZED (
+  SELECT a.s AS l, b.s AS r, SUM(f.freq) AS c
+  FROM sym{p} a JOIN sym{p} b ON b.w = a.w AND b.pos = a.pos + 1
+  JOIN wf f ON f.w = a.w
+  GROUP BY 1, 2),
+best{i} AS MATERIALIZED (
+  SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
+m{i} AS (
+  SELECT a.w, a.pos FROM sym{p} a
+  JOIN sym{p} b ON b.w = a.w AND b.pos = a.pos + 1, best{i} bs
+  WHERE a.s = bs.l AND b.s = bs.r),
+g{i} AS (
+  SELECT w, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+  FROM m{i}),
+keep{i} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos,
+           ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+    FROM g{i}) WHERE rn % 2 = 1),
+sym{i} AS MATERIALIZED (
+  SELECT w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos, s
+  FROM (
+    SELECT s.w, s.pos,
+      CASE WHEN k1.pos IS NOT NULL THEN s.s || nx.s ELSE s.s END AS s
+    FROM sym{p} s
+    LEFT JOIN keep{i} k1 ON k1.w = s.w AND k1.pos = s.pos
+    LEFT JOIN keep{i} k2 ON k2.w = s.w AND k2.pos = s.pos - 1
+    LEFT JOIN sym{p} nx ON nx.w = s.w AND nx.pos = s.pos + 1
+    WHERE k2.pos IS NULL))""")
+    return "".join(out)
+
+
+def _bpe_merges_sql(num_merges: int) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT {i - 1} AS rank, l, r, c FROM best{i}"
+        for i in range(1, num_merges + 1))
+    return f"""
+WITH {_bpe_steps(num_merges)}
+SELECT CAST(rank AS BIGINT) AS rank, l AS lhs, r AS rhs,
+       l || r AS merged, CAST(c AS BIGINT) AS freq
+FROM (
+{union}
+)"""
+
+
+def _bpe_tokens_sql(num_merges: int) -> str:
+    return f"""
+WITH {_bpe_steps(num_merges)},
+wlen AS (SELECT w, COUNT(*) AS n FROM sym{num_merges} GROUP BY w)
+SELECT d.doc_id, CAST(SUM(COALESCE(wl.n, 0)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      FROM documents) d
+LEFT JOIN wlen wl ON wl.w = d.w
+GROUP BY 1"""
+
+
 def _boruvka_steps(rounds: int, log2_v: int = 12) -> str:
     out = []
     for i in range(1, rounds + 1):
@@ -2861,6 +3001,76 @@ SELECT h AS span_hash,
   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
   MIN(doc_id) AS example_doc
 FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
+""",
+        # BPE: 12 unrolled merge steps over the distinct-word symbol table
+        # (_bpe_steps above); merges table + per-doc token counts
+        "bpe_merges": _bpe_merges_sql(12),
+        "bpe_tokens": _bpe_tokens_sql(12),
+        # fuzzy-dedup clusters: replay the banded-MinHash candidate pairs,
+        # threshold, then transitive closure by recursive CTE (tiny clusters
+        # at sf0.01); cluster = min doc id reachable; singletons self-label
+        "dedup_clusters": f"""
+WITH RECURSIVE cand AS ({_minhash_sql("documents")}),
+bidir AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM cand WHERE est_jaccard >= 0.5
+  UNION ALL
+  SELECT dst, src FROM cand WHERE est_jaccard >= 0.5
+),
+reach(v, w) AS (
+  SELECT u, v FROM bidir
+  UNION
+  SELECT r.v, e.v FROM reach r JOIN bidir e ON e.u = r.w
+),
+lab AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS cluster
+        FROM reach GROUP BY v)
+SELECT d.doc_id,
+  COALESCE(l.cluster, d.doc_id) AS cluster,
+  (COALESCE(l.cluster, d.doc_id) = d.doc_id) AS is_representative
+FROM documents d LEFT JOIN lab l USING (doc_id)
+""",
+        # span-cut replay: duplicated 3-token marks expand to covered token
+        # indices; the token table anti-joins the cover set and re-joins
+        # with spaces (short docs fold to one whole-doc span covering all)
+        "clean_spans": """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, 3 AS cover,
+         toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS s
+  FROM t, UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+  WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, 0, len(toks), text FROM t WHERE len(toks) < 3
+),
+hashed AS (
+  SELECT doc_id, pos, cover,
+         ('0x' || substr(sha256(s), 1, 16))::UBIGINT AS h
+  FROM sh
+),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2),
+marks AS (SELECT doc_id, pos, cover FROM hashed JOIN dup USING (h)),
+cov AS (
+  SELECT DISTINCT m.doc_id, g.j
+  FROM marks m, UNNEST(generate_series(m.pos, m.pos + m.cover - 1)) AS g(j)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS j, toks[i] AS tok
+  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.j, tok.tok
+  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+  WHERE cov.j IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM t LEFT JOIN agg a USING (doc_id)
 """,
         # decontamination replay: same k=3 token shingles (short docs fold to
         # one whole-doc shingle), sha256-prefix hashes, distinct benchmark

@@ -899,3 +899,213 @@ def duplicate_spans(
             .map_batches(spans, batch_format="pandas", batch_size=4096)
             .groupby("_bucket")
             .map_groups(combine, batch_format="pandas"))
+
+
+def dedup_clusters(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    hash_mode: str = "fast",
+    num_buckets: int = 16,
+    n_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """End-to-end fuzzy-dedup cluster assignment: MinHash+LSH candidate
+    pairs (est_jaccard >= ``threshold``) -> connected components over the
+    pair graph -> one cluster id per document (= the minimum doc id of its
+    near-duplicate group; singletons cluster with themselves). The standard
+    "keep one per cluster" LLM-corpus dedup: filter on
+    ``is_representative``.
+
+    Scale shape: the candidate stage is the banded-LSH shuffle
+    (minhash_lsh_candidates); the component stage runs hash-min label
+    propagation on CSR partition actors over the PAIR graph only — its
+    vertex set is the near-duplicate docs, a small fraction of the corpus
+    (the pair table is materialized once; GraphHandle keeps that vertex-name
+    vector driver-side, the repo-wide graph-op bound). Singleton back-fill
+    is a bucketed union-groupby on hashed doc id — no driver join, no
+    broadcast of the label map.
+    """
+    cand = minhash_lsh_candidates(
+        docs, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm,
+        bands=bands, seed=seed, hash_mode=hash_mode, num_buckets=num_buckets)
+
+    def thresh(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch["est_jaccard"] >= threshold][["src", "dst"]]
+        return out.astype({"src": np.int64, "dst": np.int64})
+
+    pairs = cand.map_batches(
+        thresh, batch_format="pandas", batch_size=None).materialize()
+
+    lab: pd.DataFrame | None = None
+    if pairs.count() > 0:
+        from bluegraph_ray.stages.build import build_graph
+        from bluegraph_ray.stages.components import connected_components
+
+        handle = build_graph(pairs, directed=False,
+                             n_partitions=n_partitions)
+        res = connected_components(handle)
+        names = handle.names.astype(np.int64)
+        lab = pd.DataFrame({
+            id_col: names,
+            "cluster": names[res.values],
+            "pri": np.int64(1),
+        })
+
+    def tag_base(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype(np.int64)
+        return pd.DataFrame({id_col: ids, "cluster": ids,
+                             "pri": np.int64(0)})
+
+    parts = docs.select_columns([id_col]).map_batches(
+        tag_base, batch_format="pandas", batch_size=None)
+    if lab is not None:
+        parts = parts.union(ray.data.from_pandas(lab))
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_b"] = (batch[id_col].to_numpy() % num_buckets).astype(np.int64)
+        return batch
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values([id_col, "pri"], kind="mergesort")
+             .groupby(id_col, sort=False).last().reset_index())
+        out = g[[id_col, "cluster"]].copy()
+        out["cluster"] = out["cluster"].astype(np.int64)
+        out["is_representative"] = out["cluster"] == out[id_col]
+        return out
+
+    return (parts.map_batches(bucket, batch_format="pandas", batch_size=None)
+            .groupby("_b")
+            .map_groups(lambda g: pick(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
+
+
+def remove_duplicate_spans(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    hash_mode: str = "fast",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """The cut stage of exact-substring dedup (Lee et al. 2022): remove
+    every token covered by a k-token span whose hash occurs ``min_count``+
+    times corpus-wide (ALL occurrences are cut — deterministic, no
+    keep-first ordering dependence). -> (doc_id, clean_text,
+    n_removed_tokens). Complements ``duplicate_spans`` (which only lists the
+    candidate table).
+
+    Scale shape: stage A buckets (span_hash, doc, pos) partials by hash and
+    emits the mark list (doc, pos, cover) of duplicated occurrences — an
+    int-only shuffle bounded by total span occurrences; stage B co-locates
+    marks with text via ONE bucketed union-groupby on hashed doc id (text
+    moves through exactly one exchange; the alternative — broadcasting the
+    duplicated-hash set — is unbounded at corpus scale). Interval merge per
+    doc is a numpy diff/cumsum, not a Python scan.
+    """
+    if hash_mode not in ("sha256", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    def spans(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy()
+        n_toks = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+        if hash_mode == "fast":
+            h, bounds = _fast_shingle_hashes(list(texts), k)
+        else:
+            per_doc = [_token_shingles(t, k) for t in texts]
+            bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in per_doc], out=bounds[1:])
+            h = _hash64([s.encode() for doc in per_doc for s in doc])
+        m = np.diff(bounds)
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(bounds[:-1], m)
+        # whole-doc shingle of a short doc covers all its tokens
+        cover = np.full(len(h), k, dtype=np.int64)
+        short = n_toks < k
+        cover[np.repeat(short, m)] = np.repeat(n_toks[short], m[short])
+        return pd.DataFrame({
+            "span_hash": h,
+            id_col: np.repeat(batch[id_col].to_numpy(), m),
+            "pos": pos,
+            "cover": cover,
+            "_b": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def marks_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group.groupby("span_hash", sort=False)["pos"].transform("size")
+        dup = group[counts >= min_count]
+        return dup[[id_col, "pos", "cover"]].reset_index(drop=True)
+
+    marks = (docs.select_columns([id_col, text_col])
+             .map_batches(spans, batch_format="pandas", batch_size=4096)
+             .groupby("_b")
+             .map_groups(lambda g: marks_in_bucket(g.drop(columns=["_b"])),
+                         batch_format="pandas"))
+
+    # stage B: co-locate marks with text — one union schema, bucket by doc
+    def tag_text(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].astype(np.int64),
+            text_col: batch[text_col],
+            "pos": np.int64(-1),
+            "cover": np.int64(0),
+        })
+
+    def tag_marks(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].astype(np.int64),
+            text_col: "",
+            "pos": batch["pos"].astype(np.int64),
+            "cover": batch["cover"].astype(np.int64),
+        })
+
+    both = (docs.select_columns([id_col, text_col])
+            .map_batches(tag_text, batch_format="pandas", batch_size=None)
+            .union(marks.map_batches(tag_marks, batch_format="pandas",
+                                     batch_size=None)))
+
+    def bucket_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_b"] = (batch[id_col].to_numpy() % num_buckets).astype(np.int64)
+        return batch
+
+    def cut(group: pd.DataFrame) -> pd.DataFrame:
+        texts = group[group["pos"] < 0]
+        mk = group[group["pos"] >= 0]
+        by_doc = {d: g for d, g in mk.groupby(id_col, sort=False)}
+        ids, cleans, removed = [], [], []
+        for did, text in zip(texts[id_col], texts[text_col]):
+            g = by_doc.get(did)
+            if g is None:
+                ids.append(did); cleans.append(text); removed.append(0)
+                continue
+            toks = text.split(" ")
+            n = len(toks)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            p = g["pos"].to_numpy()
+            e = np.minimum(p + g["cover"].to_numpy(), n)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, e, -1)
+            drop = np.cumsum(diff[:-1]) > 0
+            kept = np.asarray(toks, dtype=object)[~drop]
+            ids.append(did)
+            cleans.append(" ".join(kept))
+            removed.append(int(drop.sum()))
+        return pd.DataFrame({
+            id_col: np.asarray(ids, dtype=np.int64),
+            "clean_text": cleans,
+            "n_removed_tokens": np.asarray(removed, dtype=np.int64),
+        })
+
+    return (both.map_batches(bucket_doc, batch_format="pandas",
+                             batch_size=None)
+            .groupby("_b")
+            .map_groups(lambda g: cut(g.drop(columns=["_b"])),
+                        batch_format="pandas"))

@@ -883,3 +883,170 @@ def test_duplicate_spans_finds_repeated_passages(hash_mode):
         assert want in got.values()
     # 'license header alpha' occurs in docs 0,1,2 -> a (3,3,0) row exists
     assert (3, 3, 0) in got.values()
+
+
+@pytest.mark.parametrize("hash_mode", ["sha256", "fast"])
+def test_dedup_clusters_transitive_groups(hash_mode):
+    # docs 0/2/5 identical, 1/4 identical, 3 and 6 singletons; identical
+    # docs share every band so est_jaccard = 1.0 >= threshold
+    df = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "alpha beta gamma delta epsilon zeta",
+            "nothing like anything else at all here",
+            "one two three four five six seven",
+            "alpha beta gamma delta epsilon zeta",
+            "another entirely unrelated document text body",
+        ],
+    })
+    out = (dedup.dedup_clusters(ray.data.from_pandas(df), threshold=0.5,
+                                k=3, hash_mode=hash_mode, n_partitions=2,
+                                num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == list(range(7))
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got[0] == got[2] == got[5] == 0
+    assert got[1] == got[4] == 1
+    assert got[3] == 3 and got[6] == 6
+    rep = dict(zip(out["doc_id"], out["is_representative"]))
+    assert [d for d in range(7) if rep[d]] == [0, 1, 3, 6]
+
+
+def test_dedup_clusters_no_candidates_all_singletons():
+    df = pd.DataFrame({
+        "doc_id": np.array([3, 9, 11], dtype=np.int64),
+        "text": ["aa bb cc dd", "ee ff gg hh", "ii jj kk ll"],
+    })
+    out = (dedup.dedup_clusters(ray.data.from_pandas(df), num_buckets=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["cluster"].tolist() == [3, 9, 11]
+    assert out["is_representative"].all()
+
+
+@pytest.mark.parametrize("hash_mode", ["sha256", "fast"])
+def test_remove_duplicate_spans_cuts_all_occurrences(hash_mode):
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "keep one license header block keep two",
+            "other text license header block trailing words",
+            "no duplicated passages in this one",
+            "tiny doc",                    # <k tokens, unique -> untouched
+        ],
+    })
+    out = (dedup.remove_duplicate_spans(
+               ray.data.from_pandas(df), k=3, min_count=2,
+               hash_mode=hash_mode, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute-force replicate
+    from collections import Counter
+    spans = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            spans[did] = [(t, 0, len(toks))]
+        else:
+            spans[did] = [(" ".join(toks[i:i + 3]), i, 3)
+                          for i in range(len(toks) - 2)]
+    occ = Counter(s for v in spans.values() for s, _, _ in v)
+    want_clean, want_removed = [], []
+    for did, t in zip(df["doc_id"], df["text"]):
+        toks = t.split(" ")
+        drop = [False] * len(toks)
+        for s, p, c in spans[did]:
+            if occ[s] >= 2:
+                for j in range(p, min(p + c, len(toks))):
+                    drop[j] = True
+        want_clean.append(" ".join(t for t, d in zip(toks, drop) if not d))
+        want_removed.append(sum(drop))
+    assert out["clean_text"].tolist() == want_clean
+    assert out["n_removed_tokens"].tolist() == want_removed
+    # sanity: the shared trigram chain was actually cut from both docs
+    assert "license" not in out["clean_text"][0]
+    assert out["n_removed_tokens"][2] == 0
+    assert out["clean_text"][3] == "tiny doc"
+
+
+def test_remove_duplicate_spans_short_doc_whole_span():
+    # two identical sub-k docs: their whole-doc shingle is duplicated, so
+    # every token of both is removed
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["same tiny", "same tiny", "a completely different doc"],
+    })
+    out = (dedup.remove_duplicate_spans(
+               ray.data.from_pandas(df), k=3, min_count=2, num_buckets=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["clean_text"].tolist() == ["", "", "a completely different doc"]
+    assert out["n_removed_tokens"].tolist() == [2, 2, 0]
+
+
+def _bpe_reference(word_freqs: dict, num_merges: int):
+    """Independent brute-force BPE: recount every pair each step."""
+    from collections import Counter
+    words = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for rank in range(num_merges):
+        counts = Counter()
+        for w, sym in words.items():
+            for p in zip(sym, sym[1:]):
+                counts[p] += word_freqs[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, sym in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            words[w] = tuple(out)
+    return merges, words
+
+
+def test_bpe_train_matches_bruteforce():
+    from bluegraph_ray.pipelines import tokenizer
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "lower lower lowest low low low",
+            "newer newer newest new new",
+            "aaaa aaaa aaa",          # self-adjacent pair: greedy overlap
+            "wider wide widest",
+            "lower newer low new",
+            "er er er er",
+        ],
+    })
+    from collections import Counter
+    wf = Counter(w for t in docs["text"] for w in t.split(" "))
+    want, want_words = _bpe_reference(dict(wf), 10)
+
+    got = tokenizer.bpe_train(ray.data.from_pandas(docs), num_merges=10)
+    assert list(map(tuple, got.to_records(index=False))) == want
+
+    # token counts under the learned merges match the reference segmentation
+    counts = (tokenizer.bpe_token_counts(ray.data.from_pandas(docs), got)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want_n = [sum(len(want_words[w]) for w in t.split(" "))
+              for t in docs["text"]]
+    assert counts["n_bpe_tokens"].tolist() == want_n
+
+
+def test_bpe_train_early_stop_and_truncation():
+    from bluegraph_ray.pipelines import tokenizer
+
+    # a 2-char vocab exhausts its pairs: 'ab' -> one merge then no pairs
+    docs = pd.DataFrame({"doc_id": [0], "text": ["ab ab ab"]})
+    got = tokenizer.bpe_train(ray.data.from_pandas(docs), num_merges=5)
+    assert got["merged"].tolist() == ["ab"]
+    # max_words keeps only the most frequent word deterministically
+    docs2 = pd.DataFrame({"doc_id": [0], "text": ["xy xy zq"]})
+    got2 = tokenizer.bpe_train(ray.data.from_pandas(docs2), num_merges=1,
+                               max_words=1)
+    assert got2["merged"].tolist() == ["xy"]
