@@ -454,6 +454,27 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     pack_sequences(docs, window=2048, num_buckets=32).materialize()
     q["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
+    # round-4 additions: span cut / dedup clusters / BPE train+encode
+    from bluegraph_ray.pipelines.dedup import (dedup_clusters,
+                                               remove_duplicate_spans)
+    from bluegraph_ray.pipelines.tokenizer import bpe_token_counts, bpe_train
+
+    t0 = time.perf_counter()
+    remove_duplicate_spans(docs, k=20, min_count=2,
+                           hash_mode="fast").materialize()
+    q["clean_spans_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup_clusters(docs, threshold=0.5, k=3,
+                   hash_mode="fast").materialize()
+    q["dedup_clusters_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    merges = bpe_train(docs, num_merges=64, min_freq=2, max_words=100_000)
+    bpe_token_counts(docs, merges, concurrency=num_cpus // 4
+                     or 2).materialize()
+    q["bpe_train_encode"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     payloads = multimodal.payloads_from_text(docs).materialize()
     multimodal.frame_digests(
