@@ -1828,6 +1828,22 @@ def q_clean_spans(sf_dir: str):
                                   hash_mode="sha256")
 
 
+def q_pq_knn(sf_dir: str):
+    """Product-quantization ANN (pipelines/similarity.pq_topk): 8 subspaces
+    x 16 codes trained with two distributed Lloyd passes (deterministic
+    smallest-id init, codebook-bounded shuffles), then one encode+ADC
+    streaming scan with map-side per-query top-k. Oracle: the full unrolled
+    replay (_pq_sql) — init, both iterations, final codes, ADC, top-5."""
+    from bluegraph_ray.pipelines.similarity import pq_topk
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+    qm, qids = _emb_queries(sf_dir, 10)
+    return pq_topk(corpus, qm, qids, k=5, m=8, n_codes=16, iters=2)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (pipelines/tokenizer.bpe_train): the first 12
     merges learned over the corpus word-frequency table — (rank, lhs, rhs,
@@ -1891,17 +1907,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
-        # (window math: block 1 holds exactly 50 entries with the eleven
-        # new r4 queries at the front, so the 50-entry cap covers precisely
-        # the never-checked + new-in-r4 set — every block-2 entry
-        # (components_parts communities_parts minhash_candidates
-        # simhash_docs embedding_dups lsh_knn lang_quality
-        # doc_fingerprints) already holds an r2-green row and leads the
-        # round-5 window.)
+        # (window math: block 1 holds exactly 50 entries with the twelve
+        # new r4 value-oracle queries at the front, so the 50-entry cap
+        # covers precisely the never-checked + new-in-r4 set. Past the cap:
+        # wys_embed (rows-only by design, upstream stages hash-verified)
+        # plus the eight r2-green block-2 entries — all lead the round-5
+        # window.)
         "dedup_clusters": q_dedup_clusters,                # new in r4
         "clean_spans": q_clean_spans,                      # new in r4
         "bpe_merges": q_bpe_merges,                        # new in r4
         "bpe_tokens": q_bpe_tokens,                        # new in r4
+        "pq_knn": q_pq_knn,                                # new in r4
         "pii_redact": q_pii_redact,                        # new in r4
         "decontaminated": q_decontaminated,                # new in r4
         "packed_windows": q_packed_windows,                # new in r4
@@ -1933,7 +1949,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attri2vec_embed": q_attri2vec_embed,              # new in r4
         "graphsage_embed": q_graphsage_embed,              # new in r4
         "dgi_embed": q_dgi_embed,                          # new in r4
-        "wys_embed": q_wys_embed,                          # new in r4
         "deepwalk_embed": q_deepwalk_embed,
         "contracted_communities": q_contracted_communities,
         "ego_parts": q_ego_parts,
@@ -1949,6 +1964,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
         # --- block 2: last green in CORRECTNESS_r02 ------------------------
+        # (wys_embed leads: rows-only by design (seeded GD fit; its walk /
+        # transition-power upstream stages ARE hash-verified), displaced
+        # from the r4 window when pq_knn took the 51st block-1 slot — it
+        # and the r2-era queries below lead the round-5 window.)
+        "wys_embed": q_wys_embed,                          # new in r4
         "components_parts": q_components_parts,
         "communities_parts": q_communities_parts,
         "minhash_candidates": q_minhash_candidates,
@@ -2283,6 +2303,78 @@ m{k + 1} AS (
 # rounds-i heuristic. ``log2_v`` must satisfy 2^log2_v >= vertex count
 # of the instance the oracle runs on (sf-tied, like the unrolled round
 # counts: kcore 16 / MIS 10 / ktruss 10 / matching 12 below).
+# Unrolled product-quantization replay (pipelines/similarity.pq_train /
+# pq_topk): init codebook = the 16 smallest-id vectors, two Lloyd
+# iterations per 8-dim subspace (assignment = min squared-L2, ties ->
+# lowest code, matching np.argmin), empty cells keep the previous
+# centroid, then ADC top-k. Distances replay term-by-term in DOUBLE
+# ((x-c)^2 sums — the engine uses the explicit-difference form, not the
+# norm expansion, for exactly this replay); summation-order last-ulp
+# ties are a documented non-risk on the synthetic embeddings (same
+# caveat as knn_cosine). Geometry (64 dims, 8 subspaces) is the
+# embeddings-table shape — sf-tied like the unrolled graph oracles.
+def _pq_sql(iters: int = 2, n_codes: int = 16, k: int = 5) -> str:
+    out = [f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub,
+         CAST((i - 1) % 8 AS BIGINT) AS dim, v[i] AS x
+  FROM e, UNNEST(generate_series(1, 64)) AS g(i)
+),
+c0 AS MATERIALIZED (
+  SELECT ev.sub, r.code, ev.dim, ev.x AS c FROM ev
+  JOIN (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        FROM e ORDER BY vec_id LIMIT {n_codes}) r USING (vec_id)
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        out.append(f""",
+d{i} AS (
+  SELECT ev.vec_id, ev.sub, c.code,
+         SUM((ev.x - c.c) * (ev.x - c.c)) AS dist
+  FROM ev JOIN c{p} c ON c.sub = ev.sub AND c.dim = ev.dim
+  GROUP BY 1, 2, 3),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM d{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, code) = 1),
+m{i} AS (
+  SELECT a.sub, a.code, ev.dim, AVG(ev.x) AS c
+  FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id AND ev.sub = a.sub
+  GROUP BY 1, 2, 3),
+c{i} AS MATERIALIZED (
+  SELECT c{p}.sub, c{p}.code, c{p}.dim, COALESCE(m{i}.c, c{p}.c) AS c
+  FROM c{p} LEFT JOIN m{i} ON m{i}.sub = c{p}.sub
+    AND m{i}.code = c{p}.code AND m{i}.dim = c{p}.dim)""")
+    out.append(f""",
+dfin AS (
+  SELECT ev.vec_id, ev.sub, c.code,
+         SUM((ev.x - c.c) * (ev.x - c.c)) AS dist
+  FROM ev JOIN c{iters} c ON c.sub = ev.sub AND c.dim = ev.dim
+  GROUP BY 1, 2, 3),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM dfin
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, code) = 1),
+qd AS MATERIALIZED (
+  SELECT ev.vec_id AS query_id, c.sub, c.code,
+         SUM((ev.x - c.c) * (ev.x - c.c)) AS dist
+  FROM ev JOIN c{iters} c ON c.sub = ev.sub AND c.dim = ev.dim
+  WHERE ev.vec_id < 10
+  GROUP BY 1, 2, 3),
+score AS (
+  SELECT qd.query_id, k.vec_id AS neighbor_id, SUM(qd.dist) AS adc_raw
+  FROM codes k JOIN qd ON qd.sub = k.sub AND qd.code = k.code
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, round_even(adc_raw, 6) AS adc
+FROM score WHERE neighbor_id <> query_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_raw, neighbor_id) <= {k}""")
+    return "".join(out)
+
+
 # Unrolled BPE merge steps over the distinct-word symbol table (pipelines/
 # tokenizer.bpe_train's determinism contract: best pair = max count, ties ->
 # lexicographically smallest (lhs, rhs); application = greedy left-to-right
@@ -3006,6 +3098,8 @@ FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
         # (_bpe_steps above); merges table + per-doc token counts
         "bpe_merges": _bpe_merges_sql(12),
         "bpe_tokens": _bpe_tokens_sql(12),
+        # product quantization: unrolled 2-iteration Lloyd + ADC top-k
+        "pq_knn": _pq_sql(2),
         # fuzzy-dedup clusters: replay the banded-MinHash candidate pairs,
         # threshold, then transitive closure by recursive CTE (tiny clusters
         # at sf0.01); cluster = min doc id reachable; singletons self-label

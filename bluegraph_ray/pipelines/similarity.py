@@ -291,3 +291,175 @@ def lsh_topk(
         return g
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def _pq_assign(X: np.ndarray, cent: np.ndarray) -> tuple:
+    """Per-subspace squared-L2 assignment. X (n, m, d_sub), cent
+    (m, n_codes, d_sub) -> (codes (n, m) int64, dists (n, m, n_codes))."""
+    # explicit difference form (not the |x|^2 - 2xc expansion) so the
+    # float64 rounding matches the oracle's SUM((x - c)^2) term by term
+    d = ((X[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=-1)
+    return d.argmin(axis=2).astype(np.int64), d
+
+
+def pq_train(
+    corpus: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    num_buckets: int = 8,
+) -> np.ndarray:
+    """Train a product-quantization codebook (Jégou et al. 2011) -> cent
+    (m, n_codes, d_sub) float64.
+
+    Deterministic and fully distributed: init = the ``n_codes`` corpus
+    vectors with the SMALLEST ids (per-block partial head + driver merge,
+    like ivf_topk's train sample); each Lloyd iteration is ONE streaming
+    pass emitting per-batch (sub, code, dim) sum/count partials — the
+    shuffle is bounded by m × n_codes × d_sub scalars per batch, never
+    vectors — followed by a driver mean over that codebook-sized table.
+    Empty cells keep their previous centroid. Assignment ties take the
+    lowest code (np.argmin), mirrored by the oracle's ORDER BY dist, code.
+    """
+    from bluegraph_ray.util import hash_aggregate
+
+    cols = corpus.select_columns([id_col, vec_col])
+
+    def init_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(id_col).head(int(n_codes))
+
+    seed_rows = (cols.map_batches(init_partial, batch_format="pandas",
+                                  batch_size=None)
+                 .to_pandas().sort_values(id_col).head(int(n_codes)))
+    seed_m = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    d = seed_m.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    if len(seed_m) < n_codes:
+        raise ValueError(f"corpus has fewer than n_codes={n_codes} rows")
+    cent = np.ascontiguousarray(
+        seed_m.reshape(n_codes, m, d_sub).transpose(1, 0, 2))
+
+    subs = np.repeat(np.arange(m, dtype=np.int64), n_codes * d_sub)
+    codes_col = np.tile(np.repeat(np.arange(n_codes, dtype=np.int64), d_sub), m)
+    dims = np.tile(np.arange(d_sub, dtype=np.int64), m * n_codes)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            X = (np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+                 .reshape(len(batch), m, d_sub))
+            assign, _ = _pq_assign(X, c)
+            s = np.zeros((m, n_codes, d_sub), dtype=np.float64)
+            n = np.zeros((m, n_codes), dtype=np.float64)
+            for sub in range(m):
+                n[sub] = np.bincount(assign[:, sub], minlength=n_codes)
+                for j in range(d_sub):
+                    s[sub, :, j] = np.bincount(
+                        assign[:, sub], weights=X[:, sub, j],
+                        minlength=n_codes)
+            return pd.DataFrame({
+                "sub": subs, "code": codes_col, "dim": dims,
+                "s": s.ravel(),
+                "n": np.repeat(n.ravel(), d_sub),
+            })
+
+        agg = hash_aggregate(
+            cols.map_batches(partial, batch_format="pandas",
+                             batch_size=None),
+            ["sub", "code", "dim"],
+            {"s": ("s", "sum"), "n": ("n", "sum")},
+            num_buckets=num_buckets,
+        ).to_pandas()
+        new = cent.copy()
+        nz = agg[agg["n"] > 0]
+        new[nz["sub"].to_numpy(), nz["code"].to_numpy(),
+            nz["dim"].to_numpy()] = (nz["s"] / nz["n"]).to_numpy()
+        cent = new
+    return cent
+
+
+def pq_topk(
+    corpus: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    k: int = 5,
+    exclude_self: bool = True,
+    num_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """PQ asymmetric-distance top-k: -> (query_id, neighbor_id, adc).
+
+    The 100 TB ANN path beside flat/IVF/LSH: after ``pq_train``, every
+    corpus vector compresses to m uint8 codes and the query-time scan
+    touches only the (nq, m, n_codes) distance table plus a table lookup
+    per vector — no full-precision corpus reads at all. Here the encode +
+    ADC scan run in one streaming pass with map-side per-query top-k
+    (smallest ADC distance, tie neighbor_id asc — the L2 mirror of
+    knn_topk's ordering contract), finished by a small groupby(query)
+    reduce; the codebook and query distance tables broadcast via one
+    ``ray.put``.
+    """
+    cent = pq_train(corpus, vec_col=vec_col, id_col=id_col, m=m,
+                    n_codes=n_codes, iters=iters, num_buckets=num_buckets)
+    d_sub = cent.shape[2]
+    q = (np.asarray(queries, dtype=np.float64)
+         .reshape(len(queries), m, d_sub))
+    # (nq, m, n_codes) query-to-centroid distance tables
+    qtab = ((q[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=-1)
+    ref = ray.put((np.asarray(query_ids), qtab, cent))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qt, c = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        X = (np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+             .reshape(len(batch), m, c.shape[2]))
+        codes, _ = _pq_assign(X, c)
+        # adc[qi, v] = sum over subspaces of the table entry at v's code
+        adc = qt[:, np.arange(m)[None, :], codes].sum(axis=2)  # (nq, n)
+        rows = []
+        for qi in range(len(qids)):
+            s = adc[qi]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qids[qi]
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            take = idx[np.lexsort((ids[idx], s[idx]))[: k]]
+            rows.append(pd.DataFrame({
+                "query_id": qids[qi],
+                "neighbor_id": ids[take],
+                "adc": s[take],
+            }))
+        if not rows:
+            return pd.DataFrame({
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "adc": np.array([], dtype=np.float64),
+            })
+        return pd.concat(rows, ignore_index=True)
+
+    partial = corpus.select_columns([id_col, vec_col]).map_batches(
+        scan, batch_format="pandas", batch_size=None)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc", "neighbor_id"],
+                              ascending=[True, True],
+                              kind="mergesort").head(k)
+        g["adc"] = np.round(g["adc"].to_numpy(), 6)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk,
+                                                  batch_format="pandas")

@@ -1050,3 +1050,72 @@ def test_bpe_train_early_stop_and_truncation():
     got2 = tokenizer.bpe_train(ray.data.from_pandas(docs2), num_merges=1,
                                max_words=1)
     assert got2["merged"].tolist() == ["xy"]
+
+
+def test_pq_topk_matches_bruteforce_replay():
+    rng = np.random.default_rng(5)
+    n, d, m, n_codes, iters = 80, 16, 4, 8, 2
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    qm = vecs[:3].astype(np.float64)
+    qids = np.arange(3, dtype=np.int64)
+
+    out = (similarity.pq_topk(ray.data.from_pandas(df), qm, qids,
+                              m=m, n_codes=n_codes, iters=iters, k=4)
+           .to_pandas()
+           .sort_values(["query_id", "adc", "neighbor_id"])
+           .reset_index(drop=True))
+
+    # independent single-process replay of the PQ contract
+    d_sub = d // m
+    X = vecs.astype(np.float64).reshape(n, m, d_sub)
+    cent = X[:n_codes].copy()          # init = n_codes smallest ids
+    cent = np.ascontiguousarray(cent.transpose(1, 0, 2))  # (m, k, d_sub)
+    for _ in range(iters):
+        new = cent.copy()
+        for sub in range(m):
+            dist = ((X[:, sub, None, :] - cent[sub][None]) ** 2).sum(-1)
+            a = dist.argmin(1)
+            for c in range(n_codes):
+                if (a == c).any():
+                    new[sub, c] = X[a == c, sub].mean(0)
+        cent = new
+    codes = np.stack([
+        ((X[:, s, None, :] - cent[s][None]) ** 2).sum(-1).argmin(1)
+        for s in range(m)], axis=1)
+    Q = qm.reshape(3, m, d_sub)
+    qtab = ((Q[:, :, None, :] - cent[None]) ** 2).sum(-1)
+    rows = []
+    for qi in range(3):
+        adc = qtab[qi, np.arange(m)[None, :], codes].sum(1)
+        order = np.lexsort((np.arange(n), adc))
+        order = order[np.arange(n)[order] != qids[qi]][:4]
+        for nb in order:
+            rows.append((qids[qi], nb, round(float(adc[nb]), 6)))
+    want = (pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+            .sort_values(["query_id", "adc", "neighbor_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_pq_topk_recall_vs_exact():
+    # PQ is approximate: sanity-check recall@10 against exact L2 top-10
+    rng = np.random.default_rng(11)
+    n, d = 300, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    qm = vecs[:5].astype(np.float64)
+    qids = np.arange(5, dtype=np.int64)
+    out = (similarity.pq_topk(ray.data.from_pandas(df), qm, qids,
+                              m=8, n_codes=32, iters=3, k=10)
+           .to_pandas())
+    hit = 0
+    X = vecs.astype(np.float64)
+    for qi in range(5):
+        exact = np.argsort(((X - qm[qi]) ** 2).sum(1))
+        exact = [i for i in exact if i != qids[qi]][:10]
+        got = set(out[out["query_id"] == qids[qi]]["neighbor_id"])
+        hit += len(got & set(exact))
+    assert hit / 50 >= 0.3  # coarse 16x-compression codebook, loose floor
