@@ -1725,6 +1725,42 @@ def q_source_graph(sf_dir: str):
     return res.vertex_table
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (pipelines/selection.dsir_weights, Xie et
+    al. 2023): hashed unigram+bigram bag-of-words models fit on a target
+    slice (doc_id % 10 == 0) and on the full raw corpus — the fit pass
+    shuffles only (bucket, count) partials bounded by num_features — then
+    one streaming scoring pass with the 512-entry log-ratio table
+    broadcast. sha256 hash mode pinned so the oracle replays the bucket
+    assignment exactly."""
+    from bluegraph_ray.pipelines.selection import dsir_weights
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    target = docs.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
+                              batch_format="pandas")
+    return dsir_weights(docs, target, num_features=512, smoothing=0.5,
+                        hash_mode="sha256", num_buckets=8)
+
+
+def q_mixture_sampled(sf_dir: str):
+    """Deterministic source-mixture sampling (pipelines/selection.
+    mixture_sample): per-source keep rates in exact parts-per-million
+    (src{i} -> i*50_000 ppm), decided by sha256(doc_id:seed) % 1e6 — a
+    stateless pure function of the row, so the oracle replays every keep
+    decision bit-exactly."""
+    from bluegraph_ray.pipelines.selection import mixture_sample
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    rates = {f"src{i}": i * 50_000 for i in range(20)}
+    return mixture_sample(docs, rates, seed=0)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (pipelines/text.redact_pii): the documents table has no
     PII by construction, so the query first plants deterministic synthetic
@@ -1907,12 +1943,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # See README "Query registry rotation" for the audit trail.
     return {
         # --- block 1: never driver-checked (r1-r3) + new in r4 -------------
-        # (window math: block 1 holds exactly 50 entries with the twelve
+        # (window math: block 1 holds exactly 50 entries with the fourteen
         # new r4 value-oracle queries at the front, so the 50-entry cap
         # covers precisely the never-checked + new-in-r4 set. Past the cap:
-        # wys_embed (rows-only by design, upstream stages hash-verified)
-        # plus the eight r2-green block-2 entries — all lead the round-5
-        # window.)
+        # doc_embed / source_graph / wys_embed (all rows-only by design,
+        # upstream stages hash-verified) plus the eight r2-green block-2
+        # entries — all lead the round-5 window.)
+        "dsir_weights": q_dsir_weights,                    # new in r4
+        "mixture_sampled": q_mixture_sampled,              # new in r4
         "dedup_clusters": q_dedup_clusters,                # new in r4
         "clean_spans": q_clean_spans,                      # new in r4
         "bpe_merges": q_bpe_merges,                        # new in r4
@@ -1961,13 +1999,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "curation_table": q_curation_table,
         "word_cooc": q_word_cooc,
+        # --- block 2: last green in CORRECTNESS_r02 ------------------------
+        # (doc_embed / source_graph / wys_embed lead: all rows-only by
+        # design (seeded SVD/GD fits + the synthetic-source flagship; their
+        # upstream stages ARE hash-verified), displaced from the r4 window
+        # when dsir_weights / mixture_sampled / pq_knn took the last
+        # block-1 slots — they and the r2-era queries below lead the
+        # round-5 window.)
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
-        # --- block 2: last green in CORRECTNESS_r02 ------------------------
-        # (wys_embed leads: rows-only by design (seeded GD fit; its walk /
-        # transition-power upstream stages ARE hash-verified), displaced
-        # from the r4 window when pq_knn took the 51st block-1 slot — it
-        # and the r2-era queries below lead the round-5 window.)
         "wys_embed": q_wys_embed,                          # new in r4
         "components_parts": q_components_parts,
         "communities_parts": q_communities_parts,
@@ -3100,6 +3140,56 @@ FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
         "bpe_tokens": _bpe_tokens_sql(12),
         # product quantization: unrolled 2-iteration Lloyd + ADC top-k
         "pq_knn": _pq_sql(2),
+        # DSIR importance weights: replay the hashed unigram+bigram feature
+        # models (sha256-prefix bucket = the dedup convention) for target
+        # (doc_id % 10 = 0) and raw, the add-0.5-smoothed log ratio per
+        # bucket, then the per-doc sum. Engine rounds half-to-even at emit.
+        "dsir_weights": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, UNNEST(t) AS g FROM toks
+    UNION ALL
+    SELECT doc_id,
+           UNNEST([t[i] || ' ' || t[i + 1]
+                   FOR i IN generate_series(1, len(t) - 1)]) AS g
+    FROM toks
+  )
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(g), 1, 16))::UBIGINT % 512
+              AS BIGINT) AS b
+  FROM grams
+),
+rawc AS (SELECT b, COUNT(*) AS c FROM hashed GROUP BY 1),
+tgtc AS (SELECT b, COUNT(*) AS c FROM hashed WHERE doc_id % 10 = 0
+         GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM hashed) AS rt,
+               (SELECT COUNT(*) FROM hashed WHERE doc_id % 10 = 0) AS tt),
+llr AS MATERIALIZED (
+  SELECT g.i AS b,
+         LN((COALESCE(tgtc.c, 0) + 0.5) / (tot.tt + 0.5 * 512))
+         - LN((COALESCE(rawc.c, 0) + 0.5) / (tot.rt + 0.5 * 512)) AS v
+  FROM generate_series(0, 511) AS g(i)
+  CROSS JOIN tot
+  LEFT JOIN rawc ON rawc.b = g.i
+  LEFT JOIN tgtc ON tgtc.b = g.i
+)
+SELECT h.doc_id, round_even(SUM(l.v), 6) AS logw
+FROM hashed h JOIN llr l ON l.b = h.b GROUP BY 1
+""",
+        # mixture sampling: the keep decision is a pure function of
+        # (doc_id, seed=0) — sha256-prefix mod 1e6 against the per-source
+        # ppm rate (src{i} -> i*50_000), replayed bit-exactly
+        "mixture_sampled": """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(sha256(doc_id::VARCHAR || ':0'), 1, 16))::UBIGINT
+           % 1000000 AS BIGINT)
+      < CAST(substr(source, 4) AS BIGINT) * 50000
+""",
         # fuzzy-dedup clusters: replay the banded-MinHash candidate pairs,
         # threshold, then transitive closure by recursive CTE (tiny clusters
         # at sf0.01); cluster = min doc id reachable; singletons self-label

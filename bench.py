@@ -475,6 +475,53 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
                      or 2).materialize()
     q["bpe_train_encode"] = round(time.perf_counter() - t0, 3)
 
+    # round-4 additions: data selection (DSIR importance weights + mixture
+    # sampling) — fast hash mode, the production path
+    from bluegraph_ray.pipelines.selection import dsir_weights, mixture_sample
+
+    t0 = time.perf_counter()
+    target = docs.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
+                              batch_format="pandas")
+    dsir_weights(docs, target, num_features=4096, hash_mode="fast",
+                 num_buckets=16).materialize()
+    q["dsir_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    src_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "source"])
+    rates = {f"src{i}": i * 50_000 for i in range(20)}
+    mixture_sample(src_docs, rates, seed=0, hash_mode="fast").materialize()
+    q["mixture_sample_fast"] = round(time.perf_counter() - t0, 3)
+
+    # round-4 additions: the four ANN paths over the embeddings table
+    # (flat = exact baseline; IVF / LSH / PQ are the scale paths)
+    import numpy as np
+
+    from bluegraph_ray.pipelines.similarity import (ivf_topk, knn_topk,
+                                                    lsh_topk, pq_topk)
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]).materialize()
+    head = vecs.take(32)
+    qm = np.stack([r["embedding"] for r in head]).astype(np.float64)
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+
+    t0 = time.perf_counter()
+    knn_topk(vecs, qm, qids, k=10).materialize()
+    q["ann_flat"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ivf_topk(vecs, qm, qids, k=10, n_segments=16, nprobe=4).materialize()
+    q["ann_ivf"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lsh_topk(vecs, qm, qids, k=10).materialize()
+    q["ann_lsh"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pq_topk(vecs, qm, qids, k=10, m=8, n_codes=16, iters=2).materialize()
+    q["ann_pq"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     payloads = multimodal.payloads_from_text(docs).materialize()
     multimodal.frame_digests(

@@ -1119,3 +1119,102 @@ def test_pq_topk_recall_vs_exact():
         got = set(out[out["query_id"] == qids[qi]]["neighbor_id"])
         hit += len(got & set(exact))
     assert hit / 50 >= 0.3  # coarse 16x-compression codebook, loose floor
+
+
+def test_dsir_weights_matches_replay_sha256():
+    import hashlib
+
+    from bluegraph_ray.pipelines import selection
+
+    texts = ["the cat sat", "dog ran fast", "the cat ran",
+             "quantum flux capacitor", "the the the"]
+    docs = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                         "text": texts})
+    raw = ray.data.from_pandas(docs)
+    target = ray.data.from_pandas(docs[docs.doc_id % 2 == 0])
+    B, s = 64, 0.5
+
+    out = (selection.dsir_weights(raw, target, num_features=B, smoothing=s,
+                                  hash_mode="sha256")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def grams(t):
+        tt = t.split(" ")
+        return tt + [f"{a} {b}" for a, b in zip(tt, tt[1:])]
+
+    def bucket(g):
+        return int.from_bytes(hashlib.sha256(g.encode()).digest()[:8],
+                              "big") % B
+
+    cr, ct = np.zeros(B), np.zeros(B)
+    for t in texts:
+        for g in grams(t):
+            cr[bucket(g)] += 1
+    for t in texts[::2]:
+        for g in grams(t):
+            ct[bucket(g)] += 1
+    llr = (np.log((ct + s) / (ct.sum() + s * B))
+           - np.log((cr + s) / (cr.sum() + s * B)))
+    want = [round(sum(llr[bucket(g)] for g in grams(t)), 6) for t in texts]
+    assert np.allclose(out["logw"].to_numpy(), want, atol=1e-6)
+    # target-resembling docs (even ids) must outrank the out-of-domain one
+    assert out.loc[3, "logw"] < out.loc[0, "logw"]
+
+
+def test_dsir_select_and_fast_mode():
+    from bluegraph_ray.pipelines import selection
+
+    rng = np.random.default_rng(3)
+    vocab_t = [f"t{i}" for i in range(20)]
+    vocab_r = [f"r{i}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab_t if i % 3 == 0 else vocab_r, 12))
+             for i in range(30)]
+    docs = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                         "text": texts})
+    raw = ray.data.from_pandas(docs)
+    target = ray.data.from_pandas(docs[docs.doc_id % 3 == 0])
+
+    top = (selection.dsir_select(raw, target, top_n=10, num_features=256,
+                                 hash_mode="fast")
+           .to_pandas())
+    assert len(top) == 10
+    # every selected doc is from the target-like third
+    assert (top["doc_id"] % 3 == 0).all()
+    assert (top["logw"].to_numpy()[:-1] >= top["logw"].to_numpy()[1:]).all()
+    # determinism across runs
+    top2 = (selection.dsir_select(raw, target, top_n=10, num_features=256,
+                                  hash_mode="fast").to_pandas())
+    pd.testing.assert_frame_equal(top.reset_index(drop=True),
+                                  top2.reset_index(drop=True))
+
+
+def test_mixture_sample_deterministic_and_exact():
+    import hashlib
+
+    from bluegraph_ray.pipelines import selection
+
+    n = 400
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.repeat(["a", "b", "c", "d"], n // 4),
+        "text": ["x"] * n,
+    })
+    ds = ray.data.from_pandas(docs)
+    rates = {"a": 0, "b": 1_000_000, "c": 500_000}
+    out = (selection.mixture_sample(ds, rates, seed=7, default_ppm=250_000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def u(i):
+        return int.from_bytes(
+            hashlib.sha256(f"{i}:7".encode()).digest()[:8], "big") % 1_000_000
+
+    thr = {"a": 0, "b": 1_000_000, "c": 500_000, "d": 250_000}
+    want = docs[[u(i) < thr[s] for i, s in zip(docs.doc_id, docs.source)]]
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (out["source"] != "a").all()
+    assert (out["source"] == "b").sum() == n // 4  # rate 1.0 keeps all
+    out2 = (selection.mixture_sample(ds, rates, seed=7, default_ppm=250_000)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
+    with pytest.raises(ValueError):
+        selection.mixture_sample(ds, {"a": 2_000_000}).to_pandas()
