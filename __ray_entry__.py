@@ -1761,6 +1761,38 @@ def q_mixture_sampled(sf_dir: str):
     return mixture_sample(docs, rates, seed=0)
 
 
+def q_dsir_sampled(sf_dir: str):
+    """DSIR Gumbel-top-k resampling (pipelines/selection.dsir_sample):
+    key = rounded logw + Gumbel(-ln(-ln(u))) with u a pure sha256 hash of
+    (doc_id, seed) on the same ppm lattice as mixture_sample — sampling
+    without replacement proportional to e^logw, fully SQL-replayable."""
+    from bluegraph_ray.pipelines.selection import dsir_sample
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    target = docs.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
+                              batch_format="pandas")
+    return dsir_sample(docs, target, top_n=50, seed=0, num_features=512,
+                       smoothing=0.5, hash_mode="sha256", num_buckets=8)
+
+
+def q_doc_perplexity(sf_dir: str):
+    """CCNet-style perplexity signal (pipelines/selection.lm_logppl): per-
+    doc negative mean log-probability under an add-0.5 hashed bigram LM fit
+    on the corpus itself — both count tables bounded by num_features and
+    broadcast once; sha256 bucket assignment replayed in SQL."""
+    from bluegraph_ray.pipelines.selection import lm_logppl
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return lm_logppl(docs, num_features=512, smoothing=0.5,
+                     hash_mode="sha256", num_buckets=8)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (pipelines/text.redact_pii): the documents table has no
     PII by construction, so the query first plants deterministic synthetic
@@ -1999,13 +2031,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "curation_table": q_curation_table,
         "word_cooc": q_word_cooc,
-        # --- block 2: last green in CORRECTNESS_r02 ------------------------
-        # (doc_embed / source_graph / wys_embed lead: all rows-only by
-        # design (seeded SVD/GD fits + the synthetic-source flagship; their
-        # upstream stages ARE hash-verified), displaced from the r4 window
-        # when dsir_weights / mixture_sampled / pq_knn took the last
-        # block-1 slots — they and the r2-era queries below lead the
-        # round-5 window.)
+        # --- block 2: leads the round-5 window ------------------------------
+        # (dsir_sampled / doc_perplexity are new-in-r4 value-oracle queries
+        # added AFTER block 1 was packed — displacing a never-checked block-1
+        # entry for them would defeat the rotation, so they wait one round
+        # with local-drive + unit coverage. doc_embed / source_graph /
+        # wys_embed are rows-only by design (seeded SVD/GD fits + the
+        # synthetic-source flagship; their upstream stages ARE
+        # hash-verified). The eight r2-green queries follow.)
+        "dsir_sampled": q_dsir_sampled,                    # new in r4
+        "doc_perplexity": q_doc_perplexity,                # new in r4
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
         "wys_embed": q_wys_embed,                          # new in r4
@@ -2413,6 +2448,51 @@ FROM score WHERE neighbor_id <> query_id
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                            ORDER BY adc_raw, neighbor_id) <= {k}""")
     return "".join(out)
+
+
+# Shared DSIR replay core (pipelines/selection.dsir_weights contract):
+# hashed unigram+bigram buckets (sha256-prefix % 512), add-0.5-smoothed
+# log-ratio table for target (doc_id % 10 = 0) vs raw, per-doc sum rounded
+# half-to-even — ends at the ``docw`` CTE so the weights and Gumbel-top-k
+# oracles share it.
+_DSIR_CORE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, UNNEST(t) AS g FROM toks
+    UNION ALL
+    SELECT doc_id,
+           UNNEST([t[i] || ' ' || t[i + 1]
+                   FOR i IN generate_series(1, len(t) - 1)]) AS g
+    FROM toks
+  )
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(g), 1, 16))::UBIGINT % 512
+              AS BIGINT) AS b
+  FROM grams
+),
+rawc AS (SELECT b, COUNT(*) AS c FROM hashed GROUP BY 1),
+tgtc AS (SELECT b, COUNT(*) AS c FROM hashed WHERE doc_id % 10 = 0
+         GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM hashed) AS rt,
+               (SELECT COUNT(*) FROM hashed WHERE doc_id % 10 = 0) AS tt),
+llr AS MATERIALIZED (
+  SELECT g.i AS b,
+         LN((COALESCE(tgtc.c, 0) + 0.5) / (tot.tt + 0.5 * 512))
+         - LN((COALESCE(rawc.c, 0) + 0.5) / (tot.rt + 0.5 * 512)) AS v
+  FROM generate_series(0, 511) AS g(i)
+  CROSS JOIN tot
+  LEFT JOIN rawc ON rawc.b = g.i
+  LEFT JOIN tgtc ON tgtc.b = g.i
+),
+docw AS MATERIALIZED (
+  SELECT h.doc_id, round_even(SUM(l.v), 6) AS logw
+  FROM hashed h JOIN llr l ON l.b = h.b GROUP BY 1
+)"""
 
 
 # Unrolled BPE merge steps over the distinct-word symbol table (pipelines/
@@ -3144,42 +3224,52 @@ FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
         # models (sha256-prefix bucket = the dedup convention) for target
         # (doc_id % 10 = 0) and raw, the add-0.5-smoothed log ratio per
         # bucket, then the per-doc sum. Engine rounds half-to-even at emit.
-        "dsir_weights": """
+        "dsir_weights": _DSIR_CORE + """
+SELECT doc_id, logw FROM docw
+""",
+        # DSIR Gumbel-top-k resampling: key = rounded logw + the Gumbel
+        # draw -LN(-LN(u)) with u = ((sha256(doc_id:':0') % 1e6) + 0.5)/1e6
+        # — the mixture_sample ppm lattice, so every draw replays exactly
+        "dsir_sampled": _DSIR_CORE + """,
+keyed AS (
+  SELECT doc_id,
+         logw - LN(-LN((CAST(('0x' || substr(sha256(doc_id::VARCHAR
+             || ':0'), 1, 16))::UBIGINT % 1000000 AS DOUBLE) + 0.5)
+             / 1000000)) AS key_raw
+  FROM docw
+)
+SELECT doc_id, round_even(key_raw, 6) AS key FROM keyed
+QUALIFY ROW_NUMBER() OVER (ORDER BY key_raw DESC, doc_id) <= 50
+""",
+        # hashed bigram-LM perplexity: unigram (condition) + bigram bucket
+        # count tables over the corpus itself, add-0.5 conditional
+        # probability per adjacent pair, per-doc negative mean log-prob
+        "doc_perplexity": """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
 ),
-grams AS MATERIALIZED (
-  SELECT doc_id, g FROM (
-    SELECT doc_id, UNNEST(t) AS g FROM toks
-    UNION ALL
-    SELECT doc_id,
-           UNNEST([t[i] || ' ' || t[i + 1]
-                   FOR i IN generate_series(1, len(t) - 1)]) AS g
-    FROM toks
-  )
-),
-hashed AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(('0x' || substr(sha256(g), 1, 16))::UBIGINT % 512
+uni AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(sha256(g), 1, 16))::UBIGINT % 512
               AS BIGINT) AS b
-  FROM grams
+  FROM (SELECT UNNEST(t) AS g FROM toks)
 ),
-rawc AS (SELECT b, COUNT(*) AS c FROM hashed GROUP BY 1),
-tgtc AS (SELECT b, COUNT(*) AS c FROM hashed WHERE doc_id % 10 = 0
-         GROUP BY 1),
-tot AS (SELECT (SELECT COUNT(*) FROM hashed) AS rt,
-               (SELECT COUNT(*) FROM hashed WHERE doc_id % 10 = 0) AS tt),
-llr AS MATERIALIZED (
-  SELECT g.i AS b,
-         LN((COALESCE(tgtc.c, 0) + 0.5) / (tot.tt + 0.5 * 512))
-         - LN((COALESCE(rawc.c, 0) + 0.5) / (tot.rt + 0.5 * 512)) AS v
-  FROM generate_series(0, 511) AS g(i)
-  CROSS JOIN tot
-  LEFT JOIN rawc ON rawc.b = g.i
-  LEFT JOIN tgtc ON tgtc.b = g.i
+cu AS (SELECT b, COUNT(*) AS c FROM uni GROUP BY 1),
+bi AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(t[i]), 1, 16))::UBIGINT % 512
+              AS BIGINT) AS ub,
+         CAST(('0x' || substr(sha256(t[i] || ' ' || t[i + 1]), 1,
+              16))::UBIGINT % 512 AS BIGINT) AS bb
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+cb AS (SELECT bb AS b, COUNT(*) AS c FROM bi GROUP BY 1),
+lp AS (
+  SELECT bi.doc_id,
+         LN((COALESCE(cb.c, 0) + 0.5) / (cu.c + 0.5 * 512)) AS v
+  FROM bi JOIN cu ON cu.b = bi.ub LEFT JOIN cb ON cb.b = bi.bb
 )
-SELECT h.doc_id, round_even(SUM(l.v), 6) AS logw
-FROM hashed h JOIN llr l ON l.b = h.b GROUP BY 1
+SELECT d.doc_id, round_even(COALESCE(-AVG(lp.v), 0), 6) AS logppl
+FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id GROUP BY 1
 """,
         # mixture sampling: the keep decision is a pure function of
         # (doc_id, seed=0) — sha256-prefix mod 1e6 against the per-source

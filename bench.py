@@ -477,7 +477,8 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
 
     # round-4 additions: data selection (DSIR importance weights + mixture
     # sampling) — fast hash mode, the production path
-    from bluegraph_ray.pipelines.selection import dsir_weights, mixture_sample
+    from bluegraph_ray.pipelines.selection import (dsir_weights, lm_logppl,
+                                                   mixture_sample)
 
     t0 = time.perf_counter()
     target = docs.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
@@ -485,6 +486,11 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     dsir_weights(docs, target, num_features=4096, hash_mode="fast",
                  num_buckets=16).materialize()
     q["dsir_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lm_logppl(docs, num_features=4096, hash_mode="fast",
+              num_buckets=16).materialize()
+    q["perplexity_fast"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     src_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",

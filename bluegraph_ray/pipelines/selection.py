@@ -41,25 +41,34 @@ from bluegraph_ray.util import hash_aggregate
 _PPM = 1_000_000  # mixture rates are exact parts-per-million integers
 
 
-def _gram_buckets_sha(texts, num_features: int) -> tuple:
-    """(bucket uint64 (G,), doc_idx int64 (G,)) for unigrams + bigrams of
-    every text, hashed with the sha256-prefix convention. Gram strings:
-    the token itself / ``w1 + " " + w2``."""
+def _sha_buckets(strs, num_features: int) -> np.ndarray:
+    """sha256-prefix bucket per string, hashing each DISTINCT string once
+    (identifier-heavy corpora repeat grams)."""
+    codes, uniq = pd.factorize(np.asarray(strs, dtype=object))
+    hu = _hash64([g.encode() for g in uniq]) % np.uint64(num_features)
+    return hu[codes]
+
+
+def _gram_buckets_sha(texts, num_features: int, which: str = "both") -> tuple:
+    """(bucket uint64 (G,), doc_idx int64 (G,)) for the chosen gram kind
+    (``both`` = unigrams + bigrams, ``uni``, ``bi``), hashed with the
+    sha256-prefix convention. Gram strings: the token itself /
+    ``w1 + " " + w2``."""
     toks = [t.split(" ") for t in texts]
     lens = np.fromiter(map(len, toks), count=len(toks), dtype=np.int64)
     grams: list = []
-    for d, tt in enumerate(toks):
-        grams.extend(tt)
-        grams.extend(f"{a} {b}" for a, b in zip(tt, tt[1:]))
-    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64),
-                        lens + np.maximum(lens - 1, 0))
-    # hash each DISTINCT gram once (identifier-heavy corpora repeat grams)
-    codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
-    hu = _hash64([g.encode() for g in uniq]) % np.uint64(num_features)
-    return hu[codes], doc_idx
+    for tt in toks:
+        if which != "bi":
+            grams.extend(tt)
+        if which != "uni":
+            grams.extend(f"{a} {b}" for a, b in zip(tt, tt[1:]))
+    per_doc = {"both": lens + np.maximum(lens - 1, 0), "uni": lens,
+               "bi": np.maximum(lens - 1, 0)}[which]
+    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), per_doc)
+    return _sha_buckets(grams, num_features), doc_idx
 
 
-def _gram_buckets_fast(texts, num_features: int) -> tuple:
+def _gram_buckets_fast(texts, num_features: int, which: str = "both") -> tuple:
     """Fast-path gram buckets: splitmix64 token hashes; bigram = Horner
     combine of two adjacent token hashes (same constant as the dedup
     shingles). Not SQL-replayable."""
@@ -71,9 +80,43 @@ def _gram_buckets_fast(texts, num_features: int) -> tuple:
         bi = th[:-1] * _SHINGLE_C + th[1:]
     same = doc_of_tok[:-1] == doc_of_tok[1:] if len(th) > 1 else np.zeros(
         0, dtype=bool)
-    buckets = np.concatenate([th, bi[same]]) % np.uint64(num_features)
-    doc_idx = np.concatenate([doc_of_tok, doc_of_tok[:-1][same]])
+    parts_b, parts_d = [], []
+    if which != "bi":
+        parts_b.append(th)
+        parts_d.append(doc_of_tok)
+    if which != "uni":
+        parts_b.append(bi[same])
+        parts_d.append(doc_of_tok[:-1][same])
+    buckets = np.concatenate(parts_b) % np.uint64(num_features)
+    doc_idx = np.concatenate(parts_d)
     return buckets, doc_idx
+
+
+def _lm_pairs(texts, num_features: int, hash_mode: str) -> tuple:
+    """Aligned (cond_bucket, bigram_bucket, doc_idx) arrays for every
+    adjacent token pair: cond = bucket of w1, bigram = bucket of (w1, w2).
+    The conditioning/bigram hashing matches ``_gram_buckets_*`` exactly."""
+    if hash_mode == "sha256":
+        toks = [t.split(" ") for t in texts]
+        lens = np.fromiter(map(len, toks), count=len(toks), dtype=np.int64)
+        w1: list = []
+        bg: list = []
+        for tt in toks:
+            w1.extend(tt[:-1])
+            bg.extend(f"{a} {b}" for a, b in zip(tt, tt[1:]))
+        doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64),
+                            np.maximum(lens - 1, 0))
+        return (_sha_buckets(w1, num_features),
+                _sha_buckets(bg, num_features), doc_idx)
+    th, tb = _fast_token_stream(texts)
+    counts = np.diff(tb)
+    doc_of_tok = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    with np.errstate(over="ignore"):
+        bi = th[:-1] * _SHINGLE_C + th[1:]
+    same = doc_of_tok[:-1] == doc_of_tok[1:] if len(th) > 1 else np.zeros(
+        0, dtype=bool)
+    B = np.uint64(num_features)
+    return (th[:-1][same] % B, bi[same] % B, doc_of_tok[:-1][same])
 
 
 def _bucket_counts(
@@ -83,6 +126,7 @@ def _bucket_counts(
     num_features: int,
     hash_mode: str,
     num_buckets: int,
+    which: str = "both",
 ) -> np.ndarray:
     """(num_features,) int64 hashed-gram counts over the whole dataset.
     Shuffle volume: one sparse (bucket, cnt) partial per batch, bounded by
@@ -90,7 +134,7 @@ def _bucket_counts(
     gb = _gram_buckets_sha if hash_mode == "sha256" else _gram_buckets_fast
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b, _ = gb(batch[text_col].tolist(), num_features)
+        b, _ = gb(batch[text_col].tolist(), num_features, which)
         cnt = np.bincount(b.astype(np.int64), minlength=num_features)
         nz = np.flatnonzero(cnt)
         return pd.DataFrame({"bucket": nz.astype(np.int64), "cnt": cnt[nz]})
@@ -233,3 +277,113 @@ def mixture_sample(
         return batch[u < thr]
 
     return docs.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
+def _gumbel_u(ids: np.ndarray, seed: int, hash_mode: str) -> np.ndarray:
+    """Deterministic uniform in (0, 1) per id: ((hash(id:seed) % 1e6) + 0.5)
+    / 1e6 — the same integer lattice as ``mixture_sample``, so the DuckDB
+    replay reproduces every draw exactly."""
+    if hash_mode == "sha256":
+        h = _hash64([f"{i}:{seed}".encode() for i in ids])
+    else:
+        from bluegraph_ray.pipelines.dedup import _mix64
+        with np.errstate(over="ignore"):
+            h = _mix64(ids.astype(np.uint64) + np.uint64(seed) * _SHINGLE_C)
+    return ((h % np.uint64(_PPM)).astype(np.float64) + 0.5) / _PPM
+
+
+def dsir_sample(
+    raw: "ray.data.Dataset",
+    target: "ray.data.Dataset",
+    *,
+    top_n: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1024,
+    smoothing: float = 0.5,
+    hash_mode: str = "fast",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """DSIR's actual resampling step (Gumbel-top-k): key = logw + Gumbel
+    noise, keep the ``top_n`` largest keys -> (doc_id, key). Equivalent to
+    sampling ``top_n`` docs without replacement with probability
+    proportional to the importance weight e^logw.
+
+    The Gumbel draw is ``-ln(-ln(u))`` with ``u`` a pure hash of
+    (doc_id, seed) — reproducible across runs/retries and replayable in
+    SQL, unlike an RNG stream whose values depend on row order."""
+    w = dsir_weights(raw, target, text_col=text_col, id_col=id_col,
+                     num_features=num_features, smoothing=smoothing,
+                     hash_mode=hash_mode, num_buckets=num_buckets)
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        u = _gumbel_u(batch[id_col].to_numpy(), seed, hash_mode)
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "key": batch["logw"].to_numpy() - np.log(-np.log(u)),
+        })
+        return out.sort_values(["key", id_col],
+                               ascending=[False, True]).head(top_n)
+
+    pruned = w.map_batches(add_key, batch_format="pandas", batch_size=None)
+    top = (pruned.sort(["key", id_col], descending=[True, False])
+           .limit(top_n))
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["key"] = np.round(batch["key"].to_numpy(), 6)
+        return batch
+
+    return top.map_batches(emit, batch_format="pandas", batch_size=None)
+
+
+def lm_logppl(
+    docs: "ray.data.Dataset",
+    ref: "ray.data.Dataset | None" = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1024,
+    smoothing: float = 0.5,
+    hash_mode: str = "fast",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """CCNet-style perplexity filtering signal (Wenzek et al. 2020):
+    -> Dataset(doc_id, logppl), the per-token negative mean log-probability
+    of each document under an add-``smoothing`` hashed BIGRAM language
+    model fit on ``ref`` (default: the corpus itself). Lower = more fluent
+    under the reference corpus; filter or bucket by it as CCNet does with
+    its KenLM scores.
+
+    Model: p(w2 | w1) = (c_bi[b(w1 w2)] + s) / (c_uni[b(w1)] + s*B) over
+    the hashed bucket space — both count tables are (num_features,) arrays
+    fit with the same bounded (bucket, count) partial shuffle as DSIR and
+    broadcast once; scoring is one streaming pass. Documents with fewer
+    than 2 tokens emit logppl = 0.0."""
+    if ref is None:
+        ref = docs
+    cu = _bucket_counts(ref, text_col=text_col, num_features=num_features,
+                        hash_mode=hash_mode, num_buckets=num_buckets,
+                        which="uni")
+    cb = _bucket_counts(ref, text_col=text_col, num_features=num_features,
+                        hash_mode=hash_mode, num_buckets=num_buckets,
+                        which="bi")
+    s = float(smoothing)
+    tables = ray.put((cu.astype(np.float64), cb.astype(np.float64)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cu_t, cb_t = ray.get(tables)
+        ub, bb, doc_idx = _lm_pairs(batch[text_col].tolist(), num_features,
+                                    hash_mode)
+        lp = np.log((cb_t[bb.astype(np.int64)] + s)
+                    / (cu_t[ub.astype(np.int64)] + s * num_features))
+        n = np.bincount(doc_idx, minlength=len(batch))
+        tot = np.bincount(doc_idx, weights=lp, minlength=len(batch))
+        logppl = np.where(n > 0, -tot / np.maximum(n, 1), 0.0)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "logppl": np.round(logppl, 6),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=None)

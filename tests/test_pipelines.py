@@ -1218,3 +1218,81 @@ def test_mixture_sample_deterministic_and_exact():
     pd.testing.assert_frame_equal(out, out2)
     with pytest.raises(ValueError):
         selection.mixture_sample(ds, {"a": 2_000_000}).to_pandas()
+
+
+def test_dsir_sample_gumbel_replay():
+    import hashlib
+
+    from bluegraph_ray.pipelines import selection
+
+    rng = np.random.default_rng(9)
+    texts = [" ".join(rng.choice([f"w{i}" for i in range(30)], 10))
+             for _ in range(40)]
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                         "text": texts})
+    raw = ray.data.from_pandas(docs)
+    target = ray.data.from_pandas(docs[docs.doc_id % 4 == 0])
+
+    out = (selection.dsir_sample(raw, target, top_n=8, seed=3,
+                                 num_features=128, hash_mode="sha256")
+           .to_pandas().reset_index(drop=True))
+    assert len(out) == 8
+    assert (out["key"].to_numpy()[:-1] >= out["key"].to_numpy()[1:]).all()
+
+    # independent replay: rounded logw + gumbel from the hash lattice
+    w = (selection.dsir_weights(raw, target, num_features=128,
+                                hash_mode="sha256")
+         .to_pandas().set_index("doc_id")["logw"])
+
+    def u(i):
+        h = int.from_bytes(hashlib.sha256(f"{i}:3".encode()).digest()[:8],
+                           "big")
+        return ((h % 1_000_000) + 0.5) / 1_000_000
+
+    key = {i: w[i] - np.log(-np.log(u(i))) for i in range(40)}
+    want = sorted(key, key=lambda i: (-key[i], i))[:8]
+    assert out["doc_id"].tolist() == want
+    assert np.allclose(out["key"].to_numpy(),
+                       [round(key[i], 6) for i in want], atol=1e-6)
+
+
+def test_lm_logppl_matches_replay_and_ranks_fluency():
+    import hashlib
+
+    from bluegraph_ray.pipelines import selection
+
+    # corpus dominated by the repeated pattern "a b"; doc 3 is novel text
+    texts = ["a b a b a b", "a b a b", "b a b a b a", "x y z q r s"]
+    docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": texts})
+    ds = ray.data.from_pandas(docs)
+    B, s = 64, 0.5
+    out = (selection.lm_logppl(ds, num_features=B, smoothing=s,
+                               hash_mode="sha256")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def bkt(g):
+        return int.from_bytes(hashlib.sha256(g.encode()).digest()[:8],
+                              "big") % B
+
+    cu, cb = np.zeros(B), np.zeros(B)
+    for t in texts:
+        tt = t.split(" ")
+        for g in tt:
+            cu[bkt(g)] += 1
+        for a, b in zip(tt, tt[1:]):
+            cb[bkt(f"{a} {b}")] += 1
+    want = []
+    for t in texts:
+        tt = t.split(" ")
+        lps = [np.log((cb[bkt(f"{a} {b}")] + s) / (cu[bkt(a)] + s * B))
+               for a, b in zip(tt, tt[1:])]
+        want.append(round(-float(np.mean(lps)), 6))
+    assert np.allclose(out["logppl"].to_numpy(), want, atol=1e-6)
+    # the out-of-domain doc scores strictly worse (higher logppl)
+    assert out.loc[3, "logppl"] > out.loc[:2, "logppl"].max()
+    # fast mode runs and preserves the fluency ordering
+    fast = (selection.lm_logppl(ds, num_features=B, smoothing=s,
+                                hash_mode="fast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert fast.loc[3, "logppl"] > fast.loc[:2, "logppl"].max()
