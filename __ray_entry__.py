@@ -1793,6 +1793,19 @@ def q_doc_perplexity(sf_dir: str):
                      hash_mode="sha256", num_buckets=8)
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule table (pipelines/text.gopher_rules, Rae et al.
+    2021): per-doc signals + composed keep flag. Every ratio is an exact
+    integer division, so the rule booleans replay bit-exactly in SQL."""
+    from bluegraph_ray.pipelines.text import gopher_rules
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return gopher_rules(docs)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (pipelines/text.redact_pii): the documents table has no
     PII by construction, so the query first plants deterministic synthetic
@@ -2041,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-verified). The eight r2-green queries follow.)
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
+        "gopher_rules": q_gopher_rules,                    # new in r4
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
         "wys_embed": q_wys_embed,                          # new in r4
@@ -3240,6 +3254,52 @@ keyed AS (
 )
 SELECT doc_id, round_even(key_raw, 6) AS key FROM keyed
 QUALIFY ROW_NUMBER() OVER (ORDER BY key_raw DESC, doc_id) <= 50
+""",
+        # Gopher rule table: every signal is an exact integer division
+        # (sum-of-ints / count), so thresholds replay bit-exactly; bigram
+        # masses via per-doc grouped counts
+        "gopher_rules": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+words AS MATERIALIZED (
+  SELECT doc_id, UNNEST(t) AS w FROM toks
+),
+wstats AS (
+  SELECT doc_id, COUNT(*) AS n,
+         SUM(LEN(w)) AS len_sum,
+         SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)
+             AS n_alpha,
+         CAST(SUM(CASE WHEN w IN ('a', 'the', 'and', 'of', 'to') THEN 1
+             ELSE 0 END) AS BIGINT) AS n_stop
+  FROM words GROUP BY 1
+),
+bi AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+bc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+bstats AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bg,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS dup_bg
+  FROM bc GROUP BY 1
+)
+SELECT w.doc_id,
+       w.n AS n_tokens,
+       round_even(CAST(w.len_sum AS DOUBLE) / w.n, 6) AS mean_tok_len,
+       round_even(CAST(w.n_alpha AS DOUBLE) / w.n, 6) AS alpha_ratio,
+       w.n_stop,
+       round_even(COALESCE(b.top_bg, 0), 6) AS top_bigram_frac,
+       round_even(COALESCE(b.dup_bg, 0), 6) AS dup_bigram_frac,
+       (w.n BETWEEN 50 AND 100000
+        AND CAST(w.len_sum AS DOUBLE) / w.n BETWEEN 3 AND 10
+        AND CAST(w.n_alpha AS DOUBLE) / w.n >= 0.8
+        AND w.n_stop >= 2
+        AND COALESCE(b.top_bg, 0) <= 0.18
+        AND COALESCE(b.dup_bg, 0) <= 0.30) AS keep
+FROM wstats w LEFT JOIN bstats b ON b.doc_id = w.doc_id
 """,
         # hashed bigram-LM perplexity: unigram (condition) + bigram bucket
         # count tables over the corpus itself, add-0.5 conditional

@@ -492,6 +492,12 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
               num_buckets=16).materialize()
     q["perplexity_fast"] = round(time.perf_counter() - t0, 3)
 
+    from bluegraph_ray.pipelines.text import gopher_rules
+
+    t0 = time.perf_counter()
+    gopher_rules(docs).materialize()
+    q["gopher_rules"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     src_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                      columns=["doc_id", "source"])

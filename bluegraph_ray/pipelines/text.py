@@ -532,3 +532,101 @@ def pack_sequences(
 
     return tagged.groupby("_pack_bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+class GopherRules:
+    """Gopher quality-filter rule set (Rae et al. 2021, Table A1) as one
+    vectorized per-document flags table — the reference pipelines' manual
+    curation has no equivalent; production corpora gate on exactly these
+    signals before any model sees a token.
+
+    Emits the raw signal columns plus per-rule booleans and the composed
+    ``keep``:
+
+    - ``n_tokens`` within [min_tokens, max_tokens]
+    - mean token length within [min_mean_len, max_mean_len]
+    - fraction of tokens containing an alphabetic char >= min_alpha_ratio
+    - stopword count >= min_stopwords (Gopher's "contains 2 of a small
+      stop list" rule; list = the repo-wide STOPWORDS)
+    - most-common-bigram mass <= max_top_bigram_frac
+    - duplicated-bigram mass <= max_dup_bigram_frac (standing in for the
+      duplicate n-gram family; both masses over adjacent token bigrams)
+
+    All ratios are exact integer divisions (sum-of-ints / count), so the
+    rule booleans replay bit-exactly in SQL. Pure per-batch math: flat
+    token explode + two grouped reductions, no shuffle, no Python loop
+    over rows.
+    """
+
+    def __init__(self, text_col: str = "text", *, min_tokens: int = 50,
+                 max_tokens: int = 100_000, min_mean_len: float = 3.0,
+                 max_mean_len: float = 10.0, min_alpha_ratio: float = 0.8,
+                 min_stopwords: int = 2, max_top_bigram_frac: float = 0.18,
+                 max_dup_bigram_frac: float = 0.30,
+                 stopwords: tuple = STOPWORDS):
+        self.text_col = text_col
+        self.p = (min_tokens, max_tokens, min_mean_len, max_mean_len,
+                  min_alpha_ratio, min_stopwords, max_top_bigram_frac,
+                  max_dup_bigram_frac)
+        self.stop = frozenset(stopwords)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        (min_t, max_t, min_ml, max_ml, min_ar, min_sw, max_tb,
+         max_db) = self.p
+        toks = batch[self.text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        n = len(batch)
+        flat = pd.Series(np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]))
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        tok_len = flat.str.len().to_numpy(dtype=np.int64)
+        mean_len = (np.bincount(doc, weights=tok_len, minlength=n)
+                    / np.maximum(lens, 1))
+        is_alpha = flat.str.contains("[A-Za-z]", regex=True).to_numpy()
+        alpha_ratio = (np.bincount(doc, weights=is_alpha, minlength=n)
+                       / np.maximum(lens, 1))
+        is_stop = flat.isin(self.stop).to_numpy()
+        n_stop = np.bincount(doc, weights=is_stop,
+                             minlength=n).astype(np.int64)
+
+        w1, w2 = flat.to_numpy()[:-1], flat.to_numpy()[1:]
+        same = doc[:-1] == doc[1:] if len(flat) > 1 else np.zeros(0, bool)
+        bg = pd.DataFrame({"d": doc[:-1][same], "w1": w1[same],
+                           "w2": w2[same]})
+        top_bg = np.zeros(n)
+        dup_bg = np.zeros(n)
+        if len(bg):
+            bc = (bg.groupby(["d", "w1", "w2"], sort=False).size()
+                  .reset_index(name="c"))
+            g = bc.groupby("d", sort=False)["c"]
+            tot = g.sum()
+            d_idx = tot.index.to_numpy()
+            top_bg[d_idx] = g.max().to_numpy() / tot.to_numpy()
+            dup = bc[bc["c"] > 1].groupby("d", sort=False)["c"].sum()
+            dup_bg[d_idx] = (dup.reindex(tot.index).fillna(0).to_numpy()
+                             / tot.to_numpy())
+
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_tokens": lens,
+            "mean_tok_len": np.round(mean_len, 6),
+            "alpha_ratio": np.round(alpha_ratio, 6),
+            "n_stop": n_stop,
+            "top_bigram_frac": np.round(top_bg, 6),
+            "dup_bigram_frac": np.round(dup_bg, 6),
+        })
+        out["keep"] = ((lens >= min_t) & (lens <= max_t)
+                       & (mean_len >= min_ml) & (mean_len <= max_ml)
+                       & (alpha_ratio >= min_ar) & (n_stop >= min_sw)
+                       & (top_bg <= max_tb) & (dup_bg <= max_db))
+        return out
+
+
+def gopher_rules(ds: "ray.data.Dataset", *, text_col: str = "text",
+                 **thresholds) -> "ray.data.Dataset":
+    """-> Dataset(doc_id, signals..., keep): the Gopher rule table (see
+    :class:`GopherRules`). Filter with ``.map_batches(lambda b:
+    b[b["keep"]])`` or join back on doc_id."""
+    return ds.map_batches(GopherRules(text_col, **thresholds),
+                          batch_format="pandas", batch_size=None)

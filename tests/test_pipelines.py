@@ -1296,3 +1296,43 @@ def test_lm_logppl_matches_replay_and_ranks_fluency():
                                 hash_mode="fast")
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert fast.loc[3, "logppl"] > fast.loc[:2, "logppl"].max()
+
+
+def test_gopher_rules_replay():
+    rng = np.random.default_rng(21)
+    vocab = ["the", "a", "of"] + [f"tok{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, 60)),            # passes everything
+        " ".join(rng.choice(vocab, 10)),            # too short
+        " ".join(["the supercalifragilistic"] * 40),  # rep + mean-len violations
+        " ".join(["1 2 3 4"] * 20),                 # no alpha, no stopwords
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": texts})
+    out = (text.gopher_rules(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    stop = {"a", "the", "and", "of", "to"}
+    for i, t in enumerate(texts):
+        tt = t.split(" ")
+        n = len(tt)
+        assert out.loc[i, "n_tokens"] == n
+        mean_len = sum(len(w) for w in tt) / n
+        assert abs(out.loc[i, "mean_tok_len"] - round(mean_len, 6)) < 1e-9
+        alpha = sum(1 for w in tt if any(c.isalpha() for c in w)) / n
+        assert abs(out.loc[i, "alpha_ratio"] - round(alpha, 6)) < 1e-9
+        assert out.loc[i, "n_stop"] == sum(1 for w in tt if w in stop)
+        from collections import Counter
+        bc = Counter(zip(tt, tt[1:]))
+        nb = n - 1
+        top = max(bc.values()) / nb
+        dup = sum(c for c in bc.values() if c > 1) / nb
+        assert abs(out.loc[i, "top_bigram_frac"] - round(top, 6)) < 1e-9
+        assert abs(out.loc[i, "dup_bigram_frac"] - round(dup, 6)) < 1e-9
+        want_keep = (50 <= n <= 100_000 and 3 <= mean_len <= 10
+                     and alpha >= 0.8
+                     and sum(1 for w in tt if w in stop) >= 2
+                     and top <= 0.18 and dup <= 0.30)
+        assert bool(out.loc[i, "keep"]) == want_keep
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1:, "keep"].any()
