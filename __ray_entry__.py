@@ -1793,6 +1793,20 @@ def q_doc_perplexity(sf_dir: str):
                      hash_mode="sha256", num_buckets=8)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (pipelines/dedup.semantic_dedup): distributed k-means
+    (pq_train m=1, smallest-id init, 2 Lloyd passes) then within-cluster
+    lower-id cosine pruning. Oracle: unrolled Lloyd replay + a self-join
+    per cluster with LIST_COSINE_SIMILARITY."""
+    from bluegraph_ray.pipelines.dedup import semantic_dedup
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, n_clusters=16, iters=2, threshold=0.3)
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher quality-rule table (pipelines/text.gopher_rules, Rae et al.
     2021): per-doc signals + composed keep flag. Every ratio is an exact
@@ -2055,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
+        "semantic_dedup": q_semantic_dedup,                # new in r4
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
         "wys_embed": q_wys_embed,                          # new in r4
@@ -2461,6 +2476,66 @@ SELECT query_id, neighbor_id, round_even(adc_raw, 6) AS adc
 FROM score WHERE neighbor_id <> query_id
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                            ORDER BY adc_raw, neighbor_id) <= {k}""")
+    return "".join(out)
+
+
+# Unrolled SemDeDup replay (pipelines/dedup.semantic_dedup): pq_train with
+# m=1 is plain k-means — init = the n_clusters smallest-id vectors, each
+# Lloyd iteration = min-squared-L2 assignment (ties -> lowest code) + mean,
+# empty cells keep the previous centroid — then within-cluster lower-id
+# max cosine and the keep flag. The threshold compares UNROUNDED cosines
+# on both sides; the synthetic embeddings keep every pair comfortably off
+# the boundary (same documented caveat as knn_cosine ordering).
+def _semdedup_sql(iters: int = 2, n_clusters: int = 16,
+                  threshold: float = 0.3) -> str:
+    out = [f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS x
+  FROM e, UNNEST(generate_series(1, 64)) AS g(i)
+),
+c0 AS MATERIALIZED (
+  SELECT r.code, ev.dim, ev.x AS c FROM ev
+  JOIN (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        FROM e ORDER BY vec_id LIMIT {n_clusters}) r USING (vec_id)
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        out.append(f""",
+d{i} AS (
+  SELECT ev.vec_id, c.code, SUM((ev.x - c.c) * (ev.x - c.c)) AS dist
+  FROM ev JOIN c{p} c ON c.dim = ev.dim GROUP BY 1, 2),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, code FROM d{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dist, code) = 1),
+m{i} AS (
+  SELECT a.code, ev.dim, AVG(ev.x) AS c
+  FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id GROUP BY 1, 2),
+c{i} AS MATERIALIZED (
+  SELECT c{p}.code, c{p}.dim, COALESCE(m{i}.c, c{p}.c) AS c
+  FROM c{p} LEFT JOIN m{i} ON m{i}.code = c{p}.code
+    AND m{i}.dim = c{p}.dim)""")
+    out.append(f""",
+dfin AS (
+  SELECT ev.vec_id, c.code, SUM((ev.x - c.c) * (ev.x - c.c)) AS dist
+  FROM ev JOIN c{iters} c ON c.dim = ev.dim GROUP BY 1, 2),
+cl AS MATERIALIZED (
+  SELECT vec_id, code AS cluster FROM dfin
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dist, code) = 1),
+mx AS (
+  SELECT a.vec_id, MAX(LIST_COSINE_SIMILARITY(ea.v, eb.v)) AS m
+  FROM cl a JOIN cl b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  GROUP BY 1)
+SELECT cl.vec_id, cl.cluster,
+       round_even(COALESCE(mx.m, -2.0), 6) AS max_lower_cos,
+       COALESCE(mx.m, -2.0) < {threshold} AS keep
+FROM cl LEFT JOIN mx ON mx.vec_id = cl.vec_id""")
     return "".join(out)
 
 
@@ -3234,6 +3309,9 @@ FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
         "bpe_tokens": _bpe_tokens_sql(12),
         # product quantization: unrolled 2-iteration Lloyd + ADC top-k
         "pq_knn": _pq_sql(2),
+        # SemDeDup: unrolled k-means (pq_train m=1) + within-cluster
+        # lower-id max cosine and keep flag
+        "semantic_dedup": _semdedup_sql(2, 16, 0.3),
         # DSIR importance weights: replay the hashed unigram+bigram feature
         # models (sha256-prefix bucket = the dedup convention) for target
         # (doc_id % 10 = 0) and raw, the add-0.5-smoothed log ratio per

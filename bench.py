@@ -534,6 +534,12 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     pq_topk(vecs, qm, qids, k=10, m=8, n_codes=16, iters=2).materialize()
     q["ann_pq"] = round(time.perf_counter() - t0, 3)
 
+    from bluegraph_ray.pipelines.dedup import semantic_dedup
+
+    t0 = time.perf_counter()
+    semantic_dedup(vecs, n_clusters=32, iters=2, threshold=0.3).materialize()
+    q["semantic_dedup"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     payloads = multimodal.payloads_from_text(docs).materialize()
     multimodal.frame_digests(

@@ -1109,3 +1109,68 @@ def remove_duplicate_spans(
             .groupby("_b")
             .map_groups(lambda g: cut(g.drop(columns=["_b"])),
                         batch_format="pandas"))
+
+
+def semantic_dedup(
+    emb: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    iters: int = 2,
+    threshold: float = 0.3,
+    num_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate pruning
+    -> Dataset(vec_id, cluster, max_lower_cos, keep).
+
+    k-means the corpus embeddings (``similarity.pq_train`` with ``m=1`` —
+    plain distributed Lloyd with the deterministic smallest-id init and a
+    codebook-bounded shuffle), then WITHIN each cluster compute pairwise
+    cosine and drop every row whose similarity to a LOWER-id cluster-mate
+    reaches ``threshold`` (keep = one deterministic representative per
+    near-dup set). ``max_lower_cos`` is -2.0 when no lower-id mate exists.
+
+    Scale shape: only the O(k x d) codebook is driver-side; assignment is a
+    streaming map; the quadratic step is per-cluster (SemDeDup's own
+    design — grow ``n_clusters`` with the corpus so cluster size stays
+    bounded; at 100 TB cluster id doubles as the Parquet partition key).
+    Skewed clusters gate the reduce, like any groupby.
+    """
+    from bluegraph_ray.pipelines.similarity import (_norm_rows, _pq_assign,
+                                                    pq_train)
+
+    cent = pq_train(emb, vec_col=vec_col, id_col=id_col, m=1,
+                    n_codes=n_clusters, iters=iters, num_buckets=num_buckets)
+    ref = ray.put(cent)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        X = (np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+             .reshape(len(batch), 1, c.shape[2]))
+        codes, _ = _pq_assign(X, c)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "cluster": codes[:, 0],
+            vec_col: batch[vec_col],
+        })
+
+    assigned = emb.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas", batch_size=None)
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        low = np.tril(np.ones(sims.shape, dtype=bool), k=-1)
+        maxc = np.where(low, sims, -2.0).max(axis=1)
+        maxc[0] = -2.0
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "max_lower_cos": np.round(maxc, 6),
+            "keep": maxc < threshold,
+        })
+
+    return assigned.groupby("cluster").map_groups(mark,
+                                                  batch_format="pandas")

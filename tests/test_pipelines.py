@@ -1336,3 +1336,42 @@ def test_gopher_rules_replay():
         assert bool(out.loc[i, "keep"]) == want_keep
     assert bool(out.loc[0, "keep"])
     assert not out.loc[1:, "keep"].any()
+
+
+def test_semantic_dedup_replay_and_planted_dups():
+    rng = np.random.default_rng(7)
+    n, d, k = 60, 16, 4
+    vecs = rng.standard_normal((n, d))
+    # plant near-duplicates: rows 50-54 are tiny perturbations of rows 0-4
+    vecs[50:55] = vecs[0:5] + 0.01 * rng.standard_normal((5, d))
+    vecs = vecs.astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = (dedup.semantic_dedup(ray.data.from_pandas(df), n_clusters=k,
+                                iters=2, threshold=0.9)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == n
+    # planted dups land in the low-id twin's cluster and are dropped
+    assert not out.loc[50:54, "keep"].any()
+    assert out.loc[0:5, "keep"].all()
+    assert (out.loc[50:54, "max_lower_cos"] > 0.9).all()
+
+    # independent single-process replay of the k-means + pruning contract
+    X = vecs.astype(np.float64)
+    cent = X[:k].copy()
+    for _ in range(2):
+        dist = ((X[:, None, :] - cent[None]) ** 2).sum(-1)
+        a = dist.argmin(1)
+        new = cent.copy()
+        for c in range(k):
+            if (a == c).any():
+                new[c] = X[a == c].mean(0)
+        cent = new
+    a = ((X[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+    assert out["cluster"].tolist() == a.tolist()
+    nm = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for i in range(n):
+        mates = [j for j in range(i) if a[j] == a[i]]
+        want = max((float(nm[i] @ nm[j]) for j in mates), default=-2.0)
+        assert abs(out.loc[i, "max_lower_cos"] - round(want, 6)) < 1e-6
+        assert bool(out.loc[i, "keep"]) == (want < 0.9)
