@@ -1979,6 +1979,144 @@ def q_packed_windows(sf_dir: str):
     return pack_sequences(_docs(sf_dir), window=128, num_buckets=8)
 
 
+def q_nb_lang_pred(sf_dir: str):
+    """Multinomial Naive Bayes language classifier
+    (pipelines/classify.nb_classify): the fastText/CCNet-style hashed
+    bag-of-words gate, fit = pure counting so the whole model replays in
+    SQL. Train on doc_id % 5 != 0, score the held-out slice; sha256 hash
+    mode pinned so the bucket assignment replays exactly."""
+    from bluegraph_ray.pipelines.classify import nb_classify
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return nb_classify(docs, label_col="lang", num_features=256,
+                       smoothing=0.5, hash_mode="sha256", num_buckets=8,
+                       which="uni")
+
+
+def q_knn_label_pred(sf_dir: str):
+    """k-NN classification over the embeddings table
+    (pipelines/similarity.knn_classify): majority label among the top-5
+    cosine neighbors in the labeled train slice (vec_id % 5 != 0) for every
+    held-out vector. The query matrix is the bounded side (broadcast once);
+    the corpus streams with map-side top-k."""
+    import pyarrow.parquet as pq
+
+    from bluegraph_ray.pipelines.similarity import knn_classify
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    test = tbl[tbl["vec_id"] % 5 == 0].sort_values("vec_id")
+    qm = np.stack(test["embedding"].to_numpy()).astype(np.float64)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).map_batches(
+        lambda b: b[b["vec_id"] % 5 != 0], batch_format="pandas")
+    return knn_classify(corpus, qm, test["vec_id"].to_numpy(), k=5)
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-user rolling aggregate over the last 5 events ordered by
+    (ts, event_id) — pipelines/windows.rolling_window, the streaming analog
+    of SQL's ROWS BETWEEN 4 PRECEDING AND CURRENT ROW."""
+    from bluegraph_ray.pipelines.windows import rolling_window
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return rolling_window(ev, k=5)
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H-Q3-shaped join report (pipelines/relational.top_revenue_orders):
+    fact-side partial revenue rollup -> partitioned hash_join with orders ->
+    bounded top-10 -> broadcast customer enrichment."""
+    from bluegraph_ray.pipelines.relational import top_revenue_orders
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    return top_revenue_orders(li, orders, cust, k=10, num_buckets=16)
+
+
+def q_source_kl(sf_dir: str):
+    """Per-source token-distribution KL divergence vs the whole corpus
+    (pipelines/vocab.source_kl) — the domain-shift diagnostic ahead of
+    mixture weighting. sha256 hash mode pinned for the oracle."""
+    from bluegraph_ray.pipelines.vocab import source_kl
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "source"])
+    return source_kl(docs, num_features=256, smoothing=0.5,
+                     hash_mode="sha256", num_buckets=8)
+
+
+def q_decontaminated_bloom(sf_dir: str):
+    """Bloom-filter decontamination (pipelines/dedup.decontaminate_bloom):
+    the fixed-size-bitmap scale path of q_decontaminated — double-hash
+    positions (h1 + i*h2 mod 2^64 mod 2^20) from ONE sha256 digest per
+    shingle, replayed in SQL with HUGEINT arithmetic. Same sides as
+    q_decontaminated: benchmark = doc_id % 50 == 0."""
+    from bluegraph_ray.pipelines.dedup import decontaminate_bloom
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            m = (batch["doc_id"] % 50 == 0)
+            return batch[m if keep_bench else ~m]
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pandas",
+                             batch_size=None)
+    train = docs.map_batches(side(False), batch_format="pandas",
+                             batch_size=None)
+    return decontaminate_bloom(train, bench, k=3, m_bits=1 << 20,
+                               n_hashes=4, hash_mode="sha256")
+
+
+def q_doc_entropy(sf_dir: str):
+    """Per-document unigram Shannon entropy (pipelines/text.doc_entropy) —
+    the lexical-diversity quality signal; pure per-batch vectorized math."""
+    from bluegraph_ray.pipelines.text import doc_entropy
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return doc_entropy(docs)
+
+
+def q_top_terms_per_source(sf_dir: str):
+    """Grouped heavy hitters (pipelines/vocab.top_terms_per_group): top-5
+    tokens per source — exact counts via the bounded distinct-term shuffle,
+    map-side per-group top-k before the group exchange."""
+    from bluegraph_ray.pipelines.vocab import top_terms_per_group
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "source"])
+    return top_terms_per_group(docs, k=5, num_buckets=8)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2070,6 +2208,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
         "semantic_dedup": q_semantic_dedup,                # new in r4
+        "nb_lang_pred": q_nb_lang_pred,                    # new in r4
+        "knn_label_pred": q_knn_label_pred,                # new in r4
+        "events_rolling": q_events_rolling,                # new in r4
+        "top_revenue_orders": q_top_revenue_orders,        # new in r4
+        "source_kl": q_source_kl,                          # new in r4
+        "decontaminated_bloom": q_decontaminated_bloom,    # new in r4
+        "doc_entropy": q_doc_entropy,                      # new in r4
+        "top_terms_per_source": q_top_terms_per_source,    # new in r4
         "doc_embed": q_doc_embed,
         "source_graph": q_source_graph,
         "wys_embed": q_wys_embed,                          # new in r4
@@ -4692,4 +4838,196 @@ GROUP BY 1, 2
         # language-ID marker votes (earliest max in en,fr,de,es order; CJK
         # codepoint ratio gate) + the quality formula of text.QualityScore
         "lang_quality": _lq_sql,
+        # multinomial Naive Bayes (classify.nb_classify, sha256 mode,
+        # unigram buckets mod 256, add-0.5 smoothing): replay the per-class
+        # counts, priors, and the argmax of the joint log-likelihood;
+        # winner ties break toward the smaller label on both sides
+        "nb_lang_pred": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(t), 1, 16))::UBIGINT % 256 AS BIGINT) AS b
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0),
+prior AS (SELECT lang, COUNT(*)::BIGINT AS nd FROM train GROUP BY 1),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM train),
+cnt AS (
+  SELECT tr.lang, t.b, COUNT(*)::BIGINT AS c
+  FROM toks t JOIN train tr USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(c)::BIGINT AS tc FROM cnt GROUP BY 1),
+testf AS (
+  SELECT doc_id, b, COUNT(*)::BIGINT AS cb FROM toks
+  WHERE doc_id % 5 = 0 GROUP BY 1, 2
+),
+scores AS (
+  SELECT f.doc_id, p.lang,
+         LN(p.nd) - LN(nn.n)
+         + SUM(f.cb * (LN(COALESCE(c.c, 0) + 0.5) - LN(tot.tc + 0.5 * 256)))
+           AS s
+  FROM testf f
+  CROSS JOIN prior p
+  JOIN tot USING (lang)
+  CROSS JOIN nn
+  LEFT JOIN cnt c ON c.lang = p.lang AND c.b = f.b
+  GROUP BY f.doc_id, p.lang, p.nd, nn.n, tot.tc
+)
+SELECT doc_id, lang AS pred, round_even(s, 6) AS logscore
+FROM scores
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
+""",
+        # k-NN classification: exact cosine top-5 in the train slice
+        # (raw cosine DESC, neighbor id ASC — the knn_cosine convention),
+        # then majority vote with (votes DESC, label ASC) tie-break
+        "knn_label_pred": """
+WITH nb AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label
+  FROM embeddings q JOIN embeddings e ON e.vec_id % 5 <> 0
+  WHERE q.vec_id % 5 = 0
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) DESC,
+             e.vec_id) <= 5
+),
+votes AS (
+  SELECT query_id, CAST(label AS BIGINT) AS pred, COUNT(*)::BIGINT AS votes
+  FROM nb GROUP BY 1, 2
+)
+SELECT query_id, pred, votes FROM votes
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY votes DESC, pred) = 1
+""",
+        # per-user last-5-rows rolling window (windows.rolling_window)
+        "events_rolling": """
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS roll_n,
+  round_even(SUM(value) OVER w, 6) AS roll_sum,
+  round_even(AVG(value) OVER w, 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        # TPC-H-Q3-shaped report: revenue rollup JOIN orders JOIN customer,
+        # ordered by (rounded revenue DESC, orderkey ASC), top 10 — the
+        # rounding happens BEFORE ordering on both sides
+        "top_revenue_orders": """
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, r.revenue,
+       c.c_custkey, c.c_nationkey
+FROM rev r
+JOIN orders o USING (o_orderkey)
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY r.revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+        # per-source hashed-unigram KL divergence vs the corpus
+        # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on
+        # both distributions — unseen buckets contribute via the grid)
+        "source_kl": """
+WITH toks AS MATERIALIZED (
+  SELECT d.source,
+         CAST(('0x' || substr(sha256(t), 1, 16))::UBIGINT % 256 AS BIGINT) AS b
+  FROM documents d, UNNEST(string_split(text, ' ')) AS u(t)
+),
+cnt AS (SELECT source, b, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT s.source, gs.b FROM srcs s
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS b) gs
+),
+filled AS (
+  SELECT g.source, g.b, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.b = g.b
+),
+tot_s AS (SELECT source, SUM(c)::BIGINT AS ts FROM filled GROUP BY 1),
+corpus AS (SELECT b, SUM(c)::BIGINT AS cb FROM filled GROUP BY 1),
+tot AS (SELECT SUM(c)::BIGINT AS t FROM filled)
+SELECT f.source, tot_s.ts AS n_tokens,
+  round_even(SUM(
+    ((f.c + 0.5) / (tot_s.ts + 0.5 * 256))
+    * LN(((f.c + 0.5) / (tot_s.ts + 0.5 * 256))
+         / ((corpus.cb + 0.5) / (tot.t + 0.5 * 256)))), 6) AS kl
+FROM filled f
+JOIN tot_s USING (source)
+JOIN corpus USING (b)
+CROSS JOIN tot
+GROUP BY f.source, tot_s.ts
+""",
+        # Bloom-filter decontamination: replay the bitmap exactly — bench
+        # side's DISTINCT bit positions (h1 + i*h2 mod 2^64 mod 2^20, h1/h2
+        # = sha256 digest bytes 0..8 / 8..16), then a train shingle hits iff
+        # ALL 4 of its positions are present
+        "decontaminated_bloom": """
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, len(toks) - 2)]
+      ELSE [array_to_string(toks, ' ')]
+    END AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+hashed AS (
+  SELECT doc_id, idx,
+    ('0x' || substr(sha256(s), 1, 16))::UBIGINT AS h1,
+    ('0x' || substr(sha256(s), 17, 16))::UBIGINT AS h2
+  FROM (SELECT doc_id, unnest(shs) AS s,
+               unnest(generate_series(1, len(shs))) AS idx FROM sh)
+),
+bpos AS (
+  SELECT DISTINCT CAST((CAST(h1 AS HUGEINT) + g.i * CAST(h2 AS HUGEINT))
+         % 18446744073709551616 % 1048576 AS BIGINT) AS p
+  FROM hashed, UNNEST(generate_series(0, 3)) AS g(i)
+  WHERE doc_id % 50 = 0
+),
+tpos AS (
+  SELECT doc_id, idx,
+    CAST((CAST(h1 AS HUGEINT) + g.i * CAST(h2 AS HUGEINT))
+         % 18446744073709551616 % 1048576 AS BIGINT) AS p
+  FROM hashed, UNNEST(generate_series(0, 3)) AS g(i)
+  WHERE doc_id % 50 <> 0
+),
+hits AS (
+  SELECT t.doc_id, t.idx, BOOL_AND(b.p IS NOT NULL) AS hit
+  FROM tpos t LEFT JOIN bpos b ON b.p = t.p
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  BOOL_OR(hit) AS contaminated
+FROM hits GROUP BY 1
+""",
+        # per-doc unigram Shannon entropy: H = ln(n) - (1/n) SUM c*ln(c)
+        "doc_entropy": """
+WITH toks AS (
+  SELECT doc_id, t FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+c AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n, SUM(c * LN(c)) AS clnc
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n AS n_tokens, round_even(LN(n) - clnc / n, 6) AS entropy
+FROM agg
+""",
+        # grouped heavy hitters: exact per-source token counts, top-5 by
+        # (cnt DESC, term ASC)
+        "top_terms_per_source": """
+WITH toks AS (
+  SELECT source AS "group", t AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+c AS (SELECT "group", term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2)
+SELECT "group", term, cnt,
+  CAST(ROW_NUMBER() OVER (PARTITION BY "group"
+                          ORDER BY cnt DESC, term) AS BIGINT) AS rank
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY "group"
+                           ORDER BY cnt DESC, term) <= 5
+""",
     }

@@ -258,7 +258,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if os.path.isdir(sf_dir) and not os.environ.get("GRAFT_SKIP_RELATIONAL"):
         import __ray_entry__ as entrymod
 
-        for name in ("pricing_summary", "events_hourly", "dedup_exact"):
+        for name in ("pricing_summary", "events_hourly", "dedup_exact",
+                     "events_rolling", "top_revenue_orders"):
             t0 = time.perf_counter()
             res = entrymod.queries()[name](sf_dir)
             if hasattr(res, "materialize"):
@@ -539,6 +540,17 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     semantic_dedup(vecs, n_clusters=32, iters=2, threshold=0.3).materialize()
     q["semantic_dedup"] = round(time.perf_counter() - t0, 3)
+
+    # classification + analysis stages (round-4 late additions)
+    import __ray_entry__ as entrymod
+
+    for name in ("nb_lang_pred", "knn_label_pred", "source_kl",
+                 "doc_entropy", "top_terms_per_source"):
+        t0 = time.perf_counter()
+        res = entrymod.queries()[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        q[name] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     payloads = multimodal.payloads_from_text(docs).materialize()

@@ -1174,3 +1174,108 @@ def semantic_dedup(
 
     return assigned.groupby("cluster").map_groups(mark,
                                                   batch_format="pandas")
+
+
+def _remix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a second independent 64-bit stream from the
+    fast shingle hash (fast mode's analog of sha256 digest bytes 8..16)."""
+    with np.errstate(over="ignore"):
+        z = h + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash64_pair(arr_of_bytes: list) -> tuple:
+    """(h1, h2): sha256 digest bytes 0..8 and 8..16 big-endian — ONE digest
+    per shingle yields both Bloom streams, and DuckDB replays them as
+    ``substr(sha256(s), 1, 16)`` / ``substr(sha256(s), 17, 16)``."""
+    ds = [hashlib.sha256(b).digest() for b in arr_of_bytes]
+    h1 = np.array([int.from_bytes(d[:8], "big") for d in ds], dtype=np.uint64)
+    h2 = np.array([int.from_bytes(d[8:16], "big") for d in ds],
+                  dtype=np.uint64)
+    return h1, h2
+
+
+def decontaminate_bloom(
+    train: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    hash_mode: str = "fast",
+) -> "ray.data.Dataset":
+    """Bloom-filter benchmark decontamination — ``decontaminate``'s scale
+    path. Instead of broadcasting the benchmark's full distinct-shingle hash
+    set (which grows with the eval suite), build an ``m_bits`` Bloom bitmap
+    over it (double hashing: position_i = (h1 + i*h2) mod 2^64 mod m_bits,
+    i < n_hashes) and broadcast the BITMAP — a fixed 128 KiB at the 2^20
+    default regardless of benchmark size. A training shingle counts as a hit
+    when ALL ``n_hashes`` positions are set: no false negatives ever; false
+    positives at the standard (1 - e^{-kn/m})^k rate, i.e. over-flagging
+    only — the safe direction for leakage guards.
+
+    Both hash modes yield (h1, h2) pairs from one digest: sha256 bytes
+    0..8 / 8..16 (oracle ``decontaminated_bloom`` replays positions with
+    HUGEINT mod-2^64 arithmetic), or the fast shingle hash + its splitmix64
+    remix. Build side collects only DISTINCT BIT POSITIONS (bounded by
+    benchmark shingles x n_hashes, and by m_bits); probe is the same
+    zero-shuffle streaming map as ``decontaminate``.
+    """
+    if hash_mode not in ("sha256", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    m = np.uint64(m_bits)
+
+    def _pairs(texts) -> tuple:
+        """(h1, h2, bounds) per shingle for a batch of texts."""
+        if hash_mode == "fast":
+            h1, bounds = _fast_shingle_hashes(list(texts), k)
+            return h1, _remix64(h1), bounds
+        per_doc = [_token_shingles(t, k) for t in texts]
+        bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in per_doc], out=bounds[1:])
+        h1, h2 = _hash64_pair([s.encode() for doc in per_doc for s in doc])
+        return h1, h2, bounds
+
+    def _positions(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n_hashes, S) bit positions, uint64 wraparound arithmetic."""
+        with np.errstate(over="ignore"):
+            return np.stack([(h1 + np.uint64(i) * h2) % m
+                             for i in range(n_hashes)])
+
+    def bench_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2, _ = _pairs(batch[text_col].to_numpy())
+        pos = np.unique(_positions(h1, h2))
+        return pd.DataFrame({"p": pos.astype(np.int64)})
+
+    pos = np.unique(
+        benchmark.select_columns([text_col])
+        .map_batches(bench_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()["p"].to_numpy())
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[pos] = True
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bits_ref)
+        h1, h2, bounds = _pairs(batch[text_col].to_numpy())
+        if len(h1):
+            hit = b[_positions(h1, h2).astype(np.int64)].all(axis=0)
+            n = np.add.reduceat(hit.astype(np.int64), bounds[:-1]) \
+                if hit.size else np.zeros(len(batch), dtype=np.int64)
+            n[bounds[:-1] == bounds[1:]] = 0
+        else:
+            n = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_hits": n.astype(np.int64),
+            "contaminated": n > 0,
+        })
+
+    return (train.select_columns([id_col, text_col])
+            .map_batches(probe, batch_format="pandas", batch_size=4096))

@@ -463,3 +463,74 @@ def pq_topk(
 
     return partial.groupby("query_id").map_groups(final_topk,
                                                   batch_format="pandas")
+
+
+def knn_classify(
+    corpus: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """k-nearest-neighbor classification: -> (query_id, pred, votes).
+
+    The downstream-eval sibling of ``knn_topk`` (reference
+    ``downstream/similarity.py`` + sklearn KNeighborsClassifier usage in the
+    embedding notebooks): each query's label is the MAJORITY label among its
+    top-k cosine neighbors in the labeled corpus, ties broken toward the
+    smaller label. Same distribution shape as ``knn_topk`` — the query
+    matrix is broadcast once via ``ray.put``, every corpus batch pre-reduces
+    to its local top-k (carrying the label column), and one small
+    ``groupby(query).map_groups`` finishes the global top-k + vote. The
+    corpus streams; only ``batches x k`` candidate rows shuffle.
+
+    Ordering contract (matches the DuckDB oracle): raw unrounded cosine
+    DESC, neighbor id ASC for the top-k; (votes DESC, label ASC) for the
+    winner.
+    """
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((np.asarray(query_ids), q))
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qm = ray.get(q_ref)
+        ids = batch[id_col].to_numpy()
+        labs = batch[label_col].to_numpy()
+        m = _norm_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = qm @ m.T
+        rows = []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            take = np.lexsort((ids, -s))[:k]
+            rows.append(pd.DataFrame({
+                "query_id": qids[qi],
+                "neighbor_id": ids[take],
+                "label": labs[take],
+                "cosine": s[take],
+            }))
+        if not rows:
+            return pd.DataFrame({
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "label": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            })
+        return pd.concat(rows, ignore_index=True)
+
+    partial = corpus.select_columns([id_col, vec_col, label_col]).map_batches(
+        block_topk, batch_format="pandas", batch_size=None)
+
+    def vote(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True], kind="mergesort").head(k)
+        vc = (g.groupby("label").size().reset_index(name="votes")
+              .sort_values(["votes", "label"], ascending=[False, True]))
+        return pd.DataFrame({
+            "query_id": group["query_id"].iloc[:1].to_numpy(),
+            "pred": np.asarray([vc["label"].iloc[0]], dtype=np.int64),
+            "votes": np.asarray([vc["votes"].iloc[0]], dtype=np.int64),
+        })
+
+    return partial.groupby("query_id").map_groups(vote, batch_format="pandas")

@@ -630,3 +630,47 @@ def gopher_rules(ds: "ray.data.Dataset", *, text_col: str = "text",
     b[b["keep"]])`` or join back on doc_id."""
     return ds.map_batches(GopherRules(text_col, **thresholds),
                           batch_format="pandas", batch_size=None)
+
+
+def doc_entropy(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """-> Dataset(id, n_tokens, entropy): per-document unigram Shannon
+    entropy in nats, H = ln(n) - (1/n) * sum_t c_t ln c_t — a standard
+    lexical-diversity / degenerate-text quality signal (low entropy =
+    repetitive boilerplate). Pure per-batch vectorized math (one flat
+    factorize over the batch token stream), no shuffle; rounded to 6
+    decimals at emit."""
+
+    def ent(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64),
+                                 "n_tokens": np.array([], dtype=np.int64),
+                                 "entropy": np.array([], dtype=np.float64)})
+        toks = batch[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        codes, _ = pd.factorize(flat)
+        # count per (doc, token-type), then sum c*ln(c) back per doc
+        pair = doc * (codes.max() + 1) + codes
+        _, inv, cnt = np.unique(pair, return_inverse=True, return_counts=True)
+        clnc = cnt.astype(np.float64) * np.log(cnt.astype(np.float64))
+        per_doc = np.zeros(len(batch))
+        # each unique (doc, type) contributes once; map uniques back to docs
+        uniq_doc = np.zeros(len(cnt), dtype=np.int64)
+        uniq_doc[inv] = doc  # every position of a unique writes its doc
+        np.add.at(per_doc, uniq_doc, clnc)
+        n = np.maximum(lens, 1).astype(np.float64)
+        h = np.log(n) - per_doc / n
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_tokens": lens,
+            "entropy": np.round(h, 6),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        ent, batch_format="pandas", batch_size=None)

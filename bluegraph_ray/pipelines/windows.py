@@ -268,3 +268,44 @@ def interval_join(
         return batch
 
     return out.map_batches(contain, batch_format="pandas", batch_size=None)
+
+
+def rolling_window(
+    events: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """Per-key ROW-based rolling aggregate over the last ``k`` rows ordered
+    by (ts, id): -> (key, id, roll_n, roll_sum, roll_avg). The streaming
+    analog of SQL's ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` window —
+    the per-entity feature (EWMA/rolling-rate) shape a training-data
+    pipeline derives from event logs.
+
+    Distribution: one shuffle keyed by ``key_col`` (groupby.map_groups);
+    each group sorts locally and computes the rolling sums vectorized.
+    Partitioning assumption (documented per the custom-operator contract):
+    a single key's history fits one worker — event logs with bounded
+    per-entity cardinality. Floats rounded to 6 decimals at emit.
+    """
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        c = np.concatenate(([0.0], np.cumsum(v)))
+        n = len(v)
+        lo = np.maximum(0, np.arange(1, n + 1) - k)
+        rs = c[1:] - c[lo]
+        rn = np.minimum(np.arange(1, n + 1), k)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "roll_n": rn.astype(np.int64),
+            "roll_sum": np.round(rs, 6),
+            "roll_avg": np.round(rs / rn, 6),
+        })
+
+    return (events.select_columns([key_col, ts_col, id_col, value_col])
+            .groupby(key_col).map_groups(roll, batch_format="pandas"))

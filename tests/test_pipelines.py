@@ -1375,3 +1375,263 @@ def test_semantic_dedup_replay_and_planted_dups():
         want = max((float(nm[i] @ nm[j]) for j in mates), default=-2.0)
         assert abs(out.loc[i, "max_lower_cos"] - round(want, 6)) < 1e-6
         assert bool(out.loc[i, "keep"]) == (want < 0.9)
+
+
+@pytest.mark.parametrize("hash_mode", ["sha256", "fast"])
+def test_nb_classify_matches_bruteforce(hash_mode):
+    from bluegraph_ray.pipelines import classify
+    from bluegraph_ray.pipelines.selection import (_gram_buckets_fast,
+                                                   _gram_buckets_sha)
+
+    rng = np.random.RandomState(7)
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(60):
+        lab = "A" if i % 2 == 0 else "B"
+        voc = vocab_a if lab == "A" else vocab_b
+        rows.append({"doc_id": i, "lang": lab,
+                     "text": " ".join(rng.choice(voc, size=12))})
+    df = pd.DataFrame(rows)
+    F, s = 64, 0.5
+    out = (classify.nb_classify(ray.data.from_pandas(df), num_features=F,
+                                smoothing=s, hash_mode=hash_mode,
+                                num_buckets=3, which="uni")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute-force replay with the same bucket function
+    gb = _gram_buckets_sha if hash_mode == "sha256" else _gram_buckets_fast
+    train = df[df["doc_id"] % 5 != 0]
+    test = df[df["doc_id"] % 5 == 0].reset_index(drop=True)
+    labels = np.sort(train["lang"].unique())
+    cond = np.zeros((len(labels), F))
+    nd = np.zeros(len(labels))
+    for li, lab in enumerate(labels):
+        texts = train.loc[train["lang"] == lab, "text"].tolist()
+        b, _ = gb(texts, F, "uni")
+        cond[li] = np.bincount(b.astype(np.int64), minlength=F)
+        nd[li] = len(texts)
+    log_prior = np.log(nd) - np.log(nd.sum())
+    log_cond = np.log(cond + s) - np.log(cond.sum(axis=1, keepdims=True) + s * F)
+    for i, row in test.iterrows():
+        b, _ = gb([row["text"]], F, "uni")
+        x = np.bincount(b.astype(np.int64), minlength=F)
+        sc = x @ log_cond.T + log_prior
+        k = int(np.argmax(sc))
+        assert out.loc[i, "pred"] == labels[k]
+        assert out.loc[i, "logscore"] == pytest.approx(sc[k], abs=2e-6)
+    # the planted signal is recoverable: held-out accuracy is high
+    acc = (out["pred"].to_numpy() == test["lang"].to_numpy()).mean()
+    assert acc >= 0.9
+
+
+def test_nb_classify_bucket_invariance():
+    from bluegraph_ray.pipelines import classify
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "lang": ["x" if i % 3 == 0 else "y" for i in range(40)],
+        "text": [f"tok{i % 7} tok{i % 5} tok{i % 3}" for i in range(40)],
+    })
+    a = (classify.nb_classify(ray.data.from_pandas(df), num_buckets=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (classify.nb_classify(ray.data.from_pandas(df), num_buckets=7)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_classify_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    n, d = 80, 8
+    X = rng.randn(n, d)
+    labels = rng.randint(0, 3, size=n)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": list(X.astype(np.float32)),
+                       "label": labels.astype(np.int32)})
+    test_mask = df["vec_id"] % 4 == 0
+    qm = np.stack(df.loc[test_mask, "embedding"].to_numpy()).astype(np.float64)
+    qids = df.loc[test_mask, "vec_id"].to_numpy()
+    corpus = ray.data.from_pandas(df[~test_mask]).repartition(5)
+    out = (similarity.knn_classify(corpus, qm, qids, k=5)
+           .to_pandas().sort_values("query_id").reset_index(drop=True))
+
+    Xn = X / np.linalg.norm(X.astype(np.float64), axis=1, keepdims=True)
+    train_ids = df.loc[~test_mask, "vec_id"].to_numpy()
+    # float32 storage round-trips through the engine; replay it
+    Xs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    for i, qid in enumerate(qids):
+        sims = Xs[qid] @ Xs[train_ids].T
+        order = np.lexsort((train_ids, -sims))[:5]
+        top_lab = labels[train_ids[order]]
+        vals, cnts = np.unique(top_lab, return_counts=True)
+        win = vals[np.lexsort((vals, -cnts))][0]
+        assert out.loc[i, "pred"] == win
+        assert out.loc[i, "votes"] == cnts[vals == win][0]
+
+
+def test_rolling_window_matches_pandas():
+    rng = np.random.RandomState(11)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 9, size=n),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 10_000, size=n), unit="s"),
+        "event_id": np.arange(n),
+        "value": np.round(rng.rand(n) * 100, 3),
+    })
+    out = (windows.rolling_window(ray.data.from_pandas(df).repartition(7), k=5)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = exp.groupby("user_id")["value"]
+    exp["roll_sum"] = g.transform(lambda s: s.rolling(5, min_periods=1).sum())
+    exp["roll_n"] = g.transform(lambda s: s.rolling(5, min_periods=1).count())
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (out["roll_n"].to_numpy() == exp["roll_n"].to_numpy()).all()
+    np.testing.assert_allclose(out["roll_sum"], exp["roll_sum"], atol=1e-5)
+    np.testing.assert_allclose(out["roll_avg"],
+                               exp["roll_sum"] / exp["roll_n"], atol=1e-5)
+
+
+def test_top_revenue_orders_matches_pandas():
+    from bluegraph_ray.pipelines.relational import top_revenue_orders
+
+    sf = "/root/testdata/sf0.001"
+    li = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice",
+                                        "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    cust = ray.data.read_parquet(f"{sf}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    out = top_revenue_orders(li, orders, cust, k=10, num_buckets=4)
+
+    lp = pd.read_parquet(f"{sf}/lineitem.parquet")
+    op = pd.read_parquet(f"{sf}/orders.parquet")
+    cp = pd.read_parquet(f"{sf}/customer.parquet")
+    rev = (lp.assign(r=lp["l_extendedprice"] * (1 - lp["l_discount"]))
+           .groupby("l_orderkey")["r"].sum().round(4).reset_index())
+    exp = (rev.merge(op, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cp, left_on="o_custkey", right_on="c_custkey")
+           .sort_values(["r", "o_orderkey"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    assert (out["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    np.testing.assert_allclose(out["revenue"], exp["r"], atol=1e-9)
+    assert (out["c_nationkey"].to_numpy() == exp["c_nationkey"].to_numpy()).all()
+    assert list(out.columns) == ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority", "revenue", "c_custkey",
+                                 "c_nationkey"]
+
+
+def test_source_kl_matches_bruteforce():
+    from bluegraph_ray.pipelines.selection import _gram_buckets_fast
+    from bluegraph_ray.pipelines.vocab import source_kl
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(90):
+        src = f"s{i % 3}"
+        voc = {"s0": ["a", "b", "c"], "s1": ["c", "d", "e"],
+               "s2": ["a", "e", "f"]}[src]
+        rows.append({"source": src, "text": " ".join(rng.choice(voc, 10))})
+    df = pd.DataFrame(rows)
+    F, s = 32, 0.5
+    out = (source_kl(ray.data.from_pandas(df).repartition(4), num_features=F,
+                     smoothing=s, hash_mode="fast", num_buckets=3)
+           .sort_values("source").reset_index(drop=True))
+    M = np.zeros((3, F))
+    for li, src in enumerate(["s0", "s1", "s2"]):
+        b, _ = _gram_buckets_fast(df.loc[df["source"] == src, "text"].tolist(),
+                                  F, "uni")
+        M[li] = np.bincount(b.astype(np.int64), minlength=F)
+    ts = M.sum(axis=1, keepdims=True)
+    cb = M.sum(axis=0, keepdims=True)
+    p = (M + s) / (ts + s * F)
+    q = (cb + s) / (cb.sum() + s * F)
+    kl = (p * np.log(p / q)).sum(axis=1)
+    np.testing.assert_allclose(out["kl"], np.round(kl, 6), atol=1e-9)
+    assert (out["n_tokens"].to_numpy() == ts[:, 0].astype(np.int64)).all()
+    assert (kl > 0).all()
+
+
+def test_doc_entropy_matches_bruteforce():
+    from collections import Counter
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a a a a", "a b c d", "a a b b", "x"],
+    })
+    out = (text.doc_entropy(ray.data.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, row in df.iterrows():
+        toks = row["text"].split(" ")
+        n = len(toks)
+        h = np.log(n) - sum(c * np.log(c) for c in Counter(toks).values()) / n
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "entropy"] == pytest.approx(round(h, 6), abs=1e-9)
+    # degenerate doc has zero entropy; uniform doc has ln(4)
+    assert out.loc[0, "entropy"] == 0.0
+    assert out.loc[1, "entropy"] == pytest.approx(np.log(4), abs=1e-6)
+
+
+def test_top_terms_per_group_exact():
+    from bluegraph_ray.pipelines.vocab import top_terms_per_group
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(50):
+        g = f"g{i % 3}"
+        voc = {"g0": ["a", "b", "c", "d"], "g1": ["c", "d", "e"],
+               "g2": ["e", "f"]}[g]
+        rows.append({"source": g, "text": " ".join(rng.choice(voc, 20))})
+    df = pd.DataFrame(rows)
+    out = (top_terms_per_group(ray.data.from_pandas(df).repartition(5),
+                               k=2, num_buckets=3)
+           .to_pandas().sort_values(["group", "rank"]).reset_index(drop=True))
+    flat = (df.assign(term=df["text"].str.split(" ")).explode("term")
+            .groupby(["source", "term"]).size().reset_index(name="cnt"))
+    for g, sub in flat.groupby("source"):
+        exp = sub.sort_values(["cnt", "term"],
+                              ascending=[False, True]).head(2)
+        got = out[out["group"] == g]
+        assert got["term"].tolist() == exp["term"].tolist()
+        assert got["cnt"].tolist() == exp["cnt"].tolist()
+        assert got["rank"].tolist() == [1, 2]
+
+
+@pytest.mark.parametrize("hash_mode", ["sha256", "fast"])
+def test_decontaminate_bloom_no_false_negatives(hash_mode):
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(40)]
+    train_rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, 15))}
+                  for i in range(60)]
+    bench_rows = [{"doc_id": 1000 + i, "text": " ".join(rng.choice(vocab, 15))}
+                  for i in range(10)]
+    # plant exact benchmark passages inside two training docs
+    train_rows[5]["text"] += " " + bench_rows[0]["text"]
+    train_rows[17]["text"] = bench_rows[3]["text"]
+    train = ray.data.from_pandas(pd.DataFrame(train_rows)).repartition(4)
+    bench = ray.data.from_pandas(pd.DataFrame(bench_rows))
+
+    exact = (dedup.decontaminate(train, bench, k=3, hash_mode=hash_mode)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bloom = (dedup.decontaminate_bloom(train, bench, k=3, m_bits=1 << 16,
+                                       n_hashes=4, hash_mode=hash_mode)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (bloom["doc_id"] == exact["doc_id"]).all()
+    # Bloom never misses: every exact hit is a bloom hit, counts >= exact
+    assert (bloom["n_hits"].to_numpy() >= exact["n_hits"].to_numpy()).all()
+    assert bool(bloom.loc[bloom["doc_id"] == 5, "contaminated"].iloc[0])
+    assert bool(bloom.loc[bloom["doc_id"] == 17, "contaminated"].iloc[0])
+    # at 2^16 bits for a handful of shingles, false positives are ~0:
+    # the two results should actually coincide here
+    assert (bloom["contaminated"] == exact["contaminated"]).mean() >= 0.95
+
+
+def test_decontaminate_bloom_rejects_bad_args():
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c"]}))
+    with pytest.raises(ValueError):
+        dedup.decontaminate_bloom(ds, ds, m_bits=1000)
+    with pytest.raises(ValueError):
+        dedup.decontaminate_bloom(ds, ds, hash_mode="xxh")
