@@ -2066,6 +2066,19 @@ def q_source_kl(sf_dir: str):
                      hash_mode="sha256", num_buckets=8)
 
 
+def q_textrank_terms(sf_dir: str):
+    """TextRank keywords (pipelines/textembed.textrank_terms, Mihalcea &
+    Tarau 2004): the word_cooc counting shuffle feeding the CSR superstep
+    PageRank kernel; fixed 12 supersteps so the recursion replays exactly."""
+    from bluegraph_ray.pipelines.textembed import textrank_terms
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return textrank_terms(docs, window=2, iters=12, topk=20, num_buckets=8)
+
+
 def q_decontaminated_bloom(sf_dir: str):
     """Bloom-filter decontamination (pipelines/dedup.decontaminate_bloom):
     the fixed-size-bitmap scale path of q_decontaminated — double-hash
@@ -2214,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": q_top_revenue_orders,        # new in r4
         "source_kl": q_source_kl,                          # new in r4
         "decontaminated_bloom": q_decontaminated_bloom,    # new in r4
+        "textrank_terms": q_textrank_terms,                # new in r4
         "doc_entropy": q_doc_entropy,                      # new in r4
         "top_terms_per_source": q_top_terms_per_source,    # new in r4
         "doc_embed": q_doc_embed,
@@ -4957,6 +4971,41 @@ JOIN tot_s USING (source)
 JOIN corpus USING (b)
 CROSS JOIN tot
 GROUP BY f.source, tot_s.ts
+""",
+        # TextRank: weighted PageRank (12 fixed supersteps, same recursion
+        # shape as pagerank_power20) over the window-2 word co-occurrence
+        # graph (word_cooc arcs minus self-pairs), top-20 by (score DESC,
+        # term ASC)
+        "textrank_terms": """
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS tok,
+    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+arcs AS MATERIALIZED (
+  SELECT a.tok AS u, b.tok AS v, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+  WHERE a.tok <> b.tok
+  GROUP BY 1, 2
+),
+outw AS MATERIALIZED (SELECT u, SUM(w) AS ow FROM arcs GROUP BY 1),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
+pr(it, node, r) AS (
+  SELECT 0, u, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM outw
+  UNION ALL
+  SELECT it + 1, a.v,
+    CAST(0.85 AS DOUBLE) * SUM(a.w * (pr.r * (CAST(1.0 AS DOUBLE) / o.ow)))
+      + (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+  FROM pr JOIN arcs a ON a.u = pr.node JOIN outw o ON o.u = pr.node
+  WHERE pr.it < 12
+  GROUP BY it + 1, a.v
+)
+SELECT node AS term, round_even(r, 9) AS score
+FROM pr WHERE it = 12
+ORDER BY r DESC, node
+LIMIT 20
 """,
         # Bloom-filter decontamination: replay the bitmap exactly — bench
         # side's DISTINCT bit positions (h1 + i*h2 mod 2^64 mod 2^20, h1/h2

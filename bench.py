@@ -545,7 +545,8 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     import __ray_entry__ as entrymod
 
     for name in ("nb_lang_pred", "knn_label_pred", "source_kl",
-                 "doc_entropy", "top_terms_per_source"):
+                 "doc_entropy", "top_terms_per_source", "decontaminated_bloom",
+                 "textrank_terms"):
         t0 = time.perf_counter()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "materialize"):

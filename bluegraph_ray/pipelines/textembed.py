@@ -233,3 +233,49 @@ class PPMISVDEmbedder:
                                  "embedding": list(out)})
 
         return ds.map_batches(embed, batch_format="pandas", batch_size=None)
+
+
+def textrank_terms(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    window: int = 2,
+    iters: int = 12,
+    alpha: float = 0.85,
+    topk: int = 20,
+    num_buckets: int = 16,
+    n_partitions: int = 8,
+) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): -> DataFrame
+    (term, score) — the ``topk`` corpus keywords by weighted PageRank over
+    the word co-occurrence graph, ordered (score DESC, term ASC), score
+    rounded to 9 decimals at emit.
+
+    Pure composition of two already-distributed stages: the window-w
+    co-occurrence counting shuffle (``window_cooccurrence`` — the same
+    counting pass the PPMI-SVD embedder uses) feeding the CSR-partitioned
+    superstep PageRank kernel (``stages/pagerank.power_iterations``, exact
+    fixed-depth semantics so the DuckDB recursion replays it). The word
+    graph is vocabulary-sized, not corpus-sized: the corpus leaves only
+    pre-aggregated (w, c, cnt) partials."""
+    from bluegraph_ray.stages.build import build_graph, make_partition_actors
+    from bluegraph_ray.stages.pagerank import power_iterations
+
+    edges = window_cooccurrence(docs, text_col=text_col, window=window,
+                                num_buckets=num_buckets)
+    und = edges.map_batches(lambda b: b[b["w"] < b["c"]],
+                            batch_format="pandas", batch_size=None)
+    handle = build_graph(und, src="w", dst="c", weight="cnt",
+                         directed=False, n_partitions=n_partitions)
+    actors = make_partition_actors(handle)
+    try:
+        res = power_iterations(handle, actors, iters=iters, alpha=alpha)
+    finally:
+        for a in actors:
+            import ray as _ray
+            _ray.kill(a)
+    out = pd.DataFrame({"term": handle.names, "_raw": res["values"]})
+    out = out.sort_values(["_raw", "term"], ascending=[False, True],
+                          kind="mergesort").head(topk)
+    out["score"] = np.round(out["_raw"].to_numpy(), 9)
+    return out.drop(columns=["_raw"]).reset_index(drop=True)

@@ -1635,3 +1635,38 @@ def test_decontaminate_bloom_rejects_bad_args():
         dedup.decontaminate_bloom(ds, ds, m_bits=1000)
     with pytest.raises(ValueError):
         dedup.decontaminate_bloom(ds, ds, hash_mode="xxh")
+
+
+def test_textrank_terms_matches_dense_power_iteration():
+    from bluegraph_ray.pipelines.textembed import textrank_terms
+
+    df = pd.DataFrame({
+        "text": ["spark batch merge sort", "batch merge batch stream",
+                 "sort merge spark spark", "stream window stream batch"],
+    })
+    out = textrank_terms(ray.data.from_pandas(df), window=2, iters=10,
+                         topk=7, num_buckets=2, n_partitions=2)
+
+    # dense replay: window-2 symmetric counts, drop self-pairs, 10 steps
+    from collections import Counter
+    cnt = Counter()
+    for t in df["text"]:
+        toks = t.split(" ")
+        for i in range(len(toks)):
+            for j in range(len(toks)):
+                if i != j and abs(i - j) <= 2 and toks[i] != toks[j]:
+                    cnt[(toks[i], toks[j])] += 1
+    vocab = sorted({w for p in cnt for w in p})
+    ix = {w: i for i, w in enumerate(vocab)}
+    W = np.zeros((len(vocab), len(vocab)))
+    for (a, b), c in cnt.items():
+        W[ix[a], ix[b]] = c
+    n = len(vocab)
+    ow = W.sum(axis=1)
+    x = np.full(n, 1.0 / n)
+    for _ in range(10):
+        x = 0.85 * (W.T @ (x / ow)) + 0.15 / n
+    order = np.lexsort((np.array(vocab, dtype=object), -x))[:7]
+    assert out["term"].tolist() == [vocab[i] for i in order]
+    np.testing.assert_allclose(out["score"],
+                               np.round(x[order], 9), atol=1e-9)
