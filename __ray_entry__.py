@@ -2066,6 +2066,19 @@ def q_source_kl(sf_dir: str):
                      hash_mode="sha256", num_buckets=8)
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase per user
+    (pipelines/windows.funnel): earliest strictly-increasing timestamp
+    chain, integer epoch-us outputs with -1 sentinels."""
+    from bluegraph_ray.pipelines.windows import funnel
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_textrank_terms(sf_dir: str):
     """TextRank keywords (pipelines/textembed.textrank_terms, Mihalcea &
     Tarau 2004): the word_cooc counting shuffle feeding the CSR superstep
@@ -2076,7 +2089,11 @@ def q_textrank_terms(sf_dir: str):
     tune_context()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
-    return textrank_terms(docs, window=2, iters=12, topk=20, num_buckets=8)
+    # the synthetic vocabulary is tiny, so the word graph is overhead-bound:
+    # 2 partitions, not the big-graph default (callers size n_partitions to
+    # their vocabulary; the kernel itself is the shared CSR superstep path)
+    return textrank_terms(docs, window=2, iters=12, topk=20, num_buckets=8,
+                          n_partitions=2)
 
 
 def q_decontaminated_bloom(sf_dir: str):
@@ -2228,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": q_source_kl,                          # new in r4
         "decontaminated_bloom": q_decontaminated_bloom,    # new in r4
         "textrank_terms": q_textrank_terms,                # new in r4
+        "event_funnel": q_event_funnel,                    # new in r4
         "doc_entropy": q_doc_entropy,                      # new in r4
         "top_terms_per_source": q_top_terms_per_source,    # new in r4
         "doc_embed": q_doc_embed,
@@ -4971,6 +4989,27 @@ JOIN tot_s USING (source)
 JOIN corpus USING (b)
 CROSS JOIN tot
 GROUP BY f.source, tot_s.ts
+""",
+        # ordered funnel: earliest strictly-increasing view->click->purchase
+        # chain per user; -1 sentinels instead of NULL timestamps
+        "event_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+            WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached,
+  COALESCE(v.t1, -1) AS t_view_us,
+  COALESCE(c.t2, -1) AS t_click_us,
+  COALESCE(p.t3, -1) AS t_purchase_us
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
 """,
         # TextRank: weighted PageRank (12 fixed supersteps, same recursion
         # shape as pagerank_power20) over the window-2 word co-occurrence

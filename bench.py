@@ -259,7 +259,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         import __ray_entry__ as entrymod
 
         for name in ("pricing_summary", "events_hourly", "dedup_exact",
-                     "events_rolling", "top_revenue_orders"):
+                     "events_rolling", "top_revenue_orders", "event_funnel"):
             t0 = time.perf_counter()
             res = entrymod.queries()[name](sf_dir)
             if hasattr(res, "materialize"):

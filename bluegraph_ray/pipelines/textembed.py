@@ -272,8 +272,7 @@ def textrank_terms(
         res = power_iterations(handle, actors, iters=iters, alpha=alpha)
     finally:
         for a in actors:
-            import ray as _ray
-            _ray.kill(a)
+            ray.kill(a)
     out = pd.DataFrame({"term": handle.names, "_raw": res["values"]})
     out = out.sort_values(["_raw", "term"], ascending=[False, True],
                           kind="mergesort").head(topk)

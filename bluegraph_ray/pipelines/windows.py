@@ -309,3 +309,55 @@ def rolling_window(
 
     return (events.select_columns([key_col, ts_col, id_col, value_col])
             .groupby(key_col).map_groups(roll, batch_format="pandas"))
+
+
+def funnel(
+    events: "ray.data.Dataset",
+    steps: list[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "ray.data.Dataset":
+    """Ordered conversion funnel: per key, the earliest strictly-increasing
+    chain of ``steps`` timestamps (step i+1 must occur at a ts STRICTLY
+    after step i's match). -> Dataset(key, reached, t_<step>_us...) where
+    ``reached`` counts completed steps and each ``t_<step>_us`` is the
+    matched epoch-microsecond timestamp (int64, -1 when the chain broke
+    before that step — integer sentinels so the result round-trips through
+    any engine without NULL-timestamp comparison issues).
+
+    Distribution: one shuffle keyed by ``key_col`` (the same
+    groupby.map_groups contract as rolling_window — per-entity history fits
+    one worker); inside a group each step is a vectorized searchsorted over
+    that step's sorted event times."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        et = group[type_col].to_numpy()
+        cur = np.int64(-1)  # strictly-after threshold; -1 < all real ts
+        vals: list = []
+        broken = False
+        for s in steps:
+            if broken:
+                vals.append(np.int64(-1))
+                continue
+            t = np.sort(ts[et == s])
+            i = np.searchsorted(t, cur, side="right")
+            if i < len(t):
+                cur = t[i]
+                vals.append(cur)
+            else:
+                broken = True
+                vals.append(np.int64(-1))
+        res = {key_col: group[key_col].iloc[:1].to_numpy(),
+               "reached": np.asarray([sum(1 for v in vals if v >= 0)],
+                                     dtype=np.int64)}
+        for s, v in zip(steps, vals):
+            res[f"t_{s}_us"] = np.asarray([v], dtype=np.int64)
+        return pd.DataFrame(res)
+
+    return (events.select_columns([key_col, ts_col, type_col])
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))

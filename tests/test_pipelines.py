@@ -1670,3 +1670,37 @@ def test_textrank_terms_matches_dense_power_iteration():
     assert out["term"].tolist() == [vocab[i] for i in order]
     np.testing.assert_allclose(out["score"],
                                np.round(x[order], 9), atol=1e-9)
+
+
+def test_funnel_strict_chain():
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:10",  # u1 full
+        "2024-01-01 00:00", "2024-01-01 00:00",                       # u2 click not after view
+        "2024-01-01 01:00",                                           # u3 click only
+        "2024-01-01 02:00", "2024-01-01 02:30",                       # u4 purchase before click
+    ])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 4, 4],
+        "ts": ts,
+        "event_type": ["view", "click", "purchase",
+                       "view", "click",
+                       "click",
+                       "purchase", "view"],
+    })
+    out = (windows.funnel(ray.data.from_pandas(df).repartition(3),
+                          ["view", "click", "purchase"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["reached"].tolist() == [3, 1, 0, 1]
+    us = ts.astype("datetime64[us]").astype(np.int64)
+    assert out.loc[0, "t_view_us"] == us[0]
+    assert out.loc[0, "t_click_us"] == us[1]
+    assert out.loc[0, "t_purchase_us"] == us[2]
+    # u2: click at the SAME ts as view does not count (strictly after)
+    assert out.loc[1, "t_click_us"] == -1
+    # u3: no view -> chain never starts
+    assert (out.loc[2, ["t_view_us", "t_click_us", "t_purchase_us"]] == -1).all()
+    # u4: view matched, purchase BEFORE the view doesn't count
+    assert out.loc[3, "t_view_us"] == us[7]
+    assert out.loc[3, "t_purchase_us"] == -1
+    with pytest.raises(ValueError):
+        windows.funnel(ray.data.from_pandas(df), [])
