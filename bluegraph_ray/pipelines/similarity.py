@@ -495,21 +495,23 @@ def knn_classify(
     q_ref = ray.put((np.asarray(query_ids), q))
 
     def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        qids, qm = ray.get(q_ref)
-        ids = batch[id_col].to_numpy()
-        labs = batch[label_col].to_numpy()
-        m = _norm_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        sims = qm @ m.T
         rows = []
-        for qi in range(len(qids)):
-            s = sims[qi]
-            take = np.lexsort((ids, -s))[:k]
-            rows.append(pd.DataFrame({
-                "query_id": qids[qi],
-                "neighbor_id": ids[take],
-                "label": labs[take],
-                "cosine": s[take],
-            }))
+        if len(batch):
+            qids, qm = ray.get(q_ref)
+            ids = batch[id_col].to_numpy()
+            labs = batch[label_col].to_numpy()
+            m = _norm_rows(
+                np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            sims = qm @ m.T
+            for qi in range(len(qids)):
+                s = sims[qi]
+                take = np.lexsort((ids, -s))[:k]
+                rows.append(pd.DataFrame({
+                    "query_id": qids[qi],
+                    "neighbor_id": ids[take],
+                    "label": labs[take],
+                    "cosine": s[take],
+                }))
         if not rows:
             return pd.DataFrame({
                 "query_id": np.array([], dtype=np.int64),

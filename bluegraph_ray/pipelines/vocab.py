@@ -160,6 +160,10 @@ def top_terms_per_group(
     vocabulary."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"group": np.array([], dtype=object),
+                                 "term": np.array([], dtype=object),
+                                 "cnt": np.array([], dtype=np.int64)})
         toks = batch[text_col].str.split(" ")
         lens = toks.map(len).to_numpy(dtype=np.int64)
         flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
