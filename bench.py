@@ -258,8 +258,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if os.path.isdir(sf_dir) and not os.environ.get("GRAFT_SKIP_RELATIONAL"):
         import __ray_entry__ as entrymod
 
-        for name in ("pricing_summary", "events_hourly", "dedup_exact",
-                     "events_rolling", "top_revenue_orders", "event_funnel"):
+        # stage set kept IDENTICAL to round 3 so the headline
+        # flagship_pipeline_seconds stays comparable round over round; the
+        # round-4 relational additions (events_rolling, top_revenue_orders,
+        # event_funnel) are timed in the --llm suite instead
+        for name in ("pricing_summary", "events_hourly", "dedup_exact"):
             t0 = time.perf_counter()
             res = entrymod.queries()[name](sf_dir)
             if hasattr(res, "materialize"):
@@ -546,7 +549,8 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
 
     for name in ("nb_lang_pred", "knn_label_pred", "source_kl",
                  "doc_entropy", "top_terms_per_source", "decontaminated_bloom",
-                 "textrank_terms"):
+                 "textrank_terms", "events_rolling", "top_revenue_orders",
+                 "event_funnel"):
         t0 = time.perf_counter()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "materialize"):
