@@ -2052,6 +2052,127 @@ def q_top_revenue_orders(sf_dir: str):
     return top_revenue_orders(li, orders, cust, k=10, num_buckets=16)
 
 
+def q_region_nation_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped multiway join (relational.regional_nation_revenue):
+    date-pruned orders ⋈ customer (partitioned), lineitem ⋈ that
+    (partitioned), supplier folded to a broadcast (suppkey -> nationkey)
+    lookup, nation/region driver-held. ASIA, orderdate in [1996, 1997)."""
+    import pandas as pd
+
+    from bluegraph_ray.pipelines.relational import regional_nation_revenue
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    return regional_nation_revenue(
+        li, orders, cust, sup, nation, region, region_name="ASIA",
+        date_lo="1996-01-01", date_hi="1997-01-01", num_buckets=16)
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped report (relational.returned_customer_revenue):
+    returned-lineitem revenue to order grain (partial-agg shuffle), hash_join
+    with orders, re-agg to customer grain, bounded top-20, broadcast
+    customer/nation enrichment."""
+    import pandas as pd
+
+    from bluegraph_ray.pipelines.relational import returned_customer_revenue
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    return returned_customer_revenue(li, orders, cust, nation, k=20,
+                                     num_buckets=16)
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H-Q14-shaped single-row ratio (relational.promo_revenue_share):
+    part folded to a broadcast promo bitmap, lineitem streamed once with
+    one-row partials; shipdate in [1996-03, 1996-04)."""
+    from bluegraph_ray.pipelines.relational import promo_revenue_share
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"])
+    return promo_revenue_share(li, part, date_lo="1996-03-01",
+                               date_hi="1996-04-01")
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped report (relational.large_orders): distributed
+    HAVING SUM(l_quantity) > 300 on the order-grain rollup, hash_join with
+    orders, broadcast customer names for the bounded winner set."""
+    from bluegraph_ray.pipelines.relational import large_orders
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    return large_orders(li, orders, cust, min_qty=300.0, limit=100,
+                        num_buckets=16)
+
+
+def q_revenue_rollup(sf_dir: str):
+    """ROLLUP(year, priority) over orders (relational.revenue_rollup): one
+    distributed pass at the finest grain, coarser grouping-set levels
+    re-aggregated from the ~35 combined rows; -1/'ALL' sentinels."""
+    from bluegraph_ray.pipelines.relational import revenue_rollup
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+    return revenue_rollup(orders)
+
+
+def q_idle_customers(sf_dir: str):
+    """Distributed anti-join (relational.customers_without_orders):
+    customers with no order dated in [2001-01-01, 2002-01-01) — order side
+    crushed to distinct custkeys first, then a streaming left hash_join +
+    null-probe filter. Both sides stream; nothing broadcast."""
+    from bluegraph_ray.pipelines.relational import customers_without_orders
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"])
+    return customers_without_orders(cust, orders, date_lo="2001-01-01",
+                                    date_hi="2002-01-01", num_buckets=16)
+
+
 def q_source_kl(sf_dir: str):
     """Per-source token-distribution KL divergence vs the whole corpus
     (pipelines/vocab.source_kl) — the domain-shift diagnostic ahead of
@@ -2234,6 +2355,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wys_embed are rows-only by design (seeded SVD/GD fits + the
         # synthetic-source flagship; their upstream stages ARE
         # hash-verified). The eight r2-green queries follow.)
+        "region_nation_revenue": q_region_nation_revenue,  # new in late r4
+        "returned_revenue": q_returned_revenue,            # new in late r4
+        "promo_share": q_promo_share,                      # new in late r4
+        "large_orders": q_large_orders,                    # new in late r4
+        "revenue_rollup": q_revenue_rollup,                # new in late r4
+        "idle_customers": q_idle_customers,                # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -4956,6 +5083,89 @@ JOIN orders o USING (o_orderkey)
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY r.revenue DESC, o.o_orderkey
 LIMIT 10
+""",
+        # TPC-H-Q5 shape: ASIA nations' local-supplier revenue, 1996
+        "region_nation_revenue": """
+SELECT n.n_name, round_even(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n.n_name
+""",
+        # TPC-H-Q10 shape: top-20 customers by returned-lineitem revenue
+        "returned_revenue": """
+WITH rev AS (
+  SELECT o.o_custkey AS c_custkey,
+         round_even(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT r.c_custkey, c.c_name, c.c_acctbal, n.n_name, r.revenue
+FROM rev r
+JOIN customer c USING (c_custkey)
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue DESC, r.c_custkey
+LIMIT 20
+""",
+        # TPC-H-Q14 shape: PROMO revenue share of 1996-03 shipments
+        "promo_share": """
+SELECT round_even(
+  100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN l.l_extendedprice * (1 - l.l_discount)
+                   ELSE 0 END)
+        / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+        # TPC-H-Q18 shape: orders with total quantity > 300 (quantities are
+        # integer-valued doubles, so the HAVING threshold is fp-exact)
+        "large_orders": """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round_even(o.o_totalprice, 2) AS o_totalprice,
+       round_even(b.sum_qty, 2) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+        # ROLLUP(year, priority) with -1/'ALL' sentinels on rolled-up keys
+        "revenue_rollup": """
+SELECT CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS o_year,
+       CASE WHEN GROUPING(p) = 1 THEN 'ALL' ELSE p END AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       round_even(SUM(tp), 2) AS total_price
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             o_orderpriority AS p, o_totalprice AS tp
+      FROM orders)
+GROUP BY ROLLUP (y, p)
+""",
+        # anti-join: customers with no order dated in 2001+
+        "idle_customers": """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    AND o.o_orderdate < TIMESTAMP '2002-01-01'
+)
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

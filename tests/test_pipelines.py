@@ -1704,3 +1704,37 @@ def test_funnel_strict_chain():
     assert out.loc[3, "t_purchase_us"] == -1
     with pytest.raises(ValueError):
         windows.funnel(ray.data.from_pandas(df), [])
+
+
+def test_relational_join_suite_matches_duckdb_oracles():
+    """The six TPC-H-shaped join reports (Q5/Q10/Q14/Q18 shapes, rollup,
+    anti-join) vs their oracle_sql() on the sf0.001 tables — exercising the
+    partitioned hash_join, broadcast small-side lookups, distributed HAVING
+    and grouping-set re-aggregation end to end."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_rel", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    for name in ["region_nation_revenue", "returned_revenue", "promo_share",
+                 "large_orders", "revenue_rollup", "idle_customers"]:
+        got = qs[name](sf)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        want = con.sql(oracles[name]).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), name
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=False, atol=1e-6,
+                                      obj=name)
