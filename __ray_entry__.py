@@ -2173,6 +2173,50 @@ def q_idle_customers(sf_dir: str):
                                     date_hi="2002-01-01", num_buckets=16)
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user ordered rank + inter-arrival gap (windows.event_gaps): the
+    ROW_NUMBER + LAG feature pair, one user-keyed shuffle, vectorized
+    per-group diff; -1 sentinel for each user's first event."""
+    from bluegraph_ray.pipelines.windows import event_gaps
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    return event_gaps(ev)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Proportional stratified sample over (source, lang) strata
+    (dedup.stratified_hash_sample): integer-exact ceil(n/5) quotas, rows
+    chosen by sha256 order so the draw is reproducible across runs and
+    cluster sizes; quota table broadcast, two-phase per-stratum top-k."""
+    from bluegraph_ray.pipelines.dedup import stratified_hash_sample
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "lang"])
+    return stratified_hash_sample(docs, ["source", "lang"], frac_num=1,
+                                  frac_den=5, salt="strat", num_buckets=8)
+
+
+def q_value_quantiles_binned(sf_dir: str):
+    """Fixed-memory approximate quantiles over events.value
+    (functions/quantiles.binned_quantiles): exact min/max pass, then
+    512-bin equi-width counts — every partial bounded by the bin count,
+    the sketch path for unbounded distinct values (the exact-histogram
+    twin is `price_quantiles`)."""
+    from bluegraph_ray.functions.quantiles import binned_quantiles
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return binned_quantiles(ev, "value", [0.5, 0.9, 0.99], num_bins=512,
+                            num_buckets=8)
+
+
 def q_source_kl(sf_dir: str):
     """Per-source token-distribution KL divergence vs the whole corpus
     (pipelines/vocab.source_kl) — the domain-shift diagnostic ahead of
@@ -2361,6 +2405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q_large_orders,                    # new in late r4
         "revenue_rollup": q_revenue_rollup,                # new in late r4
         "idle_customers": q_idle_customers,                # new in late r4
+        "event_gaps": q_event_gaps,                        # new in late r4
+        "stratified_sample": q_stratified_sample,          # new in late r4
+        "value_quantiles_binned": q_value_quantiles_binned,  # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5166,6 +5213,55 @@ WHERE NOT EXISTS (
     AND o.o_orderdate >= TIMESTAMP '2001-01-01'
     AND o.o_orderdate < TIMESTAMP '2002-01-01'
 )
+""",
+        # ROW_NUMBER + LAG per user; -1 sentinel for the first event
+        "event_gaps": """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS rnk,
+       COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        # proportional stratified sample: integer-exact ceil(n/5) quota per
+        # (source, lang) stratum, sha256-prefix order (repo convention)
+        "stratified_sample": """
+WITH h AS (
+  SELECT source, lang, doc_id,
+         ('0x' || substr(sha256('strat:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         )::UBIGINT AS hk
+  FROM documents
+),
+r AS (
+  SELECT source, lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY hk, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n
+  FROM h
+)
+SELECT source, lang, doc_id FROM r WHERE rn <= (n * 1 + 4) // 5
+""",
+        # 512-bin equi-width histogram quantiles: bin index and bin-edge
+        # arithmetic are the same IEEE expressions the engine evaluates
+        "value_quantiles_binned": """
+WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+b AS (
+  SELECT LEAST(CAST(FLOOR((e.value - mm.lo) * 512 / (mm.hi - mm.lo))
+               AS BIGINT), 511) AS bin
+  FROM events e, mm
+),
+hist AS (SELECT bin, COUNT(*)::BIGINT AS n FROM b GROUP BY 1),
+cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS c FROM hist),
+tot AS (SELECT COUNT(*)::BIGINT AS t FROM events),
+qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+qr AS (SELECT q.q AS q,
+              GREATEST(CAST(CEIL(q.q * tot.t) AS BIGINT), 1) AS rnk
+       FROM qs q, tot),
+sel AS (SELECT qr.q, MIN(cum.bin) AS bin
+        FROM qr JOIN cum ON cum.c >= qr.rnk GROUP BY qr.q)
+SELECT sel.q,
+       round_even(LEAST(mm.lo + (sel.bin + 1) * (mm.hi - mm.lo) / 512,
+                        mm.hi), 9) AS value
+FROM sel, mm
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

@@ -550,7 +550,10 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     for name in ("nb_lang_pred", "knn_label_pred", "source_kl",
                  "doc_entropy", "top_terms_per_source", "decontaminated_bloom",
                  "textrank_terms", "events_rolling", "top_revenue_orders",
-                 "event_funnel"):
+                 "event_funnel",
+                 # late-r4 relational join suite
+                 "region_nation_revenue", "returned_revenue", "promo_share",
+                 "large_orders", "revenue_rollup", "idle_customers"):
         t0 = time.perf_counter()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "materialize"):

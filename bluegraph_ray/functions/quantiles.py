@@ -55,3 +55,66 @@ def quantiles(ds: "ray.data.Dataset", column: str, qs, *,
         out_q.append(float(q))
         out_v.append(vals[ix])
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def binned_quantiles(ds: "ray.data.Dataset", column: str, qs, *,
+                     num_bins: int = 1024,
+                     num_buckets: int = 8) -> pd.DataFrame:
+    """Fixed-memory approximate quantiles for UNBOUNDED distinct values —
+    the mergeable-sketch path when ``value_histogram``'s distinct set would
+    itself be corpus-sized (raw floats, latencies).
+
+    Two streaming passes: (1) exact global min/max (one-row partials);
+    (2) equi-width bin counts — every partial and the combine are bounded by
+    ``num_bins``, never the input. quantile(q) = UPPER edge of the smallest
+    bin whose cumulative count reaches ceil(q·N): a one-sided estimate with
+    error ≤ (max-min)/num_bins, deterministic (no sampling), and replayed
+    exactly in SQL because the bin index is the same IEEE expression
+    ``floor((v - lo) * num_bins / (hi - lo))`` on both sides.
+
+    -> DataFrame(q, value) with value rounded to 9 decimals.
+    """
+    def mm_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[column].to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.float64),
+                                 "hi": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"lo": [float(v.min())], "hi": [float(v.max())]})
+
+    sel = ds.select_columns([column])
+    mm = sel.map_batches(mm_partial, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    if len(mm) == 0:
+        raise ValueError("binned_quantiles on an empty dataset")
+    lo = float(mm["lo"].min())
+    hi = float(mm["hi"].max())
+    width = hi - lo
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[column].to_numpy(dtype=np.float64)
+        if len(v) == 0 or width == 0.0:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.floor((v - lo) * num_bins / width).astype(np.int64)
+            b = np.minimum(b, num_bins - 1)
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame({"bin": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    hist = hash_aggregate(
+        sel.map_batches(hist_partial, batch_format="pandas",
+                        batch_size=None),
+        "bin", {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+
+    bins = hist["bin"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(int(np.ceil(q * total)), 1)
+        ix = int(np.searchsorted(cum, rank))
+        edge = hi if width == 0.0 else lo + (bins[ix] + 1) * width / num_bins
+        out_q.append(float(q))
+        out_v.append(np.round(min(edge, hi), 9))
+    return pd.DataFrame({"q": out_q, "value": out_v})

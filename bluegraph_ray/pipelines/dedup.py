@@ -768,6 +768,74 @@ def hash_sample_per_group(
             .map_groups(combine, batch_format="pandas"))
 
 
+def stratified_hash_sample(
+    ds: "ray.data.Dataset",
+    strata: list[str],
+    *,
+    id_col: str = "doc_id",
+    frac_num: int = 1,
+    frac_den: int = 10,
+    salt: str = "strat",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic STRATIFIED sample: within every stratum (the distinct
+    combination of ``strata`` columns) keep exactly
+    ``ceil(n_stratum * frac_num / frac_den)`` rows, chosen by
+    sha256(salt || id) order — proportional allocation, so the sample
+    preserves the corpus's stratum mix exactly (the data-mixing guarantee a
+    plain Bernoulli/hash split only gives in expectation).
+
+    Quotas are INTEGER arithmetic (``(n * num + den - 1) // den``), never a
+    float ceil, so engine and SQL replay can't disagree on a boundary.
+
+    Plan: one bounded count-per-stratum aggregate (#strata rows) broadcast
+    via ``ray.put``; then the same two-phase per-group top-k as
+    ``hash_sample_per_group`` with the per-stratum k looked up from the
+    broadcast — per-batch partials cap the shuffle at
+    Σ min(quota, batch-stratum rows), never the corpus."""
+    if frac_num <= 0 or frac_den <= 0:
+        raise ValueError("frac_num/frac_den must be positive integers")
+
+    from bluegraph_ray.util import broadcast_get, hash_aggregate
+
+    counts = hash_aggregate(
+        ds.select_columns(strata), strata,
+        {"n": (None, "count")}, num_buckets=num_buckets).to_pandas()
+    counts["_quota"] = (counts["n"].to_numpy(np.int64) * frac_num
+                        + frac_den - 1) // frac_den
+    quota_ref = ray.put(counts[strata + ["_quota"]])
+
+    def keep_quota(frame: pd.DataFrame) -> pd.DataFrame:
+        q = broadcast_get(quota_ref)
+        out = frame.merge(q, on=strata, how="inner")
+        out = out.sort_values(["_h", id_col], kind="mergesort")
+        r = out.groupby(strata, sort=False).cumcount()
+        return out[r < out["_quota"].to_numpy()].drop(columns=["_quota"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [int.from_bytes(
+                hashlib.sha256(f"{salt}:{v}".encode()).digest()[:8], "big")
+             for v in batch[id_col]],
+            dtype=np.uint64,
+        )
+        out = batch[strata + [id_col]].copy()
+        out["_h"] = h
+        out = keep_quota(out)
+        hk = pd.util.hash_pandas_object(out[strata], index=False).to_numpy()
+        out["_bucket"] = (hk % num_buckets).astype(np.int64)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = keep_quota(group.drop(columns=["_bucket"]))
+        return out.drop(columns=["_h"])
+
+    return (ds.select_columns(strata + [id_col])
+            .map_batches(partial, batch_format="pandas", batch_size=None)
+            .groupby("_bucket")
+            .map_groups(combine, batch_format="pandas"))
+
+
 def decontaminate(
     train: "ray.data.Dataset",
     benchmark: "ray.data.Dataset",

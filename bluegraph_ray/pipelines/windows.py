@@ -361,3 +361,37 @@ def funnel(
 
     return (events.select_columns([key_col, ts_col, type_col])
             .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
+def event_gaps(
+    events: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> "ray.data.Dataset":
+    """Per-key ordered rank + inter-arrival gap: -> (key, id, rnk, gap_us)
+    where ``rnk`` is the 1-based position in the key's (ts, id)-ordered
+    history and ``gap_us`` the epoch-microsecond distance to the previous
+    event (-1 sentinel for the first). The ROW_NUMBER + LAG feature pair a
+    sessionization / burst-detection pipeline derives from event logs.
+
+    Distribution: identical contract to ``rolling_window`` — one shuffle
+    keyed by ``key_col``, per-group vectorized diff; a single key's history
+    fits one worker."""
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col], kind="mergesort")
+        us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        gap = np.empty(len(us), dtype=np.int64)
+        if len(us):
+            gap[0] = -1
+            gap[1:] = us[1:] - us[:-1]
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "rnk": np.arange(1, len(us) + 1, dtype=np.int64),
+            "gap_us": gap,
+        })
+
+    return (events.select_columns([key_col, ts_col, id_col])
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))

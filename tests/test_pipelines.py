@@ -1738,3 +1738,78 @@ def test_relational_join_suite_matches_duckdb_oracles():
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=False, atol=1e-6,
                                       obj=name)
+
+
+def test_event_gaps_matches_pandas():
+    from bluegraph_ray.pipelines.windows import event_gaps
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 4000, n), unit="s"),
+        "event_id": np.arange(n),
+    })
+    out = (event_gaps(ray.data.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    exp["rnk"] = exp.groupby("user_id").cumcount() + 1
+    us = exp["ts"].astype("datetime64[us]").astype(np.int64)
+    exp["gap_us"] = us - us.groupby(exp["user_id"]).shift(1)
+    exp["gap_us"] = exp["gap_us"].fillna(-1).astype(np.int64)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (out["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+    assert (out["gap_us"].to_numpy() == exp["gap_us"].to_numpy()).all()
+
+
+def test_stratified_hash_sample_quotas_and_determinism():
+    from bluegraph_ray.pipelines.dedup import stratified_hash_sample
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "source": rng.choice(["web", "book", "code"], n),
+        "lang": rng.choice(["en", "de"], n),
+    })
+    out = stratified_hash_sample(
+        ray.data.from_pandas(df).repartition(6), ["source", "lang"],
+        frac_num=1, frac_den=4, num_buckets=4).to_pandas()
+    # exact integer quota per stratum
+    want = df.groupby(["source", "lang"]).size().rename("n").reset_index()
+    want["quota"] = (want["n"] + 3) // 4
+    got = out.groupby(["source", "lang"]).size().rename("got").reset_index()
+    m = want.merge(got, on=["source", "lang"], how="left")
+    assert (m["quota"].to_numpy() == m["got"].fillna(0).to_numpy()).all()
+    # deterministic across block layouts
+    out2 = stratified_hash_sample(
+        ray.data.from_pandas(df).repartition(13), ["source", "lang"],
+        frac_num=1, frac_den=4, num_buckets=7).to_pandas()
+    a = out.sort_values("doc_id")["doc_id"].to_numpy()
+    b = out2.sort_values("doc_id")["doc_id"].to_numpy()
+    assert (a == b).all()
+    with pytest.raises(ValueError):
+        stratified_hash_sample(ray.data.from_pandas(df), ["source"],
+                               frac_num=0, frac_den=4)
+
+
+def test_binned_quantiles_error_bound_and_determinism():
+    from bluegraph_ray.functions.quantiles import binned_quantiles
+
+    rng = np.random.RandomState(7)
+    v = np.round(rng.lognormal(0, 1.2, 5000), 6)
+    df = pd.DataFrame({"value": v})
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = binned_quantiles(ray.data.from_pandas(df).repartition(9),
+                           "value", qs, num_bins=512, num_buckets=4)
+    width = (v.max() - v.min()) / 512
+    sv = np.sort(v)
+    for q, est in zip(out["q"], out["value"]):
+        exact = sv[max(int(np.ceil(q * len(v))), 1) - 1]
+        # upper-edge estimate: exact <= est <= exact + bin width
+        assert exact <= est + 1e-9
+        assert est - exact <= width + 1e-9
+    out2 = binned_quantiles(ray.data.from_pandas(df).repartition(3),
+                            "value", qs, num_bins=512, num_buckets=8)
+    assert (out["value"].to_numpy() == out2["value"].to_numpy()).all()
