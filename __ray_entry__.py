@@ -2312,6 +2312,107 @@ def q_top_terms_per_source(sf_dir: str):
     return top_terms_per_group(docs, k=5, num_buckets=8)
 
 
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H-Q7-shaped nation-pair shipping volume
+    (relational.nation_pair_volume): customer pre-filtered to the pair
+    before its partitioned join with orders, lineitem date-pruned and
+    projected per batch, supplier nationkey broadcast; cross-nation
+    predicate applied map-side so the final shuffle is bounded one-row
+    partials."""
+    import pandas as pd
+
+    from bluegraph_ray.pipelines.relational import nation_pair_volume
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    return nation_pair_volume(
+        li, orders, cust, sup, nation, nation_a="NATION_11",
+        nation_b="NATION_12", date_lo="1996-01-01", date_hi="1998-01-01",
+        num_buckets=16)
+
+
+def q_min_unit_price_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped groupwise ARGMIN (relational.min_unit_price_supplier):
+    per part the supplier with the lowest unit price, lexicographic
+    (price, suppkey) tie-break, map-side candidate fold + one bucketed
+    combine; supplier enrichment broadcast."""
+    from bluegraph_ray.pipelines.relational import min_unit_price_supplier
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name", "s_acctbal"])
+    return min_unit_price_supplier(li, sup, num_buckets=16)
+
+
+def q_late_shipment_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join (relational.late_shipment_priority):
+    the correlated EXISTS folded into an order-grain MAX(l_shipdate)
+    rollup, joined with date-pruned orders; counts per priority. Orders
+    placed in [1996-01, 1996-07)."""
+    from bluegraph_ray.pipelines.relational import late_shipment_priority
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    return late_shipment_priority(li, orders, date_lo="1996-01-01",
+                                  date_hi="1996-07-01", num_buckets=16)
+
+
+def q_rich_idle_segments(sf_dir: str):
+    """TPC-H-Q22-shaped report (relational.rich_idle_segments): global
+    positive-balance average as an INTEGER-EXACT cents scalar
+    (bal_cents * n > sum_cents replays bit-for-bit in SQL), distinct-custkey
+    anti-join on orders since 2000-07, segment rollup."""
+    from bluegraph_ray.pipelines.relational import rich_idle_segments
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"])
+    return rich_idle_segments(cust, orders, since="2000-07-01",
+                              num_buckets=16)
+
+
+def q_brand_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shaped COUNT DISTINCT (relational.brand_supplier_counts):
+    lineitem crushed to distinct (part, supplier) pairs, part attrs + the
+    negative-balance NOT-IN set broadcast, distinct + count at
+    (brand x size x supplier) grain."""
+    from bluegraph_ray.pipelines.relational import brand_supplier_counts
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand", "p_size"])
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_acctbal"])
+    return brand_supplier_counts(li, part, sup, num_buckets=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2408,6 +2509,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,                        # new in late r4
         "stratified_sample": q_stratified_sample,          # new in late r4
         "value_quantiles_binned": q_value_quantiles_binned,  # new in late r4
+        "nation_pair_volume": q_nation_pair_volume,        # new in late r4
+        "min_unit_price_supplier": q_min_unit_price_supplier,  # new in late r4
+        "late_shipment_priority": q_late_shipment_priority,  # new in late r4
+        "rich_idle_segments": q_rich_idle_segments,        # new in late r4
+        "brand_supplier_counts": q_brand_supplier_counts,  # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5262,6 +5368,87 @@ SELECT sel.q,
        round_even(LEAST(mm.lo + (sel.bin + 1) * (mm.hi - mm.lo) / 512,
                         mm.hi), 9) AS value
 FROM sel, mm
+""",
+        # TPC-H-Q7 shape: NATION_1 <-> NATION_2 shipping volume by year
+        "nation_pair_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       round_even(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12')
+       OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+        # TPC-H-Q2 shape: per part, the supplier with the lowest unit price
+        # (ties by suppkey); unit price divided in DOUBLE on both sides,
+        # rounded only at emit
+        "min_unit_price_supplier": """
+WITH ranked AS (
+  SELECT l_partkey, l_suppkey AS s_suppkey,
+         l_extendedprice / l_quantity AS unit_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+  FROM lineitem
+)
+SELECT r.l_partkey, r.s_suppkey, s.s_name, s.s_acctbal,
+       round_even(r.unit_price, 6) AS unit_price
+FROM ranked r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.rn = 1
+""",
+        # TPC-H-Q4 shape: EXISTS(lineitem shipped after the order date),
+        # orders placed in [1996-01, 1996-07)
+        "late_shipment_priority": """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+ORDER BY 1
+""",
+        # TPC-H-Q22 shape: integer-exact cents threshold
+        # (bal_cents * n_pos > sum_cents) + never-ordered anti-join,
+        # segment rollup; total emitted as cents / 100 rounded to 2
+        "rich_idle_segments": """
+WITH pos AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0.0
+),
+thr AS (SELECT SUM(cents)::BIGINT AS sum_cents, COUNT(*)::BIGINT AS n_pos
+        FROM pos)
+SELECT c.c_mktsegment, COUNT(*)::BIGINT AS n_custs,
+       round_even(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS total_bal
+FROM customer c, thr
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * thr.n_pos > thr.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1
+ORDER BY 1
+""",
+        # TPC-H-Q16 shape: COUNT(DISTINCT supplier) per (brand, size),
+        # excluding negative-balance suppliers
+        "brand_supplier_counts": """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p.p_brand, p_size
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

@@ -17,7 +17,8 @@ import pandas as pd
 import ray
 import ray.data
 
-from bluegraph_ray.util import broadcast_get, hash_aggregate, hash_join
+from bluegraph_ray.util import (broadcast_get, hash_aggregate, hash_distinct,
+                                hash_join)
 
 
 def top_revenue_orders(
@@ -477,3 +478,415 @@ def customers_without_orders(
 
     return joined.map_batches(keep_idle, batch_format="pandas",
                               batch_size=None)
+
+
+def nation_pair_volume(
+    lineitem: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    customer: "ray.data.Dataset",
+    supplier: "ray.data.Dataset",
+    nation: pd.DataFrame,
+    *,
+    nation_a: str,
+    nation_b: str,
+    date_lo: str,
+    date_hi: str,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """TPC-H-Q7-shaped report: shipping volume between a nation PAIR — for
+    lineitems shipped in ``[date_lo, date_hi)``, revenue per
+    (supp_nation, cust_nation, ship year) where one side is ``nation_a``
+    and the other ``nation_b``.
+
+    Join plan (same side-size discipline as regional_nation_revenue):
+    nation folds driver-side to the two keys; customer is pre-filtered to
+    the pair's nations BEFORE its partitioned ``hash_join`` with orders (the
+    filter kills ~23/25 of the build side at TPC-H geometry); lineitem is
+    date-pruned and projected per batch, then one partitioned join on
+    orderkey; the supplier (suppkey -> nationkey) map ships once via
+    ``ray.put``. The cross-nation predicate (supp != cust side) is applied
+    per batch, so the final shuffle carries (2 pairs x years x #blocks)
+    one-row partials only."""
+    key_of = dict(zip(nation["n_name"].tolist(),
+                      nation["n_nationkey"].tolist()))
+    if nation_a not in key_of or nation_b not in key_of:
+        raise ValueError(f"unknown nation in pair ({nation_a}, {nation_b})")
+    na, nb = int(key_of[nation_a]), int(key_of[nation_b])
+    name_of = {na: nation_a, nb: nation_b}
+
+    def c_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["c_nationkey"].isin((na, nb))
+        return batch.loc[m, ["c_custkey", "c_nationkey"]]
+
+    oc = hash_join(
+        _rename(orders.select_columns(["o_orderkey", "o_custkey"]),
+                {"o_custkey": "c_custkey"}),
+        customer.map_batches(c_prep, batch_format="pandas", batch_size=None),
+        on="c_custkey", how="inner", num_buckets=num_buckets,
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["l_shipdate"] >= lo) & (batch["l_shipdate"] < hi)
+        sub = batch.loc[m]
+        return pd.DataFrame({
+            "o_orderkey": sub["l_orderkey"],
+            "l_suppkey": sub["l_suppkey"],
+            "l_year": sub["l_shipdate"].dt.year.to_numpy(np.int64),
+            "rev": sub["l_extendedprice"] * (1 - sub["l_discount"]),
+        })
+
+    fact = hash_join(
+        lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+             "l_discount"]).map_batches(
+            li_prep, batch_format="pandas", batch_size=None),
+        oc, on="o_orderkey", how="inner", num_buckets=num_buckets)
+
+    sup = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    skeys_ref = ray.put(
+        np.ascontiguousarray(sup["s_suppkey"].to_numpy(np.int64)))
+    snat_ref = ray.put(
+        np.ascontiguousarray(sup["s_nationkey"].to_numpy(np.int64)))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "supp_nat": pd.Series([], dtype=np.int64),
+            "cust_nat": pd.Series([], dtype=np.int64),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+        if len(batch) == 0:
+            return empty
+        sk = broadcast_get(skeys_ref)
+        sn = broadcast_get(snat_ref)
+        lsk = batch["l_suppkey"].to_numpy(np.int64)
+        idx = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        found = sk[idx] == lsk
+        supp_nat = sn[idx]
+        cust_nat = batch["c_nationkey"].to_numpy(np.int64)
+        keep = found & (
+            ((supp_nat == na) & (cust_nat == nb))
+            | ((supp_nat == nb) & (cust_nat == na)))
+        if not keep.any():
+            return empty
+        sub = pd.DataFrame({
+            "supp_nat": supp_nat[keep],
+            "cust_nat": cust_nat[keep],
+            "l_year": batch["l_year"].to_numpy(np.int64)[keep],
+            "rev": batch["rev"].to_numpy(np.float64)[keep]})
+        g = sub.groupby(["supp_nat", "cust_nat", "l_year"],
+                        sort=False)["rev"].sum()
+        out = g.reset_index().rename(columns={"rev": "revenue"})
+        return out.astype({"supp_nat": np.int64, "cust_nat": np.int64,
+                           "l_year": np.int64})
+
+    parts = fact.map_batches(partial, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    if parts.empty:
+        # zero matches: Ray's to_pandas drops the typed columns too
+        parts = pd.DataFrame({"supp_nat": pd.Series([], dtype=np.int64),
+                              "cust_nat": pd.Series([], dtype=np.int64),
+                              "l_year": pd.Series([], dtype=np.int64),
+                              "revenue": pd.Series([], dtype=np.float64)})
+    out = parts.groupby(["supp_nat", "cust_nat", "l_year"],
+                        sort=False)["revenue"].sum().reset_index()
+    out["supp_nation"] = out["supp_nat"].map(name_of)
+    out["cust_nation"] = out["cust_nat"].map(name_of)
+    out["revenue"] = np.round(out["revenue"].to_numpy(), 2)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return out[["supp_nation", "cust_nation", "l_year",
+                "revenue"]].reset_index(drop=True)
+
+
+def min_unit_price_supplier(
+    lineitem: "ray.data.Dataset",
+    supplier: "ray.data.Dataset",
+    *,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """TPC-H-Q2-shaped groupwise ARGMIN: per part, the supplier offering the
+    lowest observed unit price (l_extendedprice / l_quantity), ties broken
+    by the smaller suppkey, enriched with the supplier's name and balance.
+
+    The argmin is lexicographic on (unit_price, suppkey): each batch
+    pre-reduces to one candidate row per partkey (sort + drop_duplicates),
+    then ONE bucketed exact combine repeats the same fold — only per-part
+    candidates ride the shuffle, never lineitems. Unit price stays the raw
+    IEEE double through both folds (bit-identical to the SQL replay's
+    division); rounding happens only at emit. Supplier enrichment is a
+    broadcast lookup (suppkey-sorted arrays via ``ray.put``) — at TPC-H
+    geometry supplier is 1e-4 of lineitem; swap for a ``hash_join`` if the
+    dimension ever outgrows worker heaps."""
+    def candidate(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_partkey": batch["l_partkey"],
+            "s_suppkey": batch["l_suppkey"],
+            "unit_price": (batch["l_extendedprice"].to_numpy(np.float64)
+                           / batch["l_quantity"].to_numpy(np.float64)),
+        })
+        out = out.sort_values(["unit_price", "s_suppkey"]).drop_duplicates(
+            "l_partkey")
+        h = pd.util.hash_pandas_object(
+            out["l_partkey"], index=False).to_numpy()
+        out["_bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop(columns=["_bucket"])
+                .sort_values(["unit_price", "s_suppkey"])
+                .drop_duplicates("l_partkey"))
+
+    winners = (
+        lineitem.select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+        .map_batches(candidate, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas"))
+
+    sup = supplier.select_columns(
+        ["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    skeys_ref = ray.put(
+        np.ascontiguousarray(sup["s_suppkey"].to_numpy(np.int64)))
+    sname_ref = ray.put(sup["s_name"].to_numpy())
+    sbal_ref = ray.put(
+        np.ascontiguousarray(sup["s_acctbal"].to_numpy(np.float64)))
+
+    def enrich(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=object),
+                "s_acctbal": pd.Series([], dtype=np.float64),
+                "unit_price": pd.Series([], dtype=np.float64)})
+        sk = broadcast_get(skeys_ref)
+        idx = np.clip(np.searchsorted(
+            sk, batch["s_suppkey"].to_numpy(np.int64)), 0, len(sk) - 1)
+        return pd.DataFrame({
+            "l_partkey": batch["l_partkey"].to_numpy(np.int64),
+            "s_suppkey": batch["s_suppkey"].to_numpy(np.int64),
+            "s_name": broadcast_get(sname_ref)[idx],
+            "s_acctbal": broadcast_get(sbal_ref)[idx],
+            "unit_price": np.round(
+                batch["unit_price"].to_numpy(np.float64), 6)})
+
+    return winners.map_batches(enrich, batch_format="pandas",
+                               batch_size=None)
+
+
+def late_shipment_priority(
+    lineitem: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    *,
+    date_lo: str,
+    date_hi: str,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: per order priority, how many orders
+    placed in ``[date_lo, date_hi)`` had at least one lineitem shipped
+    AFTER the order date.
+
+    The correlated EXISTS folds into an order-grain MAX(l_shipdate) rollup
+    (map-side partials, one bucketed combine) — a semi-join expressed as an
+    aggregate, so the probe side never sees lineitem grain. The rollup then
+    hash_joins the date-pruned orders; ``max_ship > o_orderdate`` replays
+    the EXISTS exactly because MAX over the group is > iff any element is.
+    The count per priority is #priorities x #blocks one-row partials."""
+    rollup = hash_aggregate(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"]),
+        "l_orderkey", {"max_ship": ("l_shipdate", "max")},
+        num_buckets=num_buckets)
+
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+
+    def o_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)
+        return batch.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    joined = hash_join(
+        _rename(rollup, {"l_orderkey": "o_orderkey"}),
+        orders.map_batches(o_prep, batch_format="pandas", batch_size=None),
+        on="o_orderkey", how="inner", num_buckets=num_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        late = batch[batch["max_ship"] > batch["o_orderdate"]]
+        g = late.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame({
+            "o_orderpriority": g.index.to_numpy(),
+            "n_late_orders": g.to_numpy(np.int64)})
+
+    parts = joined.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=object),
+            "n_late_orders": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("o_orderpriority", sort=False)[
+        "n_late_orders"].sum().reset_index()
+    out["n_late_orders"] = out["n_late_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def rich_idle_segments(
+    customer: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    *,
+    since: str,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """TPC-H-Q22-shaped report: per market segment, the count and total
+    balance of customers whose balance beats the global positive-balance
+    average AND who have placed no order since ``since``.
+
+    The global scalar is computed INTEGER-EXACT: balances carry two
+    decimals, so each batch emits (sum of balance-cents, count) partials
+    and the threshold test is ``bal_cents * n_pos > sum_cents`` — pure
+    int64 arithmetic that replays bit-for-bit in SQL regardless of float
+    summation order. The order side is crushed to distinct custkeys before
+    the anti ``hash_join`` (left + NaN filter), so the exchange is
+    customer-grain on both sides."""
+    def bal_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bal = batch["c_acctbal"].to_numpy(np.float64)
+        pos = bal > 0.0
+        cents = np.rint(bal[pos] * 100.0).astype(np.int64)
+        return pd.DataFrame({"sum_cents": [int(cents.sum())],
+                             "n_pos": [int(pos.sum())]})
+
+    scal = customer.select_columns(["c_acctbal"]).map_batches(
+        bal_partial, batch_format="pandas", batch_size=None).to_pandas()
+    sum_cents = int(scal["sum_cents"].sum())
+    n_pos = int(scal["n_pos"].sum())
+    if n_pos == 0:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "n_custs": pd.Series([], dtype=np.int64),
+                             "total_bal": pd.Series([], dtype=np.float64)})
+
+    def c_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(
+            batch["c_acctbal"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        m = cents * n_pos > sum_cents
+        return batch.loc[m, ["c_custkey", "c_acctbal", "c_mktsegment"]]
+
+    lo = pd.Timestamp(since)
+
+    def o_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["o_orderdate"] >= lo
+        out = batch.loc[m, ["o_custkey"]].drop_duplicates()
+        return out.rename(columns={"o_custkey": "c_custkey"})
+
+    active = hash_aggregate(
+        orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+            o_prep, batch_format="pandas", batch_size=None),
+        "c_custkey", {"n_orders": (None, "count")},
+        num_buckets=num_buckets)
+
+    joined = hash_join(
+        customer.select_columns(
+            ["c_custkey", "c_acctbal", "c_mktsegment"]).map_batches(
+            c_prep, batch_format="pandas", batch_size=None),
+        active, on="c_custkey", how="left", num_buckets=num_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "c_mktsegment" not in batch.columns:
+            # filter stages upstream can emit zero-row, zero-column blocks
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype=object),
+                "n_custs": pd.Series([], dtype=np.int64),
+                "cents": pd.Series([], dtype=np.int64)})
+        idle = batch[batch["n_orders"].isna()]
+        g = idle.groupby("c_mktsegment", sort=False).agg(
+            n_custs=("c_custkey", "size"),
+            cents=("c_acctbal", lambda s: int(
+                np.rint(s.to_numpy(np.float64) * 100.0).astype(
+                    np.int64).sum())))
+        return g.reset_index()
+
+    parts = joined.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({
+            "c_mktsegment": pd.Series([], dtype=object),
+            "n_custs": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("c_mktsegment", sort=False).agg(
+        n_custs=("n_custs", "sum"), cents=("cents", "sum")).reset_index()
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["total_bal"] = np.round(out["cents"].to_numpy(np.float64) / 100.0, 2)
+    return out.drop(columns=["cents"]).sort_values(
+        "c_mktsegment").reset_index(drop=True)
+
+
+def brand_supplier_counts(
+    lineitem: "ray.data.Dataset",
+    part: "ray.data.Dataset",
+    supplier: "ray.data.Dataset",
+    *,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """TPC-H-Q16-shaped report: COUNT(DISTINCT supplier) per
+    (p_brand, p_size), excluding suppliers with a negative balance (the
+    'customer complaints' NOT-IN stand-in).
+
+    Distributed COUNT DISTINCT done right: lineitem first collapses to
+    distinct (partkey, suppkey) via ``hash_distinct`` (the only fact-grain
+    exchange), the part dimension's (brand, size) attributes ship once via
+    ``ray.put`` sorted arrays, the NOT-IN set is a broadcast isin filter,
+    and the final distinct + count move (brand x size x supplier)-grain
+    rows only."""
+    excl = supplier.select_columns(["s_suppkey", "s_acctbal"]).to_pandas()
+    excl_ref = ray.put(
+        set(excl.loc[excl["s_acctbal"] < 0.0, "s_suppkey"].tolist()))
+
+    pt = part.select_columns(["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pt = pt.sort_values("p_partkey")
+    pkeys_ref = ray.put(
+        np.ascontiguousarray(pt["p_partkey"].to_numpy(np.int64)))
+    pbrand_ref = ray.put(pt["p_brand"].to_numpy())
+    psize_ref = ray.put(
+        np.ascontiguousarray(pt["p_size"].to_numpy(np.int64)))
+
+    ps = hash_distinct(
+        lineitem.select_columns(["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], num_buckets=num_buckets)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_size": pd.Series([], dtype=np.int64),
+            "s_suppkey": pd.Series([], dtype=np.int64)})
+        if len(batch) == 0:
+            return empty
+        bad = broadcast_get(excl_ref)
+        keep = ~batch["l_suppkey"].isin(bad).to_numpy()
+        sub = batch.loc[keep]
+        if len(sub) == 0:
+            return empty
+        pk = broadcast_get(pkeys_ref)
+        idx = np.clip(np.searchsorted(
+            pk, sub["l_partkey"].to_numpy(np.int64)), 0, len(pk) - 1)
+        found = pk[idx] == sub["l_partkey"].to_numpy(np.int64)
+        sub = sub.loc[found]
+        idx = idx[found]
+        return pd.DataFrame({
+            "p_brand": broadcast_get(pbrand_ref)[idx],
+            "p_size": broadcast_get(psize_ref)[idx],
+            "s_suppkey": sub["l_suppkey"].to_numpy(np.int64)})
+
+    triples = hash_distinct(
+        ps.map_batches(attach, batch_format="pandas", batch_size=None),
+        ["p_brand", "p_size", "s_suppkey"], num_buckets=num_buckets)
+
+    counts = hash_aggregate(
+        triples, ["p_brand", "p_size"],
+        {"supplier_cnt": (None, "count")},
+        num_buckets=num_buckets).to_pandas()
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype(np.int64)
+    counts["p_size"] = counts["p_size"].astype(np.int64)
+    return counts.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"],
+        ascending=[False, True, True]).reset_index(drop=True)

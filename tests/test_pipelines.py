@@ -1726,7 +1726,10 @@ def test_relational_join_suite_matches_duckdb_oracles():
 
     qs, oracles = m.queries(), m.oracle_sql()
     for name in ["region_nation_revenue", "returned_revenue", "promo_share",
-                 "large_orders", "revenue_rollup", "idle_customers"]:
+                 "large_orders", "revenue_rollup", "idle_customers",
+                 "nation_pair_volume", "min_unit_price_supplier",
+                 "late_shipment_priority", "rich_idle_segments",
+                 "brand_supplier_counts"]:
         got = qs[name](sf)
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
