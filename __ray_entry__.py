@@ -2413,6 +2413,33 @@ def q_brand_supplier_counts(sf_dir: str):
     return brand_supplier_counts(li, part, sup, num_buckets=16)
 
 
+def q_events_cumsum(sf_dir: str):
+    """Per-user running totals (windows.running_totals): (ts, id)-ordered
+    prefix sums kept integer-exact in micro-units so the replay is
+    bit-for-bit regardless of the other engine's summation tree."""
+    from bluegraph_ray.pipelines.windows import running_totals
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id", "value"])
+    return running_totals(ev)
+
+
+def q_events_global_rank(sf_dir: str):
+    """Exact global ROW_NUMBER + NTILE(100) over (value, event_id)
+    (functions/ranking.global_rank): range-partitioned order statistics —
+    equi-width bin counts to a driver prefix-offset table, one bin-keyed
+    shuffle, per-bin local sort. No single-node sort anywhere."""
+    from bluegraph_ray.functions.ranking import global_rank
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return global_rank(ev, ntiles=100, num_bins=256)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2514,6 +2541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": q_late_shipment_priority,  # new in late r4
         "rich_idle_segments": q_rich_idle_segments,        # new in late r4
         "brand_supplier_counts": q_brand_supplier_counts,  # new in late r4
+        "events_cumsum": q_events_cumsum,                  # new in late r4
+        "events_global_rank": q_events_global_rank,        # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5449,6 +5478,22 @@ WHERE l.l_suppkey NOT IN (
   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
 GROUP BY 1, 2
 ORDER BY supplier_cnt DESC, p.p_brand, p_size
+""",
+        # per-user integer-exact running totals in micro-units
+        "events_cumsum": """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS cum_n,
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w AS cum_micro
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+        # exact global rank + NTILE(100) under ORDER BY (value, event_id)
+        "events_global_rank": """
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk,
+       NTILE(100) OVER (ORDER BY value, event_id) AS ntile
+FROM events
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

@@ -395,3 +395,38 @@ def event_gaps(
 
     return (events.select_columns([key_col, ts_col, id_col])
             .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
+def running_totals(
+    events: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-key RUNNING total: -> (key, id, cum_n, cum_micro) where ``cum_n``
+    is the 1-based position in the key's (ts, id)-ordered history and
+    ``cum_micro`` the prefix sum of the value in fixed-point micro-units
+    (``rint(value * scale)`` int64). The cumulative-spend / cumulative-usage
+    feature over an event log, kept INTEGER-EXACT so the prefix sums replay
+    bit-for-bit in SQL no matter what summation tree the other engine uses
+    (float prefix sums are order- and tree-shape-dependent; int64 isn't).
+
+    Distribution: identical contract to ``rolling_window`` — one shuffle
+    keyed by ``key_col``, per-group vectorized ``np.cumsum``; a single key's
+    history fits one worker."""
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col], kind="mergesort")
+        micro = np.rint(
+            g[value_col].to_numpy(np.float64) * scale).astype(np.int64)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "cum_n": np.arange(1, len(g) + 1, dtype=np.int64),
+            "cum_micro": np.cumsum(micro),
+        })
+
+    return (events.select_columns([key_col, ts_col, id_col, value_col])
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))

@@ -1816,3 +1816,63 @@ def test_binned_quantiles_error_bound_and_determinism():
     out2 = binned_quantiles(ray.data.from_pandas(df).repartition(3),
                             "value", qs, num_bins=512, num_buckets=8)
     assert (out["value"].to_numpy() == out2["value"].to_numpy()).all()
+
+
+def test_running_totals_integer_exact_vs_pandas():
+    from bluegraph_ray.pipelines.windows import running_totals
+
+    rng = np.random.RandomState(21)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 15, n),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 900, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": np.round(rng.uniform(-5, 5, n), 7),
+    })
+    out = (running_totals(ray.data.from_pandas(df).repartition(7))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    micro = np.rint(exp["value"].to_numpy(np.float64) * 1_000_000).astype(
+        np.int64)
+    exp["cum_n"] = exp.groupby("user_id").cumcount() + 1
+    exp["cum_micro"] = pd.Series(micro, index=exp.index).groupby(
+        exp["user_id"]).cumsum()
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (out["cum_n"].to_numpy() == exp["cum_n"].to_numpy()).all()
+    assert (out["cum_micro"].to_numpy() == exp["cum_micro"].to_numpy()).all()
+
+
+def test_global_rank_exact_with_ties_skew_and_ntile_remainder():
+    from bluegraph_ray.functions.ranking import global_rank
+
+    rng = np.random.RandomState(5)
+    # heavy point mass at 0 (ties), plus a skewed tail -> exercises the
+    # equal-values-share-a-bin invariant and uneven bin loads
+    v = np.concatenate([np.zeros(40), rng.exponential(3.0, 217)])
+    rng.shuffle(v)
+    n = len(v)  # 257: prime, so NTILE(7) has a remainder
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "value": v})
+    out = (global_rank(ray.data.from_pandas(df).repartition(9),
+                       ntiles=7, num_bins=16)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["value", "event_id"]).reset_index(drop=True)
+    exp["rnk"] = np.arange(1, n + 1, dtype=np.int64)
+    q, r = divmod(n, 7)
+    sizes = np.asarray([q + 1] * r + [q] * (7 - r))
+    tiles = np.repeat(np.arange(1, 8, dtype=np.int64), sizes)
+    exp["ntile"] = tiles
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (out["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+    assert (out["ntile"].to_numpy() == exp["ntile"].to_numpy()).all()
+    # determinism across block layouts + degenerate all-equal input
+    out2 = (global_rank(ray.data.from_pandas(df).repartition(3),
+                        ntiles=7, num_bins=64)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert (out2["rnk"].to_numpy() == out["rnk"].to_numpy()).all()
+    same = pd.DataFrame({"event_id": np.arange(10, dtype=np.int64),
+                         "value": np.full(10, 2.5)})
+    deg = (global_rank(ray.data.from_pandas(same), ntiles=3, num_bins=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert (deg["rnk"].to_numpy() == np.arange(1, 11)).all()
+    assert deg["ntile"].tolist() == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
