@@ -2440,6 +2440,34 @@ def q_events_global_rank(sf_dir: str):
     return global_rank(ev, ntiles=100, num_bins=256)
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprints (dedup.winnow_fingerprints): k=3 token
+    shingles, window-4 sliding minimum, distinct selected hashes per doc.
+    ZERO-shuffle — per-doc distinct is already global. sha256 hash mode
+    pinned for the oracle replay (production default is the vectorized
+    fast mode)."""
+    from bluegraph_ray.pipelines.dedup import winnow_fingerprints
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, k=3, window=4, hash_mode="sha256")
+
+
+def q_sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation stats (text.sentence_stats): regex
+    split on [.!?]+, ASCII-whitespace trim, integer char sums divided once
+    at emit — the mean replays IEEE-exact in SQL."""
+    from bluegraph_ray.pipelines.text import sentence_stats
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return sentence_stats(docs)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2543,6 +2571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": q_brand_supplier_counts,  # new in late r4
         "events_cumsum": q_events_cumsum,                  # new in late r4
         "events_global_rank": q_events_global_rank,        # new in late r4
+        "winnow_fingerprints": q_winnow_fingerprints,      # new in late r4
+        "sentence_stats": q_sentence_stats,                # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5494,6 +5524,57 @@ SELECT event_id,
        ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk,
        NTILE(100) OVER (ORDER BY value, event_id) AS ntile
 FROM events
+""",
+        # MOSS winnowing: k=3 shingle sha256-prefix hashes, window-4 sliding
+        # MIN per doc, distinct selected values; short docs collapse to the
+        # whole-text shingle (the duplicate_spans convention) and docs with
+        # fewer than 4 shingles winnow over one all-covering frame
+        # (i >= LEAST(4, m))
+        "winnow_fingerprints": """
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, len(toks) - 2)]
+      ELSE [array_to_string(toks, ' ')]
+    END AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+hashed AS (
+  SELECT doc_id, i, ('0x' || substr(sha256(s), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(shs) AS s,
+               unnest(generate_series(1, len(shs))) AS i
+        FROM sh)
+),
+win AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM win WHERE i >= LEAST(4, m)
+""",
+        # sentence segmentation stats: split on [.!?]+, trim the four ASCII
+        # whitespace chars, drop empties; integer char sums / n divided once
+        "sentence_stats": """
+WITH parts AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[.!?]+'),
+                          p -> trim(p, ' ' || chr(9) || chr(10) || chr(13))),
+           p -> p <> '') AS ps
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(ps) AS BIGINT) AS n_sentences,
+  round_even(CASE WHEN len(ps) = 0 THEN 0.0
+    ELSE CAST(list_sum(list_transform(ps, p -> length(p))) AS DOUBLE)
+         / len(ps) END, 6) AS mean_sentence_chars,
+  CAST(COALESCE(list_max(list_transform(ps, p -> length(p))), 0) AS BIGINT)
+    AS max_sentence_chars
+FROM parts
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

@@ -1347,3 +1347,70 @@ def decontaminate_bloom(
 
     return (train.select_columns([id_col, text_col])
             .map_batches(probe, batch_format="pandas", batch_size=4096))
+
+
+def winnow_fingerprints(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    hash_mode: str = "fast",
+) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every k-token shingle, slide a ``window``-wide frame
+    over the hash sequence, keep each frame's MINIMUM, emit the distinct
+    selected hashes per document. Guarantees any shared run of
+    ``window + k - 1`` tokens between two documents shares at least one
+    fingerprint — the position-robust containment sketch that MinHash
+    (whole-doc resemblance) and ExactSubstr spans (exact repeats) don't
+    give.
+
+    -> Dataset(id_col, fingerprint uint64). ZERO-shuffle: a document's text
+    lives in one batch, so the per-doc distinct is already global; the
+    output streams straight to the consumer (typically a ``hash_aggregate``
+    by fingerprint for cross-doc matching, which then moves int64 pairs
+    only). Shingle hashing shares the sketch hashers (``hash_mode="fast"``
+    = the vectorized production path; ``"sha256"`` = the SQL-replayable
+    oracle mode, same short-doc whole-text collapse as ``duplicate_spans``).
+    Docs shorter than ``window`` shingles winnow over one all-covering
+    frame (one fingerprint)."""
+    if hash_mode not in ("sha256", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = list(batch[text_col].to_numpy())
+        if hash_mode == "fast":
+            h, bounds = _fast_shingle_hashes(texts, k)
+        else:
+            per_doc = [_token_shingles(t, k) for t in texts]
+            bounds = np.zeros(len(per_doc) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in per_doc], out=bounds[1:])
+            h = _hash64([s.encode() for doc in per_doc for s in doc])
+        dids = batch[id_col].to_numpy()
+        id_chunks: list = []
+        fp_chunks: list = []
+        for di in range(len(texts)):
+            seg = h[bounds[di]:bounds[di + 1]]
+            m = len(seg)
+            if m == 0:
+                continue
+            w = min(window, m)
+            fps = np.unique(sliding_window_view(seg, w).min(axis=1))
+            fp_chunks.append(fps)
+            id_chunks.append(np.full(len(fps), dids[di], dtype=np.int64))
+        if not fp_chunks:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "fingerprint": pd.Series([], dtype=np.uint64)})
+        return pd.DataFrame({
+            id_col: np.concatenate(id_chunks),
+            "fingerprint": np.concatenate(fp_chunks)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas", batch_size=4096)

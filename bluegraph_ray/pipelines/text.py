@@ -674,3 +674,45 @@ def doc_entropy(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         ent, batch_format="pandas", batch_size=None)
+
+
+class SentenceStats:
+    """Per-document sentence segmentation stats (regex compiled once per
+    actor). Sentences = the non-empty pieces of splitting on ``[.!?]+``,
+    each trimmed of the four ASCII whitespace chars — a definition chosen
+    to replay exactly in SQL (regexp_split_to_array + trim), not a
+    linguistic segmenter."""
+
+    _STRIP = " \t\n\r"
+
+    def __init__(self, text_col: str = "text"):
+        import re
+        self.text_col = text_col
+        self.splitter = re.compile(r"[.!?]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_sent = np.empty(len(batch), dtype=np.int64)
+        mean_c = np.empty(len(batch), dtype=np.float64)
+        max_c = np.empty(len(batch), dtype=np.int64)
+        split = self.splitter.split
+        strip = self._STRIP
+        for i, t in enumerate(batch[self.text_col].to_numpy()):
+            lens = [len(p) for p in
+                    (q.strip(strip) for q in split(t)) if p]
+            n = len(lens)
+            n_sent[i] = n
+            mean_c[i] = 0.0 if n == 0 else float(sum(lens)) / n
+            max_c[i] = max(lens) if n else 0
+        out = batch[[c for c in batch.columns if c != self.text_col]].copy()
+        out["n_sentences"] = n_sent
+        out["mean_sentence_chars"] = np.round(mean_c, 6)
+        out["max_sentence_chars"] = max_c
+        return out
+
+
+def sentence_stats(ds: "ray.data.Dataset", *,
+                   text_col: str = "text") -> "ray.data.Dataset":
+    """-> per-doc (n_sentences, mean_sentence_chars, max_sentence_chars);
+    integer char sums divided once at emit, so the mean replays IEEE-exact."""
+    return ds.map_batches(SentenceStats(text_col), batch_format="pandas",
+                          batch_size=None)

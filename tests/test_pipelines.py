@@ -1876,3 +1876,72 @@ def test_global_rank_exact_with_ties_skew_and_ntile_remainder():
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert (deg["rnk"].to_numpy() == np.arange(1, 11)).all()
     assert deg["ntile"].tolist() == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_winnow_fingerprints_bruteforce_and_guarantee():
+    import hashlib
+
+    from bluegraph_ray.pipelines.dedup import winnow_fingerprints
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over the lazy dog today",
+            "a b",                      # shorter than k -> whole-text shingle
+            "",                         # empty text
+            "one two three four",       # fewer shingles than the window
+            "the quick brown fox jumps over the lazy dog tonight",
+            "x " * 30 + "the quick brown fox jumps over the lazy dog y",
+        ],
+    })
+    k, w = 3, 4
+    out = winnow_fingerprints(
+        ray.data.from_pandas(docs).repartition(3), k=k, window=w,
+        hash_mode="sha256").to_pandas()
+
+    def brute(text):
+        toks = text.split(" ")
+        shs = ([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+               if len(toks) >= k else [" ".join(toks)])
+        hs = [int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+              for s in shs]
+        ww = min(w, len(hs))
+        return {min(hs[j:j + ww]) for j in range(len(hs) - ww + 1)}
+
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        got = set(out.loc[out["doc_id"] == did, "fingerprint"].tolist())
+        assert got == brute(text), did
+    # winnowing guarantee: docs 0 and 4 share a run of >= w+k-1 tokens
+    f0 = set(out.loc[out["doc_id"] == 0, "fingerprint"])
+    f4 = set(out.loc[out["doc_id"] == 4, "fingerprint"])
+    f5 = set(out.loc[out["doc_id"] == 5, "fingerprint"])
+    assert f0 & f4 and f0 & f5
+    # fast mode: same guarantee, same per-doc fingerprint counts need not
+    # match (different hash family) but selection count is close and the
+    # shared-run guarantee must still hold
+    fast = winnow_fingerprints(ray.data.from_pandas(docs), k=k, window=w,
+                               hash_mode="fast").to_pandas()
+    g0 = set(fast.loc[fast["doc_id"] == 0, "fingerprint"])
+    g4 = set(fast.loc[fast["doc_id"] == 4, "fingerprint"])
+    assert g0 & g4
+
+
+def test_sentence_stats_matches_python_reference():
+    import re
+
+    from bluegraph_ray.pipelines.text import sentence_stats
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["Hello world. Bye!   ", "", "no terminator",
+                 "a? b! c. d", "tabs\there.\nnewline next!"],
+    })
+    out = (sentence_stats(ray.data.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(docs["text"]):
+        lens = [len(p) for p in
+                (q.strip(" \t\n\r") for q in re.split(r"[.!?]+", t)) if p]
+        assert out.loc[i, "n_sentences"] == len(lens)
+        want_mean = 0.0 if not lens else round(sum(lens) / len(lens), 6)
+        assert abs(out.loc[i, "mean_sentence_chars"] - want_mean) < 1e-9
+        assert out.loc[i, "max_sentence_chars"] == (max(lens) if lens else 0)
