@@ -2468,6 +2468,24 @@ def q_sentence_stats(sf_dir: str):
     return sentence_stats(docs)
 
 
+def q_seeded_labels_power8(sf_dir: str):
+    """Semi-supervised seeded label spreading (stages/seeded.py): vertices
+    with entity % 50 == 0 are pinned seeds (label = own entity id), everyone
+    else takes the argmax-weight label among LABELED neighbours each of 8
+    synchronous supersteps (ties -> smallest label, -1 = never reached).
+    One O(n) broadcast per superstep over the CSR partition actors."""
+    import numpy as np
+
+    from bluegraph_ray.stages.seeded import seeded_label_spread
+
+    handle = _cooc_graph(sf_dir)
+    names = handle.names
+    seed_ids = np.flatnonzero(names % 50 == 0).astype(np.int64)
+    labels = seeded_label_spread(handle, seed_ids, seed_ids, iterations=8)
+    out = np.where(labels >= 0, names[np.maximum(labels, 0)], -1)
+    return pd.DataFrame({"node": names, "seed_label": out})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2573,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": q_events_global_rank,        # new in late r4
         "winnow_fingerprints": q_winnow_fingerprints,      # new in late r4
         "sentence_stats": q_sentence_stats,                # new in late r4
+        "seeded_labels_power8": q_seeded_labels_power8,    # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5575,6 +5594,43 @@ SELECT doc_id,
   CAST(COALESCE(list_max(list_transform(ps, p -> length(p))), 0) AS BIGINT)
     AS max_sentence_chars
 FROM parts
+""",
+        # seeded label spreading, 8 synchronous supersteps: seeds = entities
+        # % 50 == 0 pinned to their own id; non-seeds take the
+        # (max total weight, min label) LABELED-neighbour argmax, recomputed
+        # fresh each round (-1 = unreached). Self-arcs only keep every
+        # vertex in the recursion; they never vote (NOT pure_self + the
+        # engine graph carries no self-loops).
+        "seeded_labels_power8": f"""
+WITH RECURSIVE {_EDGES_FREQ},
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(frequency AS DOUBLE) AS w FROM edges
+  UNION ALL SELECT dst, src, CAST(frequency AS DOUBLE) FROM edges
+  UNION ALL SELECT entity, entity, CAST(0 AS DOUBLE)
+  FROM (SELECT DISTINCT src AS entity FROM edges
+        UNION SELECT dst FROM edges)),
+sl(it, node, lab) AS (
+  SELECT 0, u, CASE WHEN u % 50 = 0 THEN u ELSE -1 END
+  FROM (SELECT DISTINCT u FROM arcs)
+  UNION ALL
+  SELECT it + 1, v,
+    CASE WHEN v % 50 = 0 THEN v ELSE COALESCE((win).lab, -1) END
+  FROM (
+    SELECT it, v,
+      min(CASE WHEN lab >= 0 AND NOT pure_self
+               THEN struct_pack(w := -wt, lab := lab) END) AS win
+    FROM (
+      SELECT l.it AS it, a.v AS v, l.lab AS lab,
+        SUM(CASE WHEN a.u = a.v THEN 0.0 ELSE a.w END) AS wt,
+        BOOL_AND(a.u = a.v) AS pure_self
+      FROM sl l JOIN arcs a ON a.u = l.node
+      WHERE l.it < 8
+      GROUP BY 1, 2, 3
+    )
+    GROUP BY it, v
+  )
+)
+SELECT node, lab AS seed_label FROM sl WHERE it = 8
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

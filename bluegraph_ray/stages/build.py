@@ -884,6 +884,67 @@ class CsrPartition:
         new = np.where(keep, cur, winners)
         return dst_ids, new
 
+    def seeded_mode_gather(self, labels_ref) -> tuple[np.ndarray, np.ndarray]:
+        """Argmax-weight incoming LABELED label per local v — the
+        semi-supervised seeded label-spread step (stages/seeded.py).
+
+        Differences from :meth:`mode_label_gather`: arcs whose SOURCE is
+        unlabeled (label < 0) cast no vote; there is no current-label
+        damping (pure argmax, ties broken by smallest label); dsts with no
+        labeled in-neighbour are simply omitted (the driver resets them to
+        the -1 sentinel each superstep — labels are recomputed fresh, not
+        sticky). Self-loop arcs, if present, are treated as ordinary votes;
+        the canonical co-occurrence graphs carry none.
+
+        Same dst-run-aligned chunking as the mode kernel."""
+        labels = (labels_ref if isinstance(labels_ref, np.ndarray)
+                  else ray.get(labels_ref))
+        if not len(self.dst):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        chunk_arcs = getattr(self, "_mode_chunk_arcs", 4_000_000)
+        arc_targets = np.arange(
+            1, 1 + len(self.dst) // chunk_arcs) * chunk_arcs
+        run_cuts = np.unique(np.searchsorted(self.starts, arc_targets))
+        seg_bounds = np.concatenate((
+            [0],
+            self.starts[run_cuts[(run_cuts > 0) & (run_cuts < len(self.starts))]],
+            [len(self.dst)]))
+        seg_bounds = np.unique(seg_bounds)
+        out_ids, out_new = [], []
+        for a, b in zip(seg_bounds[:-1], seg_bounds[1:]):
+            ids, new = self._seeded_mode_chunk(labels, int(a), int(b))
+            out_ids.append(ids)
+            out_new.append(new)
+        if len(out_ids) == 1:
+            return out_ids[0], out_new[0]
+        return np.concatenate(out_ids), np.concatenate(out_new)
+
+    def _seeded_mode_chunk(self, labels, a: int, b: int):
+        """Seeded-mode kernel over the dst-aligned arc slice [a, b)."""
+        lab = labels[self.src[a:b]]
+        m = lab >= 0
+        if not m.any():
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        n = np.int64(len(labels))
+        dst = self.dst[a:b][m].astype(np.int64)
+        lab = lab[m].astype(np.int64)
+        w = self.w[a:b][m]
+        code = dst * n + lab
+        order = np.argsort(code, kind="stable")
+        c = code[order]
+        ws = w[order]
+        runs = np.flatnonzero(np.diff(c)) + 1
+        starts = np.concatenate(([0], runs))
+        pair_code = c[starts]
+        pair_w = np.add.reduceat(ws, starts)
+        pair_dst = pair_code // n
+        pair_lab = pair_code % n
+        order2 = np.lexsort((pair_lab, -pair_w, pair_dst))
+        pd_sorted = pair_dst[order2]
+        firsts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(pd_sorted)) + 1))
+        return pd_sorted[firsts], pair_lab[order2][firsts]
+
 
 def make_partition_actors(handle: GraphHandle, *, num_cpus: float = 0.5):
     """One CsrPartition actor per bucket.

@@ -1013,3 +1013,47 @@ def handle_arcs(handle):
             dsts.append(t.column("dst_id").to_numpy())
             ws.append(t.column("w").to_numpy())
     return (np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws))
+
+
+def test_seeded_label_spread_matches_bruteforce():
+    from bluegraph_ray.stages.seeded import seeded_label_spread
+
+    df = random_graph(seed=17, n=50, p=0.07)
+    handle = build_graph(ray.data.from_pandas(df), weight="mi",
+                         directed=False, n_partitions=4)
+    names = list(handle.names)
+    seed_ids = np.asarray([i for i, nm in enumerate(names)
+                           if int(nm[1:]) % 10 == 0], dtype=np.int64)
+    got = seeded_label_spread(handle, seed_ids, seed_ids, iterations=6)
+
+    # brute-force synchronous non-sticky spec over the nx graph
+    g = to_nx(df, weight="mi")
+    lab = {nm: (i if i in set(seed_ids.tolist()) else -1)
+           for i, nm in enumerate(names)}
+    pin = {names[i]: i for i in seed_ids}
+    for _ in range(6):
+        new = {}
+        for v in names:
+            if v in pin:
+                new[v] = pin[v]
+                continue
+            votes: dict = {}
+            if v in g:
+                for u in g.neighbors(v):
+                    lu = lab[u]
+                    if lu >= 0:
+                        votes[lu] = votes.get(lu, 0.0) + g[v][u]["mi"]
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = -1
+        lab = new
+    want = np.asarray([lab[nm] for nm in names], dtype=np.int64)
+    assert (got == want).all()
+    # seeds pinned, labeledness monotone vs a shorter run
+    assert (got[seed_ids] == seed_ids).all()
+    got4 = seeded_label_spread(handle, seed_ids, seed_ids, iterations=4)
+    assert ((got4 < 0) | (got >= 0)).all()  # labeled at 4 -> labeled at 6
+    with pytest.raises(ValueError):
+        seeded_label_spread(handle, seed_ids, seed_ids + handle.n)
