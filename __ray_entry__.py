@@ -2486,6 +2486,20 @@ def q_seeded_labels_power8(sf_dir: str):
     return pd.DataFrame({"node": names, "seed_label": out})
 
 
+def q_coloring_parts(sf_dir: str):
+    """Jones-Plassmann greedy coloring (stages/coloring.jp_coloring): static
+    hash priorities, 16 rounds of closed-neighbourhood priority-min wins on
+    the CSR partition actors; -1 = uncolored leftover (none at this sf)."""
+    import numpy as np
+
+    from bluegraph_ray.stages.coloring import jp_coloring
+
+    handle = _cooc_graph(sf_dir)
+    color = jp_coloring(handle, rounds=16)
+    return pd.DataFrame({"node": handle.names,
+                         "color": color.astype(np.int64)})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2592,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,      # new in late r4
         "sentence_stats": q_sentence_stats,                # new in late r4
         "seeded_labels_power8": q_seeded_labels_power8,    # new in late r4
+        "coloring_parts": q_coloring_parts,                # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -2913,6 +2928,25 @@ u{i} AS MATERIALIZED (
   WHERE x.v NOT IN (SELECT v FROM m{i})
     AND NOT EXISTS (SELECT 1 FROM arcs a JOIN m{i} mm ON mm.v = a.u
                     WHERE a.v = x.v))""")
+    return "".join(out)
+
+
+def _jp_steps(rounds: int) -> str:
+    """Jones-Plassmann coloring rounds: like ``_mis_steps`` but the residual
+    u_i removes ONLY the newly colored vertices (their neighbours stay in
+    play for the next color)."""
+    out = []
+    for i in range(1, rounds + 1):
+        h_u = _walk_hash("0", "0", "a.u")
+        h_v = _walk_hash("0", "0", "x.v")
+        out.append(f""",
+m{i} AS MATERIALIZED (
+  SELECT x.v FROM u{i - 1} x WHERE NOT EXISTS (
+    SELECT 1 FROM arcs a JOIN u{i - 1} w ON w.v = a.u
+    WHERE a.v = x.v AND {h_u} < {h_v})),
+u{i} AS MATERIALIZED (
+  SELECT x.v FROM u{i - 1} x
+  WHERE x.v NOT IN (SELECT v FROM m{i}))""")
     return "".join(out)
 
 
@@ -5631,6 +5665,22 @@ sl(it, node, lab) AS (
   )
 )
 SELECT node, lab AS seed_label FROM sl WHERE it = 8
+""",
+        # Jones-Plassmann coloring: 16 unrolled priority-min rounds; round i
+        # colors the uncolored closed-neighbourhood minima with color i,
+        # residual keeps everyone else; leftovers (-1) empty at this sf
+        "coloring_parts": f"""
+WITH {_EDGES_FREQ},
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+arcs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges),
+u0 AS MATERIALIZED (SELECT v FROM verts){_jp_steps(16)}
+SELECT v AS node, color FROM (
+  {" UNION ALL ".join(f"SELECT v, {i} AS color FROM m{i}"
+                      for i in range(1, 17))}
+  UNION ALL SELECT v, -1 AS color FROM u16)
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

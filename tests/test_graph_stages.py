@@ -1057,3 +1057,32 @@ def test_seeded_label_spread_matches_bruteforce():
     assert ((got4 < 0) | (got >= 0)).all()  # labeled at 4 -> labeled at 6
     with pytest.raises(ValueError):
         seeded_label_spread(handle, seed_ids, seed_ids + handle.n)
+
+
+def test_jp_coloring_proper_and_deterministic():
+    from bluegraph_ray.stages.coloring import jp_coloring
+
+    df = random_graph(seed=23, n=60, p=0.1)
+    handle = build_graph(ray.data.from_pandas(df), directed=False,
+                         n_partitions=4)
+    color = jp_coloring(handle, rounds=32)
+    names = list(handle.names)
+    idx = {nm: i for i, nm in enumerate(names)}
+    # fully colored at this size, and PROPER: no edge joins equal colors
+    assert (color > 0).all()
+    for r in df.itertuples():
+        assert color[idx[r.src]] != color[idx[r.dst]], (r.src, r.dst)
+    # deterministic across partition layouts
+    h2 = build_graph(ray.data.from_pandas(df), directed=False,
+                     n_partitions=7)
+    c2 = jp_coloring(h2, rounds=32)
+    m = {nm: c for nm, c in zip(h2.names, c2)}
+    assert all(m[nm] == color[i] for i, nm in enumerate(names))
+    # fixed low round count leaves -1 leftovers, never improper colors
+    c3 = jp_coloring(handle, rounds=2)
+    assert (c3 >= -1).all() and (c3 <= 2).all()
+    colored = c3 > 0
+    for r in df.itertuples():
+        i, j = idx[r.src], idx[r.dst]
+        if colored[i] and colored[j]:
+            assert c3[i] != c3[j]
