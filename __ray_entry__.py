@@ -2500,6 +2500,35 @@ def q_coloring_parts(sf_dir: str):
                          "color": color.astype(np.int64)})
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix (dedup.source_overlap): winnowing
+    fingerprints tagged by source feeding the co-occurrence generator
+    (entity=source, factor=fingerprint) — shared fingerprints shuffle as
+    int64 pair partials. sha256 mode pinned for the oracle."""
+    from bluegraph_ray.pipelines.dedup import source_overlap
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return source_overlap(docs, k=3, window=4, hash_mode="sha256",
+                          num_buckets=16)
+
+
+def q_zipf_slope(sf_dir: str):
+    """Per-source Zipf fit (vocab.zipf_slope): OLS slope of ln(count) on
+    ln(rank) over the exact top-64 tokens per source; counts through the
+    bounded heavy-hitter pipeline, regression folded into the final
+    per-group task."""
+    from bluegraph_ray.pipelines.vocab import zipf_slope
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return zipf_slope(docs, k=64, num_buckets=8)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2607,6 +2636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": q_sentence_stats,                # new in late r4
         "seeded_labels_power8": q_seeded_labels_power8,    # new in late r4
         "coloring_parts": q_coloring_parts,                # new in late r4
+        "source_overlap": q_source_overlap,                # new in late r4
+        "zipf_slope": q_zipf_slope,                        # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5681,6 +5712,59 @@ SELECT v AS node, color FROM (
   {" UNION ALL ".join(f"SELECT v, {i} AS color FROM m{i}"
                       for i in range(1, 17))}
   UNION ALL SELECT v, -1 AS color FROM u16)
+""",
+        # cross-source winnowing overlap: the winnow_fingerprints CTE tagged
+        # by source, distinct (source, fp), then the upper-triangle pair
+        # count — frequency = # distinct shared fingerprints
+        "source_overlap": """
+WITH sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) >= 3
+      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, len(toks) - 2)]
+      ELSE [array_to_string(toks, ' ')]
+    END AS shs
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents)
+),
+hashed AS (
+  SELECT doc_id, source, i,
+         ('0x' || substr(sha256(s), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, source, unnest(shs) AS s,
+               unnest(generate_series(1, len(shs))) AS i
+        FROM sh)
+),
+win AS (
+  SELECT doc_id, source, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM hashed
+),
+fp AS (SELECT DISTINCT source, fp FROM win WHERE i >= LEAST(4, m))
+SELECT a.source AS src, b.source AS dst, COUNT(*)::BIGINT AS frequency
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+""",
+        # per-source Zipf OLS slope over the exact top-64 tokens
+        # (count DESC, term ASC ranking — the top_terms convention)
+        "zipf_slope": """
+WITH cnt AS (
+  SELECT source AS grp, t AS term, COUNT(*)::BIGINT AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT grp, term, c,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, term) AS rnk
+  FROM cnt QUALIFY rnk <= 64
+),
+xy AS (SELECT grp, LN(CAST(rnk AS DOUBLE)) AS x,
+              LN(CAST(c AS DOUBLE)) AS y FROM top)
+SELECT grp AS "group", COUNT(*)::BIGINT AS n_terms,
+  round_even((SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+             / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)), 6) AS slope
+FROM xy GROUP BY 1
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

@@ -1403,10 +1403,12 @@ def winnow_fingerprints(
             w = min(window, m)
             fps = np.unique(sliding_window_view(seg, w).min(axis=1))
             fp_chunks.append(fps)
-            id_chunks.append(np.full(len(fps), dids[di], dtype=np.int64))
+            # dtype-generic id repeat (int doc ids or string group keys)
+            id_chunks.append(np.repeat(dids[di:di + 1], len(fps)))
         if not fp_chunks:
             return pd.DataFrame({
-                id_col: pd.Series([], dtype=np.int64),
+                id_col: pd.Series([], dtype=dids.dtype if len(dids)
+                                  else np.int64),
                 "fingerprint": pd.Series([], dtype=np.uint64)})
         return pd.DataFrame({
             id_col: np.concatenate(id_chunks),
@@ -1414,3 +1416,35 @@ def winnow_fingerprints(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pandas", batch_size=4096)
+
+
+def source_overlap(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 3,
+    window: int = 4,
+    hash_mode: str = "fast",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Cross-source contamination matrix: for every unordered pair of
+    sources, how many winnowing fingerprints they share — the corpus-level
+    "is domain A leaking into domain B" diagnostic run before mixing
+    sources into a training set.
+
+    Pure composition of two flagship stages: :func:`winnow_fingerprints`
+    tagged by source (zero-shuffle) feeding the co-occurrence generator
+    with entity=source, factor=fingerprint — the same distinct -> skew-
+    planned pair-emission machinery the lineitem flagship uses, so shared
+    fingerprints shuffle as int64 pair partials, never text. Returns
+    Dataset(src, dst, frequency) with src < dst (source-name order);
+    frequency = # distinct shared fingerprints."""
+    from bluegraph_ray.pipelines.cooccurrence import cooccurrence_edges
+
+    fps = winnow_fingerprints(docs, text_col=text_col, id_col=group_col,
+                              k=k, window=window, hash_mode=hash_mode)
+    return cooccurrence_edges(fps, entity_col=group_col,
+                              factor_col="fingerprint",
+                              statistics=("frequency",),
+                              num_buckets=num_buckets)

@@ -1945,3 +1945,90 @@ def test_sentence_stats_matches_python_reference():
         want_mean = 0.0 if not lens else round(sum(lens) / len(lens), 6)
         assert abs(out.loc[i, "mean_sentence_chars"] - want_mean) < 1e-9
         assert out.loc[i, "max_sentence_chars"] == (max(lens) if lens else 0)
+
+
+def test_source_overlap_bruteforce():
+    import hashlib
+
+    from bluegraph_ray.pipelines.dedup import source_overlap
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "source": ["a", "a", "b", "b", "c", "c"],
+        "text": [
+            "shared boilerplate license text here",
+            "unique alpha content one",
+            "shared boilerplate license text here",
+            "unique beta content two",
+            "totally different words only",
+            "unique gamma content three",
+        ],
+    })
+    k, w = 3, 4
+    out = (source_overlap(ray.data.from_pandas(docs).repartition(3),
+                          k=k, window=w, hash_mode="sha256", num_buckets=4)
+           .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+
+    def winnow(text):
+        toks = text.split(" ")
+        shs = ([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+               if len(toks) >= k else [" ".join(toks)])
+        hs = [int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+              for s in shs]
+        ww = min(w, len(hs))
+        return {min(hs[j:j + ww]) for j in range(len(hs) - ww + 1)}
+
+    per_src: dict = {}
+    for r in docs.itertuples():
+        per_src.setdefault(r.source, set()).update(winnow(r.text))
+    want = []
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(per_src[a] & per_src[b])
+            if n:
+                want.append((a, b, n))
+    want_df = pd.DataFrame(want, columns=["src", "dst", "frequency"])
+    got = out[["src", "dst", "frequency"]].copy()
+    got["frequency"] = got["frequency"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["src", "dst"]).reset_index(drop=True),
+        want_df.sort_values(["src", "dst"]).reset_index(drop=True),
+        check_dtype=False)
+    # a and b share the boilerplate doc; c shares nothing with them beyond
+    # possibly the 'unique * content *' template shingles
+    ab = out[(out["src"] == "a") & (out["dst"] == "b")]["frequency"]
+    assert len(ab) == 1 and int(ab.iloc[0]) >= len(winnow(docs["text"][0]))
+
+
+def test_zipf_slope_matches_numpy_ols():
+    from bluegraph_ray.pipelines.vocab import zipf_slope
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(80)]
+    # zipfian draw so ranks are meaningful
+    p = 1.0 / np.arange(1, 81)
+    p /= p.sum()
+    rows = []
+    for s in ["x", "y"]:
+        for _ in range(30):
+            n = rng.randint(20, 60)
+            rows.append((s, " ".join(rng.choice(vocab, n, p=p))))
+    docs = pd.DataFrame(rows, columns=["source", "text"])
+    out = (zipf_slope(ray.data.from_pandas(docs).repartition(4), k=32,
+                      num_buckets=4)
+           .to_pandas().sort_values("group").reset_index(drop=True))
+    for s in ["x", "y"]:
+        toks = " ".join(docs.loc[docs["source"] == s, "text"]).split(" ")
+        cnt = pd.Series(toks).value_counts()
+        df = pd.DataFrame({"term": cnt.index, "c": cnt.to_numpy()})
+        df = df.sort_values(["c", "term"],
+                            ascending=[False, True]).head(32)
+        x = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
+        y = np.log(df["c"].to_numpy(np.float64))
+        n = len(x)
+        want = ((x * y).sum() - x.sum() * y.sum() / n) / \
+               ((x * x).sum() - x.sum() ** 2 / n)
+        got = float(out.loc[out["group"] == s, "slope"].iloc[0])
+        assert abs(got - round(want, 6)) < 1e-6
+        assert got < -0.3  # zipfian corpus slopes downward
