@@ -2529,6 +2529,48 @@ def q_zipf_slope(sf_dir: str):
     return zipf_slope(docs, k=64, num_buckets=8)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding moments (similarity.label_centroids): one
+    reduceat fold per batch to (classes x dims) partials, bounded driver
+    combine; centroid/variance via the E[x^2]-E[x]^2 form so AVG-based SQL
+    replays to rounding."""
+    from bluegraph_ray.pipelines.similarity import label_centroids
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    return label_centroids(emb)
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention table (windows.user_retention): first-DAY per
+    user via one hash-min, partitioned join back, distinct+count over
+    (cohort, offset, user) — integer epoch-day indices replay as
+    DATEDIFF('day')."""
+    from bluegraph_ray.pipelines.windows import user_retention
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return user_retention(ev, num_buckets=16)
+
+
+def q_event_zscores(sf_dir: str):
+    """Per-user standardized event values (windows.event_zscores):
+    (n, sum, sumsq) moments per key through one bucketed combine, joined
+    back onto the stream; z via the E[x^2]-E[x]^2 form, 0 when the
+    variance is 0."""
+    from bluegraph_ray.pipelines.windows import event_zscores
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "value"])
+    return event_zscores(ev, num_buckets=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001-scale synthetic source table."""
     from bluegraph_ray.pipelines.flagship import run_flagship
@@ -2638,6 +2680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_parts": q_coloring_parts,                # new in late r4
         "source_overlap": q_source_overlap,                # new in late r4
         "zipf_slope": q_zipf_slope,                        # new in late r4
+        "label_centroids": q_label_centroids,              # new in late r4
+        "user_retention": q_user_retention,                # new in late r4
+        "event_zscores": q_event_zscores,                  # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5765,6 +5810,50 @@ SELECT grp AS "group", COUNT(*)::BIGINT AS n_terms,
   round_even((SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
              / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)), 6) AS slope
 FROM xy GROUP BY 1
+""",
+        # per-class embedding moments, long form; E[x^2]-E[x]^2 variance
+        "label_centroids": """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim, COUNT(*)::BIGINT AS n,
+       round_even(AVG(x), 6) AS centroid,
+       round_even(AVG(x * x) - AVG(x) * AVG(x), 6) AS variance
+FROM (
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS g(i)
+)
+GROUP BY 1, 2
+""",
+        # cohort retention: cohort = YYYYMMDD of the user's first event day;
+        # distinct users per (cohort, day offset)
+        "user_retention": """
+WITH fm AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, fm.d0, date_trunc('day', e.ts) AS d
+  FROM events e JOIN fm USING (user_id)
+)
+SELECT CAST(EXTRACT(year FROM d0) * 10000 + EXTRACT(month FROM d0) * 100
+            + EXTRACT(day FROM d0) AS BIGINT) AS cohort,
+       CAST(DATEDIFF('day', d0, d) AS BIGINT) AS offset_days,
+       COUNT(*)::BIGINT AS n_users
+FROM act GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        # per-user population z-scores via the E[x^2]-E[x]^2 form;
+        # z = 0 when the variance is 0 (incl. single-event users)
+        "event_zscores": """
+WITH st AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n,
+         SUM(value) AS s, SUM(value * value) AS ss
+  FROM events GROUP BY 1
+)
+SELECT e.user_id, e.event_id, st.n,
+  round_even(CASE WHEN st.ss / st.n - (st.s / st.n) * (st.s / st.n) > 0.0
+    THEN (e.value - st.s / st.n)
+         / SQRT(st.ss / st.n - (st.s / st.n) * (st.s / st.n))
+    ELSE 0.0 END, 6) AS z
+FROM events e JOIN st USING (user_id)
 """,
         # per-source hashed-unigram KL divergence vs the corpus
         # (vocab.source_kl, sha256 mode, 256 buckets, add-0.5 smoothing on

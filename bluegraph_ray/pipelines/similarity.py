@@ -536,3 +536,62 @@ def knn_classify(
         })
 
     return partial.groupby("query_id").map_groups(vote, batch_format="pandas")
+
+
+def label_centroids(
+    embeddings: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Per-class embedding moments in long form: -> DataFrame(label, dim,
+    n, centroid, variance) with centroid = E[x] and variance = E[x^2] -
+    E[x]^2 per (label, dim) — the class-separation diagnostic (and k-NN /
+    nearest-centroid classifier fit) over an embedding table.
+
+    Scale shape: each batch folds to (labels x dims) partial
+    (n, sum, sumsq) rows via one reduceat pass — the driver combine is
+    bounded by classes x dims x blocks, never rows. Label cardinality must
+    be small (classes, not entities); the per-entity analog is
+    ``functions/sketches`` territory. Moments use exactly the
+    E[x^2] - E[x]^2 form so a SQL AVG-based replay matches to rounding."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "label": pd.Series([], dtype=np.int64),
+                "dim": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.float64),
+                "ss": pd.Series([], dtype=np.float64)})
+        lab = batch[label_col].to_numpy(np.int64)
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        Vs = V[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(lab_s)) + 1))
+        labs = lab_s[starts]
+        cnts = np.diff(np.concatenate((starts, [len(lab_s)])))
+        S = np.add.reduceat(Vs, starts, axis=0)
+        SS = np.add.reduceat(Vs * Vs, starts, axis=0)
+        d = V.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(labs, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(labs)),
+            "n": np.repeat(cnts.astype(np.int64), d),
+            "s": S.ravel(),
+            "ss": SS.ravel()})
+
+    parts = embeddings.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    g = parts.groupby(["label", "dim"], sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")).reset_index()
+    mean = g["s"].to_numpy() / g["n"].to_numpy()
+    var = g["ss"].to_numpy() / g["n"].to_numpy() - mean * mean
+    out = pd.DataFrame({
+        "label": g["label"].astype(np.int64),
+        "dim": g["dim"].astype(np.int64),
+        "n": g["n"].astype(np.int64),
+        "centroid": np.round(mean, 6),
+        "variance": np.round(var, 6)})
+    return out.reset_index(drop=True)

@@ -430,3 +430,122 @@ def running_totals(
 
     return (events.select_columns([key_col, ts_col, id_col, value_col])
             .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
+def user_retention(
+    events: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Cohort retention table: cohort = the calendar DAY of a user's FIRST
+    event; -> DataFrame(cohort, offset_days, n_users) counting the distinct
+    users of each cohort active ``offset_days`` days after their first day
+    (offset 0 = the cohort size itself). Day granularity matches the
+    one-month span of the synthetic event log; the month variant is the
+    same pipeline with a coarser index.
+
+    Scale shape: first-day per user via one ``hash_aggregate`` min (the
+    only user-grain exchange), a partitioned ``hash_join`` back onto the
+    event stream, then a distinct + count over (cohort, offset, user) —
+    bounded by users x active-days, never events. Days are integer
+    epoch-day indices, so offsets replay exactly as SQL
+    DATEDIFF('day')."""
+    from bluegraph_ray.util import hash_aggregate, hash_distinct, hash_join
+
+    def d_idx(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch[ts_col].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        return pd.DataFrame({key_col: batch[key_col], "d": days})
+
+    days = events.select_columns([key_col, ts_col]).map_batches(
+        d_idx, batch_format="pandas", batch_size=None)
+    first = hash_aggregate(days, key_col, {"d0": ("d", "min")},
+                           num_buckets=num_buckets)
+    joined = hash_join(days, first, on=key_col, num_buckets=num_buckets)
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "d0" not in batch.columns:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                "cohort": pd.Series([], dtype=np.int64),
+                "offset_days": pd.Series([], dtype=np.int64)})
+        d0 = batch["d0"].to_numpy(np.int64)
+        dt = pd.Series(d0.astype("datetime64[D]")).dt
+        cohort = (dt.year * 10000 + dt.month * 100 + dt.day).to_numpy(
+            np.int64)
+        return pd.DataFrame({
+            key_col: batch[key_col].to_numpy(),
+            "cohort": cohort,
+            "offset_days": batch["d"].to_numpy(np.int64) - d0,
+        }).drop_duplicates()
+
+    triples = hash_distinct(
+        joined.map_batches(fold, batch_format="pandas", batch_size=None),
+        [key_col, "cohort", "offset_days"], num_buckets=num_buckets)
+    counts = hash_aggregate(
+        triples, ["cohort", "offset_days"],
+        {"n_users": (None, "count")}, num_buckets=num_buckets).to_pandas()
+    counts["n_users"] = counts["n_users"].astype(np.int64)
+    return counts.sort_values(["cohort", "offset_days"]).reset_index(
+        drop=True)
+
+
+def event_zscores(
+    events: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-key standardized values: -> (key, id, n, z) with
+    z = (x - mean) / sqrt(E[x^2] - E[x]^2) over the key's own history
+    (population moments; z = 0 when the variance is 0, including
+    single-event keys) — the per-entity anomaly feature.
+
+    Scale shape: one pass folds (n, sum, sum of squares) per key inside
+    each batch, one bucketed combine, then a partitioned ``hash_join``
+    back onto the stream — events are touched exactly twice, moments
+    travel once. The E[x^2]-E[x]^2 form is used verbatim so SQL replays
+    to rounding."""
+    from bluegraph_ray.util import hash_aggregate, hash_join
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_col].to_numpy(np.float64)
+        return pd.DataFrame({
+            key_col: batch[key_col], id_col: batch[id_col],
+            "x": x, "x2": x * x})
+
+    prepped = events.select_columns(
+        [key_col, id_col, value_col]).map_batches(
+        prep, batch_format="pandas", batch_size=None)
+    stats = hash_aggregate(
+        prepped, key_col,
+        {"n": (None, "count"), "s": ("x", "sum"), "ss": ("x2", "sum")},
+        num_buckets=num_buckets)
+    joined = hash_join(
+        prepped.select_columns([key_col, id_col, "x"]), stats,
+        on=key_col, num_buckets=num_buckets)
+
+    def z(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "x" not in batch.columns:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                id_col: pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "z": pd.Series([], dtype=np.float64)})
+        n = batch["n"].to_numpy(np.float64)
+        mean = batch["s"].to_numpy(np.float64) / n
+        var = batch["ss"].to_numpy(np.float64) / n - mean * mean
+        x = batch["x"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zz = np.where(var > 0.0, (x - mean) / np.sqrt(var), 0.0)
+        return pd.DataFrame({
+            key_col: batch[key_col].to_numpy(),
+            id_col: batch[id_col].to_numpy(),
+            "n": batch["n"].to_numpy(np.int64),
+            "z": np.round(zz, 6)})
+
+    return joined.map_batches(z, batch_format="pandas", batch_size=None)

@@ -2032,3 +2032,73 @@ def test_zipf_slope_matches_numpy_ols():
         got = float(out.loc[out["group"] == s, "slope"].iloc[0])
         assert abs(got - round(want, 6)) < 1e-6
         assert got < -0.3  # zipfian corpus slopes downward
+
+
+def test_user_retention_matches_pandas():
+    from bluegraph_ray.pipelines.windows import user_retention
+
+    rng = np.random.RandomState(31)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n),
+        "ts": pd.to_datetime("2023-11-15")
+              + pd.to_timedelta(rng.randint(0, 200, n), unit="D"),
+    })
+    out = user_retention(ray.data.from_pandas(df).repartition(5),
+                         num_buckets=4)
+    d = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    ref = pd.DataFrame({"user_id": df["user_id"], "d": d})
+    d0 = ref.groupby("user_id")["d"].min().rename("d0")
+    ref = ref.merge(d0, on="user_id")
+    dt = pd.Series(ref["d0"].to_numpy().astype("datetime64[D]")).dt
+    ref["cohort"] = (dt.year * 10000 + dt.month * 100 + dt.day).to_numpy()
+    ref["offset_days"] = ref["d"] - ref["d0"]
+    want = (ref.drop_duplicates(["user_id", "cohort", "offset_days"])
+            .groupby(["cohort", "offset_days"]).size()
+            .rename("n_users").reset_index()
+            .sort_values(["cohort", "offset_days"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_event_zscores_matches_pandas():
+    from bluegraph_ray.pipelines.windows import event_zscores
+
+    rng = np.random.RandomState(41)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": np.concatenate([rng.randint(0, 20, n - 1), [999]]),
+        "event_id": np.arange(n),
+        "value": rng.normal(10, 3, n),
+    })
+    out = (event_zscores(ray.data.from_pandas(df).repartition(4),
+                         num_buckets=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    g = df.groupby("user_id")["value"]
+    mean = g.transform("mean")
+    var = g.transform(lambda s: (s ** 2).mean() - s.mean() ** 2)
+    want = np.where(var > 0, (df["value"] - mean) / np.sqrt(var), 0.0)
+    assert np.allclose(out["z"].to_numpy(), np.round(want, 6), atol=2e-6)
+    # the single-event user gets z = 0 and n = 1
+    one = out[out["user_id"] == 999]
+    assert len(one) == 1 and one["z"].iloc[0] == 0.0 and one["n"].iloc[0] == 1
+
+
+def test_label_centroids_matches_numpy():
+    from bluegraph_ray.pipelines.similarity import label_centroids
+
+    rng = np.random.RandomState(3)
+    n, d = 120, 5
+    lab = rng.randint(0, 3, n)
+    V = rng.normal(0, 1, (n, d)).astype(np.float32)
+    df = pd.DataFrame({"label": lab,
+                       "embedding": [V[i] for i in range(n)]})
+    out = label_centroids(ray.data.from_pandas(df).repartition(4))
+    for li in range(3):
+        X = V[lab == li].astype(np.float64)
+        for dim in range(d):
+            row = out[(out["label"] == li) & (out["dim"] == dim)]
+            assert int(row["n"].iloc[0]) == len(X)
+            assert abs(row["centroid"].iloc[0]
+                       - round(X[:, dim].mean(), 6)) < 2e-6
+            want_var = (X[:, dim] ** 2).mean() - X[:, dim].mean() ** 2
+            assert abs(row["variance"].iloc[0] - round(want_var, 6)) < 2e-6
