@@ -244,6 +244,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         fastrp_embeddings(handle, dimension=32, actors=actors)
         queries["fastrp_d32"] = round(time.perf_counter() - t0, 3)
 
+        # continued-r4 superstep additions on the same handle/actors
+        import numpy as np
+
+        from bluegraph_ray.stages.coloring import jp_coloring
+        from bluegraph_ray.stages.seeded import seeded_label_spread
+
+        t0 = time.perf_counter()
+        jp_coloring(handle, actors, rounds=16)
+        queries["coloring16"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        seeds = np.arange(0, handle.n, 50, dtype=np.int64)
+        seeded_label_spread(handle, seeds, seeds, actors, iterations=8)
+        queries["seeded_spread8"] = round(time.perf_counter() - t0, 3)
+
     for a in actors:
         ray.kill(a)
 
@@ -502,6 +517,22 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
     gopher_rules(docs).materialize()
     q["gopher_rules"] = round(time.perf_counter() - t0, 3)
 
+    # continued-r4: winnowing fingerprints + cross-source overlap in the
+    # production fast-hash mode (the oracle queries pin sha256)
+    from bluegraph_ray.pipelines.dedup import (source_overlap,
+                                               winnow_fingerprints)
+
+    t0 = time.perf_counter()
+    winnow_fingerprints(docs, k=3, window=4, hash_mode="fast").materialize()
+    q["winnow_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    src_text = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["source", "text"])
+    source_overlap(src_text, k=3, window=4, hash_mode="fast",
+                   num_buckets=16).materialize()
+    q["source_overlap_fast"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     src_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                      columns=["doc_id", "source"])
@@ -553,7 +584,15 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
                  "event_funnel",
                  # late-r4 relational join suite
                  "region_nation_revenue", "returned_revenue", "promo_share",
-                 "large_orders", "revenue_rollup", "idle_customers"):
+                 "large_orders", "revenue_rollup", "idle_customers",
+                 # continued-r4 additions (relational, order statistics,
+                 # event-log analytics, embeddings)
+                 "nation_pair_volume", "min_unit_price_supplier",
+                 "late_shipment_priority", "rich_idle_segments",
+                 "brand_supplier_counts", "events_cumsum",
+                 "events_global_rank", "event_gaps", "stratified_sample",
+                 "value_quantiles_binned", "sentence_stats", "zipf_slope",
+                 "label_centroids", "user_retention", "event_zscores"):
         t0 = time.perf_counter()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "materialize"):
