@@ -2186,6 +2186,35 @@ def q_event_gaps(sf_dir: str):
     return event_gaps(ev)
 
 
+def q_event_concurrency(sf_dir: str):
+    """Sweep-line concurrency profile (windows.concurrency_profile): each
+    event opens [ts, ts + floor(value*1e6) us); boundary deltas get a
+    map-side combine, per-time-bin totals fold to a 256-int driver scan
+    (the concurrency entering each bin), one bin-keyed shuffle finishes
+    the prefix sum locally — exact integer math, no global sort."""
+    from bluegraph_ray.pipelines.windows import concurrency_profile
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    return concurrency_profile(ev)
+
+
+def q_concurrency_peaks(sf_dir: str):
+    """Grouped sweep-line peak (windows.concurrency_peaks): per event_type,
+    max simultaneously-open intervals and the earliest boundary reaching
+    it; (key, time-bin) keyed shuffle, driver state bounded by
+    #keys x 64 ints, per-bin argmax candidates folded on the driver."""
+    from bluegraph_ray.pipelines.windows import concurrency_peaks
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value", "event_type"])
+    return concurrency_peaks(ev)
+
+
 def q_stratified_sample(sf_dir: str):
     """Proportional stratified sample over (source, lang) strata
     (dedup.stratified_hash_sample): integer-exact ceil(n/5) quotas, rows
@@ -2683,6 +2712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,              # new in late r4
         "user_retention": q_user_retention,                # new in late r4
         "event_zscores": q_event_zscores,                  # new in late r4
+        "event_concurrency": q_event_concurrency,          # new in late r4
+        "concurrency_peaks": q_concurrency_peaks,          # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5515,6 +5546,46 @@ SELECT user_id, event_id,
        COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS gap_us
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        # sweep-line concurrency: FLOOR on both sides (DuckDB double->BIGINT
+        # CAST rounds-to-nearest, numpy truncates; floor replays exactly)
+        "event_concurrency": """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+  FROM events
+  WHERE CAST(FLOOR(value * 1000000) AS BIGINT) > 0
+),
+b AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT e, CAST(-1 AS BIGINT) FROM iv
+),
+g AS (SELECT t, SUM(d) AS d FROM b GROUP BY t)
+SELECT t AS t_us, CAST(SUM(d) OVER (ORDER BY t) AS BIGINT) AS concurrent
+FROM g
+""",
+        # grouped sweep-line peak: windowed SUM partitioned by key, then the
+        # argmax row per key with MIN(t) as the tie-break
+        "concurrency_peaks": """
+WITH iv AS (
+  SELECT event_type AS k, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+  FROM events
+  WHERE CAST(FLOOR(value * 1000000) AS BIGINT) > 0
+),
+b AS (
+  SELECT k, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT k, e, CAST(-1 AS BIGINT) FROM iv
+),
+g AS (SELECT k, t, SUM(d) AS d FROM b GROUP BY k, t),
+c AS (SELECT k, t, SUM(d) OVER (PARTITION BY k ORDER BY t) AS cc FROM g),
+m AS (SELECT k, MAX(cc) AS peak FROM c GROUP BY k)
+SELECT c.k AS event_type, CAST(m.peak AS BIGINT) AS peak_concurrent,
+       MIN(c.t) AS peak_t_us
+FROM c JOIN m ON c.k = m.k AND c.cc = m.peak
+GROUP BY c.k, m.peak
 """,
         # proportional stratified sample: integer-exact ceil(n/5) quota per
         # (source, lang) stratum, sha256-prefix order (repo convention)

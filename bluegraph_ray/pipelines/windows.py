@@ -549,3 +549,190 @@ def event_zscores(
             "z": np.round(zz, 6)})
 
     return joined.map_batches(z, batch_format="pandas", batch_size=None)
+
+
+def concurrency_profile(
+    events: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    num_bins: int = 256,
+) -> "ray.data.Dataset":
+    """Sweep-line concurrency profile: -> (t_us, concurrent) with one row per
+    distinct interval boundary and ``concurrent`` = number of open intervals
+    in [t_us, next boundary).
+
+    Each event opens ``[epoch_us(ts), epoch_us(ts) + floor(dur * 1e6))``
+    (``floor`` on both engine and oracle side — DuckDB's double->BIGINT cast
+    rounds-to-nearest, numpy truncates, floor is the one expression both
+    evaluate identically); zero/negative-duration intervals are dropped.
+
+    Distributed prefix sum, not a global sort: boundary deltas get a
+    map-side (t, Σd) combine, per-time-bin delta totals fold to a
+    ``num_bins``-int driver table whose exclusive scan is the concurrency
+    ENTERING each bin, then one bin-keyed shuffle finishes the cumulative
+    sum locally per bin (same range-partition trick as
+    ``functions/ranking.global_rank``; reference has no streaming engine —
+    SURVEY.md §2.12 extension). Equal boundary times always share a bin, so
+    no tie straddles a partition."""
+
+    def bounds(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dur = np.floor(
+            batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
+        keep = dur > 0
+        s = s[keep]
+        t = np.concatenate([s, s + dur[keep]])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            np.full(len(s), -1, dtype=np.int64)])
+        # map-side combine: distinct t with summed delta
+        ut, inv = np.unique(t, return_inverse=True)
+        dd = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(dd, inv, d)
+        return pd.DataFrame({"t": ut, "d": dd})
+
+    deltas = events.select_columns([ts_col, dur_col]).map_batches(
+        bounds, batch_format="pandas", batch_size=None)
+
+    mm = deltas.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [np.int64(b["t"].min()) if len(b) else np.iinfo(np.int64).max],
+             "hi": [np.int64(b["t"].max()) if len(b) else np.iinfo(np.int64).min]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table(
+            {"t_us": pa.array([], pa.int64()),
+             "concurrent": pa.array([], pa.int64())}))
+    lo = int(mm["lo"].min())
+    hi = int(mm["hi"].max())
+    span = hi - lo + 1  # +1 so hi maps inside the last bin
+
+    def to_bin(t: np.ndarray) -> np.ndarray:
+        # pure int64 arithmetic: equal t -> equal bin, monotone in t
+        return (t - lo) * num_bins // span
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = to_bin(batch["t"].to_numpy(np.int64))
+        bins = np.zeros(num_bins, dtype=np.int64)
+        np.add.at(bins, b, batch["d"].to_numpy(np.int64))
+        nz = np.nonzero(bins)[0]
+        return pd.DataFrame({"bin": nz.astype(np.int64), "d": bins[nz]})
+
+    per_bin = deltas.map_batches(
+        bin_partial, batch_format="pandas", batch_size=None).to_pandas()
+    totals = np.zeros(num_bins, dtype=np.int64)
+    if len(per_bin):
+        agg = per_bin.groupby("bin", sort=True)["d"].sum()
+        totals[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    entering = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_bin"] = to_bin(batch["t"].to_numpy(np.int64))
+        return out
+
+    def scan_bin(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["_bin"].iloc[0])
+        g = group.groupby("t", sort=True)["d"].sum()
+        return pd.DataFrame({
+            "t_us": g.index.to_numpy(np.int64),
+            "concurrent": entering[b] + np.cumsum(g.to_numpy(np.int64))})
+
+    return (deltas.map_batches(tag, batch_format="pandas", batch_size=None)
+            .groupby("_bin").map_groups(scan_bin, batch_format="pandas"))
+
+
+def concurrency_peaks(
+    events: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    key_col: str = "event_type",
+    num_bins: int = 64,
+) -> "ray.data.Dataset":
+    """Grouped sweep-line peak: -> (key, peak_concurrent, peak_t_us) with
+    ``peak_concurrent`` the maximum number of simultaneously open intervals
+    of that key and ``peak_t_us`` the earliest boundary reaching it.
+
+    Same boundary-delta / bin-offset machinery as ``concurrency_profile``
+    but keyed: per-(key, bin) delta totals fold to a driver table bounded
+    by #keys x ``num_bins`` ints (key is assumed CATEGORICAL — event
+    types, sources — not an id column), one (key, bin)-keyed shuffle
+    finishes the prefix sums, and the per-key argmax folds from per-batch
+    partials bounded by #keys x blocks."""
+
+    def bounds(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dur = np.floor(
+            batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
+        keep = dur > 0
+        s = s[keep]
+        k = batch[key_col].to_numpy()[keep]
+        kk = np.concatenate([k, k])
+        t = np.concatenate([s, s + dur[keep]])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            np.full(len(s), -1, dtype=np.int64)])
+        out = pd.DataFrame({"k": kk, "t": t, "d": d})
+        return out.groupby(["k", "t"], sort=False, as_index=False)["d"].sum()
+
+    deltas = events.select_columns([ts_col, dur_col, key_col]).map_batches(
+        bounds, batch_format="pandas", batch_size=None)
+
+    mm = deltas.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [np.int64(b["t"].min()) if len(b) else np.iinfo(np.int64).max],
+             "hi": [np.int64(b["t"].max()) if len(b) else np.iinfo(np.int64).min]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table(
+            {key_col: pa.array([], pa.string()),
+             "peak_concurrent": pa.array([], pa.int64()),
+             "peak_t_us": pa.array([], pa.int64())}))
+    lo = int(mm["lo"].min())
+    hi = int(mm["hi"].max())
+    span = hi - lo + 1
+
+    def to_bin(t: np.ndarray) -> np.ndarray:
+        return (t - lo) * num_bins // span
+
+    kb = deltas.map_batches(
+        lambda b: (lambda g: g)(
+            pd.DataFrame({"k": b["k"],
+                          "bin": to_bin(b["t"].to_numpy(np.int64)),
+                          "d": b["d"]})
+            .groupby(["k", "bin"], sort=False, as_index=False)["d"].sum()),
+        batch_format="pandas", batch_size=None).to_pandas()
+    kb = kb.groupby(["k", "bin"], sort=True, as_index=False)["d"].sum()
+    # per-key exclusive scan over bins -> concurrency entering each bin
+    kb["enter"] = (kb.groupby("k", sort=False)["d"].cumsum()
+                   - kb["d"].to_numpy())
+    entering = {(r.k, int(r.bin)): int(r.enter) for r in kb.itertuples()}
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_bin"] = to_bin(batch["t"].to_numpy(np.int64))
+        return out
+
+    def scan_group(group: pd.DataFrame) -> pd.DataFrame:
+        k = group["k"].iloc[0]
+        b = int(group["_bin"].iloc[0])
+        g = group.groupby("t", sort=True)["d"].sum()
+        cc = entering.get((k, b), 0) + np.cumsum(g.to_numpy(np.int64))
+        i = int(np.argmax(cc))  # first index at the max: earliest boundary
+        return pd.DataFrame({"k": [k],
+                             "c": np.asarray([cc[i]], dtype=np.int64),
+                             "t": np.asarray([g.index[i]], dtype=np.int64)})
+
+    cand = (deltas.map_batches(tag, batch_format="pandas", batch_size=None)
+            .groupby(["k", "_bin"]).map_groups(
+                scan_group, batch_format="pandas")).to_pandas()
+    # final fold: one candidate per (key, bin) reached the driver
+    cand = cand.sort_values(["k", "c", "t"],
+                            ascending=[True, False, True], kind="mergesort")
+    best = cand.groupby("k", sort=True, as_index=False).first()
+    return ray.data.from_pandas(pd.DataFrame({
+        key_col: best["k"],
+        "peak_concurrent": best["c"].astype(np.int64),
+        "peak_t_us": best["t"].astype(np.int64)}))

@@ -2102,3 +2102,91 @@ def test_label_centroids_matches_numpy():
                        - round(X[:, dim].mean(), 6)) < 2e-6
             want_var = (X[:, dim] ** 2).mean() - X[:, dim].mean() ** 2
             assert abs(row["variance"].iloc[0] - round(want_var, 6)) < 2e-6
+
+
+def test_concurrency_profile_matches_bruteforce():
+    from bluegraph_ray.pipelines.windows import concurrency_profile
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 3000, n), unit="s"),
+        # mixed durations incl. zero/negative (dropped) and heavy ties
+        "value": np.round(rng.choice([0.0, -1.5, 0.25, 2.0, 30.0, 30.0, 300.0],
+                                     n) + rng.rand(n) * 0.01, 4),
+    })
+    out = (concurrency_profile(
+        ray.data.from_pandas(df).repartition(7), num_bins=32)
+        .to_pandas().sort_values("t_us").reset_index(drop=True))
+
+    s = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    dur = np.floor(df["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    keep = dur > 0
+    bounds = {}
+    for a, b in zip(s[keep], s[keep] + dur[keep]):
+        bounds[a] = bounds.get(a, 0) + 1
+        bounds[b] = bounds.get(b, 0) - 1
+    ts_sorted = sorted(bounds)
+    run, exp_t, exp_c = 0, [], []
+    for t in ts_sorted:
+        run += bounds[t]
+        exp_t.append(t)
+        exp_c.append(run)
+    assert out["t_us"].tolist() == exp_t
+    assert out["concurrent"].tolist() == exp_c
+    assert exp_c[-1] == 0  # every opened interval closed
+    assert max(exp_c) > 1  # test actually exercises overlap
+
+
+def test_concurrency_profile_empty_after_filter():
+    from bluegraph_ray.pipelines.windows import concurrency_profile
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        "value": [0.0, -3.0],
+    })
+    out = concurrency_profile(ray.data.from_pandas(df))
+    # Ray's to_pandas() drops columns on 0-row datasets; assert the schema
+    assert out.schema().names == ["t_us", "concurrent"]
+    assert out.count() == 0
+
+
+def test_concurrency_peaks_matches_bruteforce():
+    from bluegraph_ray.pipelines.windows import concurrency_peaks
+
+    rng = np.random.RandomState(23)
+    n = 300
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 2000, n), unit="s"),
+        "value": np.round(rng.choice([0.0, 5.0, 60.0, 600.0], n)
+                          + rng.rand(n) * 0.01, 4),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    out = (concurrency_peaks(
+        ray.data.from_pandas(df).repartition(6), num_bins=16)
+        .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    s = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    dur = np.floor(df["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    keep = dur > 0
+    exp = {}
+    for k in ["a", "b", "c"]:
+        sel = keep & (df["event_type"].to_numpy() == k)
+        bounds = {}
+        for a, b in zip(s[sel], s[sel] + dur[sel]):
+            bounds[a] = bounds.get(a, 0) + 1
+            bounds[b] = bounds.get(b, 0) - 1
+        run, best_c, best_t = 0, -1, None
+        for t in sorted(bounds):
+            run += bounds[t]
+            if run > best_c:
+                best_c, best_t = run, t
+        exp[k] = (best_c, best_t)
+    for _, row in out.iterrows():
+        c, t = exp[row["event_type"]]
+        assert row["peak_concurrent"] == c
+        assert row["peak_t_us"] == t
+    assert len(out) == 3
+    assert out["peak_concurrent"].max() > 1
