@@ -2215,6 +2215,20 @@ def q_concurrency_peaks(sf_dir: str):
     return concurrency_peaks(ev)
 
 
+def q_interval_coverage(sf_dir: str):
+    """Interval-union length per event_type (windows.interval_coverage):
+    sweep-line identity sum((next_t - t)[cc > 0]); keyed bin-offset scan
+    plus a next-bin-first-boundary broadcast for the segments that cross
+    bin edges; pure int64, one (key, bin) shuffle + one tiny aggregate."""
+    from bluegraph_ray.pipelines.windows import interval_coverage
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value", "event_type"])
+    return interval_coverage(ev)
+
+
 def q_stratified_sample(sf_dir: str):
     """Proportional stratified sample over (source, lang) strata
     (dedup.stratified_hash_sample): integer-exact ceil(n/5) quotas, rows
@@ -2714,6 +2728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_zscores": q_event_zscores,                  # new in late r4
         "event_concurrency": q_event_concurrency,          # new in late r4
         "concurrency_peaks": q_concurrency_peaks,          # new in late r4
+        "interval_coverage": q_interval_coverage,          # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5586,6 +5601,29 @@ SELECT c.k AS event_type, CAST(m.peak AS BIGINT) AS peak_concurrent,
        MIN(c.t) AS peak_t_us
 FROM c JOIN m ON c.k = m.k AND c.cc = m.peak
 GROUP BY c.k, m.peak
+""",
+        # interval union per key: sum of boundary-segment lengths where the
+        # running concurrency is positive (LEAD gives the segment end)
+        "interval_coverage": """
+WITH iv AS (
+  SELECT event_type AS k, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+  FROM events
+  WHERE CAST(FLOOR(value * 1000000) AS BIGINT) > 0
+),
+b AS (
+  SELECT k, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT k, e, CAST(-1 AS BIGINT) FROM iv
+),
+g AS (SELECT k, t, SUM(d) AS d FROM b GROUP BY k, t),
+c AS (SELECT k, t, SUM(d) OVER (PARTITION BY k ORDER BY t) AS cc,
+             LEAD(t) OVER (PARTITION BY k ORDER BY t) AS nt
+      FROM g)
+SELECT k AS event_type,
+       CAST(SUM(CASE WHEN cc > 0 THEN nt - t ELSE 0 END) AS BIGINT)
+         AS covered_us
+FROM c GROUP BY k
 """,
         # proportional stratified sample: integer-exact ceil(n/5) quota per
         # (source, lang) stratum, sha256-prefix order (repo convention)

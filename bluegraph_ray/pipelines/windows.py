@@ -736,3 +736,110 @@ def concurrency_peaks(
         key_col: best["k"],
         "peak_concurrent": best["c"].astype(np.int64),
         "peak_t_us": best["t"].astype(np.int64)}))
+
+
+def interval_coverage(
+    events: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    key_col: str = "event_type",
+    num_bins: int = 64,
+) -> "ray.data.Dataset":
+    """Interval-union length per key: -> (key, covered_us) where
+    ``covered_us`` is the total time at least one interval of that key is
+    open (overlaps counted once — the measure of the union).
+
+    Sweep-line identity: sum of (next_boundary - boundary) over boundaries
+    whose running concurrency is > 0. Same keyed bin-offset machinery as
+    ``concurrency_peaks``; the one extra piece is the segment that CROSSES
+    a bin edge — its length is (next bin's first boundary - this bin's
+    last), and its concurrency is the bin's exit count, so each bin task
+    only needs the next non-empty bin's first boundary, broadcast from a
+    per-(key, bin) min-t partial (driver state bounded by
+    #keys x ``num_bins``; key assumed categorical)."""
+
+    def bounds(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dur = np.floor(
+            batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
+        keep = dur > 0
+        s = s[keep]
+        k = batch[key_col].to_numpy()[keep]
+        out = pd.DataFrame({
+            "k": np.concatenate([k, k]),
+            "t": np.concatenate([s, s + dur[keep]]),
+            "d": np.concatenate([np.ones(len(s), dtype=np.int64),
+                                 np.full(len(s), -1, dtype=np.int64)])})
+        return out.groupby(["k", "t"], sort=False, as_index=False)["d"].sum()
+
+    deltas = events.select_columns([ts_col, dur_col, key_col]).map_batches(
+        bounds, batch_format="pandas", batch_size=None)
+
+    mm = deltas.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [np.int64(b["t"].min()) if len(b) else np.iinfo(np.int64).max],
+             "hi": [np.int64(b["t"].max()) if len(b) else np.iinfo(np.int64).min]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table(
+            {key_col: pa.array([], pa.string()),
+             "covered_us": pa.array([], pa.int64())}))
+    lo = int(mm["lo"].min())
+    hi = int(mm["hi"].max())
+    span = hi - lo + 1
+
+    def to_bin(t: np.ndarray) -> np.ndarray:
+        return (t - lo) * num_bins // span
+
+    kb = deltas.map_batches(
+        lambda b: (lambda g: g)(
+            pd.DataFrame({"k": b["k"],
+                          "bin": to_bin(b["t"].to_numpy(np.int64)),
+                          "d": b["d"], "t": b["t"]})
+            .groupby(["k", "bin"], sort=False, as_index=False)
+            .agg(d=("d", "sum"), mt=("t", "min"))),
+        batch_format="pandas", batch_size=None).to_pandas()
+    kb = kb.groupby(["k", "bin"], sort=True, as_index=False).agg(
+        d=("d", "sum"), mt=("mt", "min"))
+    kb["enter"] = (kb.groupby("k", sort=False)["d"].cumsum()
+                   - kb["d"].to_numpy())
+    # next non-empty bin's first boundary, per key (NaN -> key's last bin)
+    kb["nxt"] = kb.groupby("k", sort=False)["mt"].shift(-1)
+    entering = {(r.k, int(r.bin)): int(r.enter) for r in kb.itertuples()}
+    nxt_first = {(r.k, int(r.bin)): (None if pd.isna(r.nxt) else int(r.nxt))
+                 for r in kb.itertuples()}
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_bin"] = to_bin(batch["t"].to_numpy(np.int64))
+        return out
+
+    def cover_bin(group: pd.DataFrame) -> pd.DataFrame:
+        k = group["k"].iloc[0]
+        b = int(group["_bin"].iloc[0])
+        g = group.groupby("t", sort=True)["d"].sum()
+        t = g.index.to_numpy(np.int64)
+        cc = entering.get((k, b), 0) + np.cumsum(g.to_numpy(np.int64))
+        covered = int(np.sum((t[1:] - t[:-1]) * (cc[:-1] > 0)))
+        nf = nxt_first.get((k, b))
+        if cc[-1] > 0:
+            # open interval crosses the bin edge; a key's global last
+            # boundary always closes everything, so a next bin exists
+            assert nf is not None, "positive exit count in the last bin"
+            covered += nf - int(t[-1])
+        return pd.DataFrame({"k": [k],
+                             "covered_us": np.asarray([covered], np.int64)})
+
+    per_bin = (deltas.map_batches(tag, batch_format="pandas", batch_size=None)
+               .groupby(["k", "_bin"]).map_groups(
+                   cover_bin, batch_format="pandas"))
+    out = hash_aggregate(per_bin, "k", {"covered_us": ("covered_us", "sum")},
+                         num_buckets=4)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key_col: batch["k"],
+                             "covered_us": batch["covered_us"].astype(np.int64)})
+
+    return out.map_batches(rename, batch_format="pandas", batch_size=None)

@@ -2190,3 +2190,41 @@ def test_concurrency_peaks_matches_bruteforce():
         assert row["peak_t_us"] == t
     assert len(out) == 3
     assert out["peak_concurrent"].max() > 1
+
+
+def test_interval_coverage_matches_bruteforce():
+    from bluegraph_ray.pipelines.windows import interval_coverage
+
+    rng = np.random.RandomState(31)
+    n = 300
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 2000, n), unit="s"),
+        "value": np.round(rng.choice([0.0, 5.0, 120.0, 900.0], n)
+                          + rng.rand(n) * 0.01, 4),
+        "event_type": rng.choice(["a", "b"], n),
+    })
+    out = (interval_coverage(
+        ray.data.from_pandas(df).repartition(6), num_bins=16)
+        .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    s = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    dur = np.floor(df["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    keep = dur > 0
+    for _, row in out.iterrows():
+        sel = keep & (df["event_type"].to_numpy() == row["event_type"])
+        # brute force: merge sorted intervals, sum the union
+        ivs = sorted(zip(s[sel], s[sel] + dur[sel]))
+        total, cur_s, cur_e = 0, None, None
+        for a, b in ivs:
+            if cur_e is None or a > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = a, b
+            else:
+                cur_e = max(cur_e, b)
+        if cur_e is not None:
+            total += cur_e - cur_s
+        assert row["covered_us"] == total
+    assert len(out) == 2
+    assert (out["covered_us"] > 0).all()
