@@ -2229,6 +2229,22 @@ def q_interval_coverage(sf_dir: str):
     return interval_coverage(ev)
 
 
+def q_concurrency_histogram(sf_dir: str):
+    """Concurrency dwell-time distribution (windows.concurrency_histogram):
+    per event_type, total time spent at each concurrency level between the
+    key's first and last boundary — the distribution whose trace / max /
+    positive mass are event_concurrency / concurrency_peaks /
+    interval_coverage; per-bin (level, dwell) partials + one tiny
+    aggregate, edge-crossing segments charged at the bin's exit level."""
+    from bluegraph_ray.pipelines.windows import concurrency_histogram
+    from bluegraph_ray.util import tune_context
+
+    tune_context()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value", "event_type"])
+    return concurrency_histogram(ev)
+
+
 def q_stratified_sample(sf_dir: str):
     """Proportional stratified sample over (source, lang) strata
     (dedup.stratified_hash_sample): integer-exact ceil(n/5) quotas, rows
@@ -2729,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_concurrency": q_event_concurrency,          # new in late r4
         "concurrency_peaks": q_concurrency_peaks,          # new in late r4
         "interval_coverage": q_interval_coverage,          # new in late r4
+        "concurrency_histogram": q_concurrency_histogram,  # new in late r4
         "dsir_sampled": q_dsir_sampled,                    # new in r4
         "doc_perplexity": q_doc_perplexity,                # new in r4
         "gopher_rules": q_gopher_rules,                    # new in r4
@@ -5624,6 +5641,30 @@ SELECT k AS event_type,
        CAST(SUM(CASE WHEN cc > 0 THEN nt - t ELSE 0 END) AS BIGINT)
          AS covered_us
 FROM c GROUP BY k
+""",
+        # dwell-time histogram: per-key segment lengths grouped by the
+        # running concurrency level; the key's final boundary has no
+        # successor (nt NULL) and is excluded on both sides
+        "concurrency_histogram": """
+WITH iv AS (
+  SELECT event_type AS k, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+  FROM events
+  WHERE CAST(FLOOR(value * 1000000) AS BIGINT) > 0
+),
+b AS (
+  SELECT k, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT k, e, CAST(-1 AS BIGINT) FROM iv
+),
+g AS (SELECT k, t, SUM(d) AS d FROM b GROUP BY k, t),
+c AS (SELECT k, t, SUM(d) OVER (PARTITION BY k ORDER BY t) AS cc,
+             LEAD(t) OVER (PARTITION BY k ORDER BY t) AS nt
+      FROM g)
+SELECT k AS event_type, CAST(cc AS BIGINT) AS concurrent,
+       CAST(SUM(nt - t) AS BIGINT) AS dwell_us
+FROM c WHERE nt IS NOT NULL
+GROUP BY k, cc
 """,
         # proportional stratified sample: integer-exact ceil(n/5) quota per
         # (source, lang) stratum, sha256-prefix order (repo convention)

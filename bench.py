@@ -593,7 +593,8 @@ def run_llm(sf_dir: str, num_cpus: int) -> dict:
                  "events_global_rank", "event_gaps", "stratified_sample",
                  "value_quantiles_binned", "sentence_stats", "zipf_slope",
                  "label_centroids", "user_retention", "event_zscores",
-                 "event_concurrency", "concurrency_peaks", "interval_coverage"):
+                 "event_concurrency", "concurrency_peaks", "interval_coverage",
+                 "concurrency_histogram"):
         t0 = time.perf_counter()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "materialize"):

@@ -843,3 +843,115 @@ def interval_coverage(
                              "covered_us": batch["covered_us"].astype(np.int64)})
 
     return out.map_batches(rename, batch_format="pandas", batch_size=None)
+
+
+def concurrency_histogram(
+    events: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    key_col: str = "event_type",
+    num_bins: int = 64,
+) -> "ray.data.Dataset":
+    """Dwell-time distribution: -> (key, concurrent, dwell_us) — the total
+    time the key's running concurrency equals each observed level
+    (level 0 measured between the key's first and last boundary only, so
+    every key's histogram sums to last_boundary - first_boundary).
+
+    The full distribution behind ``concurrency_profile`` (the trace),
+    ``concurrency_peaks`` (its max) and ``interval_coverage`` (its > 0
+    mass): the same keyed bin-offset scan emits per-bin (level, dwell)
+    partials — bounded by levels-present-in-bin, not boundaries — and one
+    small aggregate folds them; segments crossing a bin edge are charged
+    to the bin they start in, at the bin's exit level, using the broadcast
+    successor-first-boundary table."""
+
+    def bounds(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dur = np.floor(
+            batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
+        keep = dur > 0
+        s = s[keep]
+        k = batch[key_col].to_numpy()[keep]
+        out = pd.DataFrame({
+            "k": np.concatenate([k, k]),
+            "t": np.concatenate([s, s + dur[keep]]),
+            "d": np.concatenate([np.ones(len(s), dtype=np.int64),
+                                 np.full(len(s), -1, dtype=np.int64)])})
+        return out.groupby(["k", "t"], sort=False, as_index=False)["d"].sum()
+
+    deltas = events.select_columns([ts_col, dur_col, key_col]).map_batches(
+        bounds, batch_format="pandas", batch_size=None)
+
+    mm = deltas.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [np.int64(b["t"].min()) if len(b) else np.iinfo(np.int64).max],
+             "hi": [np.int64(b["t"].max()) if len(b) else np.iinfo(np.int64).min]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table(
+            {key_col: pa.array([], pa.string()),
+             "concurrent": pa.array([], pa.int64()),
+             "dwell_us": pa.array([], pa.int64())}))
+    lo = int(mm["lo"].min())
+    hi = int(mm["hi"].max())
+    span = hi - lo + 1
+
+    def to_bin(t: np.ndarray) -> np.ndarray:
+        return (t - lo) * num_bins // span
+
+    kb = deltas.map_batches(
+        lambda b: (lambda g: g)(
+            pd.DataFrame({"k": b["k"],
+                          "bin": to_bin(b["t"].to_numpy(np.int64)),
+                          "d": b["d"], "t": b["t"]})
+            .groupby(["k", "bin"], sort=False, as_index=False)
+            .agg(d=("d", "sum"), mt=("t", "min"))),
+        batch_format="pandas", batch_size=None).to_pandas()
+    kb = kb.groupby(["k", "bin"], sort=True, as_index=False).agg(
+        d=("d", "sum"), mt=("mt", "min"))
+    kb["enter"] = (kb.groupby("k", sort=False)["d"].cumsum()
+                   - kb["d"].to_numpy())
+    kb["nxt"] = kb.groupby("k", sort=False)["mt"].shift(-1)
+    entering = {(r.k, int(r.bin)): int(r.enter) for r in kb.itertuples()}
+    nxt_first = {(r.k, int(r.bin)): (None if pd.isna(r.nxt) else int(r.nxt))
+                 for r in kb.itertuples()}
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_bin"] = to_bin(batch["t"].to_numpy(np.int64))
+        return out
+
+    def hist_bin(group: pd.DataFrame) -> pd.DataFrame:
+        k = group["k"].iloc[0]
+        b = int(group["_bin"].iloc[0])
+        g = group.groupby("t", sort=True)["d"].sum()
+        t = g.index.to_numpy(np.int64)
+        cc = entering.get((k, b), 0) + np.cumsum(g.to_numpy(np.int64))
+        lv = cc[:-1]
+        dw = t[1:] - t[:-1]
+        nf = nxt_first.get((k, b))
+        if nf is not None:
+            lv = np.concatenate([lv, cc[-1:]])
+            dw = np.concatenate([dw, np.asarray([nf - t[-1]], np.int64)])
+        levels, inv = np.unique(lv, return_inverse=True)
+        agg = np.zeros(len(levels), dtype=np.int64)
+        np.add.at(agg, inv, dw)
+        keep = agg > 0
+        return pd.DataFrame({"k": np.repeat(k, int(keep.sum())),
+                             "concurrent": levels[keep],
+                             "dwell_us": agg[keep]})
+
+    per_bin = (deltas.map_batches(tag, batch_format="pandas", batch_size=None)
+               .groupby(["k", "_bin"]).map_groups(
+                   hist_bin, batch_format="pandas"))
+    out = hash_aggregate(per_bin, ["k", "concurrent"],
+                         {"dwell_us": ("dwell_us", "sum")}, num_buckets=4)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key_col: batch["k"],
+                             "concurrent": batch["concurrent"].astype(np.int64),
+                             "dwell_us": batch["dwell_us"].astype(np.int64)})
+
+    return out.map_batches(rename, batch_format="pandas", batch_size=None)

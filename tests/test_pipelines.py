@@ -2228,3 +2228,48 @@ def test_interval_coverage_matches_bruteforce():
         assert row["covered_us"] == total
     assert len(out) == 2
     assert (out["covered_us"] > 0).all()
+
+
+def test_concurrency_histogram_matches_bruteforce():
+    from bluegraph_ray.pipelines.windows import concurrency_histogram
+
+    rng = np.random.RandomState(41)
+    n = 300
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 2000, n), unit="s"),
+        "value": np.round(rng.choice([0.0, 5.0, 90.0, 700.0], n)
+                          + rng.rand(n) * 0.01, 4),
+        "event_type": rng.choice(["a", "b"], n),
+    })
+    out = (concurrency_histogram(
+        ray.data.from_pandas(df).repartition(6), num_bins=16)
+        .to_pandas().sort_values(["event_type", "concurrent"])
+        .reset_index(drop=True))
+
+    s = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    dur = np.floor(df["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    keep = dur > 0
+    rows = []
+    for k in ["a", "b"]:
+        sel = keep & (df["event_type"].to_numpy() == k)
+        bounds = {}
+        for a, b in zip(s[sel], s[sel] + dur[sel]):
+            bounds[a] = bounds.get(a, 0) + 1
+            bounds[b] = bounds.get(b, 0) - 1
+        ts_sorted = sorted(bounds)
+        run, dwell = 0, {}
+        for t, nt in zip(ts_sorted, ts_sorted[1:]):
+            run += bounds[t]
+            dwell[run] = dwell.get(run, 0) + (nt - t)
+        for lv in sorted(dwell):
+            rows.append((k, lv, dwell[lv]))
+    exp = pd.DataFrame(rows, columns=["event_type", "concurrent", "dwell_us"])
+    pd.testing.assert_frame_equal(out, exp.astype(out.dtypes.to_dict()))
+    # the histogram's positive mass equals interval_coverage's union length
+    from bluegraph_ray.pipelines.windows import interval_coverage
+    cov = (interval_coverage(ray.data.from_pandas(df), num_bins=16)
+           .to_pandas().set_index("event_type")["covered_us"])
+    pos = (out[out["concurrent"] > 0]
+           .groupby("event_type")["dwell_us"].sum())
+    assert (pos == cov.loc[pos.index]).all()
