@@ -41,7 +41,7 @@ from bluegraph_ray.pipelines.dedup import (
     hash_split,
     minhash_lsh_candidates,
 )
-from bluegraph_ray.pipelines.text import LangId, QualityScore
+from bluegraph_ray.pipelines.text import LangIdArrow, QualityScoreArrow
 from bluegraph_ray.util import hash_argmin, hash_join
 
 
@@ -65,16 +65,22 @@ def clean_corpus(
     # one fused pass over the text: language, quality AND the exact-dedup
     # digest come out of a single scan (three separate map stages would
     # re-tokenize / re-read the content three times)
-    lang_stage = LangId(text_col)
-    quality_stage = QualityScore(text_col)
+    # arrow-native scoring (bit-identical to the pandas stages — see
+    # test_arrow_text_kernels_match_pandas; measured ~2x on the kernels):
+    # the batch stays a zero-copy pa.Table through lang + quality, only the
+    # sha256 loop touches Python strings (no vectorized sha in-container)
+    lang_stage = LangIdArrow(text_col)
+    quality_stage = QualityScoreArrow(text_col)
 
-    def score_all(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_all(batch):
+        import pyarrow as pa
+
         out = quality_stage(lang_stage(batch))
-        out["content_sha256"] = [
-            hashlib.sha256(t.encode()).hexdigest() for t in out[text_col]]
-        return out
+        sha = [hashlib.sha256(t.as_py().encode()).hexdigest()
+               for t in out.column(text_col)]
+        return out.append_column("content_sha256", pa.array(sha, pa.string()))
 
-    scored = docs.map_batches(score_all, batch_format="pandas",
+    scored = docs.map_batches(score_all, batch_format="pyarrow",
                               batch_size=None)
     kept = scored.filter(
         expr=f"pred_lang == '{lang}' and quality >= {min_quality}")

@@ -17,8 +17,8 @@ import pandas as pd
 import ray
 import ray.data
 
-from bluegraph_ray.util import (broadcast_get, hash_aggregate, hash_distinct,
-                                hash_join)
+from bluegraph_ray.util import (broadcast_get, duckdb_round_even,
+                                hash_aggregate, hash_distinct, hash_join)
 
 
 def top_revenue_orders(
@@ -671,7 +671,11 @@ def min_unit_price_supplier(
             "s_suppkey": batch["s_suppkey"].to_numpy(np.int64),
             "s_name": broadcast_get(sname_ref)[idx],
             "s_acctbal": broadcast_get(sbal_ref)[idx],
-            "unit_price": np.round(
+            # duckdb_round_even, not np.round: the winning unit price is an
+            # exact rational (cents / (100*qty)) that can land on a true
+            # ...5e-7 tie, where np.round's float tie-break diverges from
+            # the oracle's round_even macro (round-5 drive INEXACT finding)
+            "unit_price": duckdb_round_even(
                 batch["unit_price"].to_numpy(np.float64), 6)})
 
     return winners.map_batches(enrich, batch_format="pandas",

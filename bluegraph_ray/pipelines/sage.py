@@ -56,13 +56,33 @@ def mean_neighbor_features(
     feature_cols: list[str] | None = None,
     undirected: bool = True,
     num_buckets: int = 64,
+    exact_decimal_scales: dict[str, int] | None = None,
+    round_to: int | None = None,
 ):
     """Per-node MEAN of neighbor feature vectors — the GraphSAGE mean
     aggregator as a relational plan: (optionally symmetrized) edge table
     hash-joined to the feature table on the neighbor endpoint, then a
     hash-aggregated sum/count per node. Nodes with no neighbors are absent
     from the output (callers backfill zeros, matching SAGE's empty-sample
-    convention). Returns the same container kind it was given."""
+    convention). Returns the same container kind it was given.
+
+    ``exact_decimal_scales``: {col: scale} for feature columns whose values
+    are exact decimals (``value * scale`` is an exact integer — e.g. prices
+    in cents with scale=100, or already-rescaled ``cents/100000`` with
+    scale=100000). Those columns are summed as **int64 micro-units** and
+    divided once at the end (``int_sum / (scale * n)``), which is bit-exact
+    under ANY block/summation order — float partial sums differ in the last
+    ulp between summation trees, and a downstream ``round(·, 6)`` flips on
+    boundary values (the round-4 ``sage_agg_parts`` driver mismatch). The
+    SQL replay is ``SUM(CAST(x*scale AS BIGINT))::DOUBLE / (scale*n)``.
+
+    ``round_to``: with ``exact_decimal_scales``, round the scaled columns
+    half-even to this many places via exact int64 ratio rounding
+    (``util.round_ratio_even``) — means of exact decimals land on true
+    half-boundaries (1615/3200 = .5046875) where ``np.round``'s float
+    ``*1e6`` tie-breaks the wrong way vs DuckDB's ``round_even``. Requires
+    ``|int_sum| * 10**round_to`` to fit int64."""
+    scales = exact_decimal_scales or {}
     if isinstance(edges, pd.DataFrame):
         feats = pd.DataFrame(features)
         cols = feature_cols or [c for c in feats.columns if c != node]
@@ -71,8 +91,17 @@ def mean_neighbor_features(
             e = pd.concat([e, e.rename(columns={src: dst, dst: src})],
                           ignore_index=True)
         j = e.merge(feats[[node] + cols], left_on=dst, right_on=node)
-        g = j.groupby(src, sort=False)[cols].mean().reset_index()
-        return g.rename(columns={src: node})
+        if not scales:
+            g = j.groupby(src, sort=False)[cols].mean().reset_index()
+            return g.rename(columns={src: node})
+        for c, s in scales.items():
+            j[c] = np.round(j[c].to_numpy() * s).astype(np.int64)
+        g = j.groupby(src, sort=False).agg(
+            **{c: (c, "sum") for c in cols}, _n=(dst, "size")).reset_index()
+        n = g["_n"].to_numpy()
+        for c in cols:
+            g[c] = _finish_col(g[c].to_numpy(), scales.get(c), n, round_to)
+        return g.drop(columns=["_n"]).rename(columns={src: node})
 
     import ray.data  # noqa: F401  (Dataset path)
     from bluegraph_ray.util import hash_aggregate, hash_join, rename_columns
@@ -81,8 +110,15 @@ def mean_neighbor_features(
     e = edges.select_columns([src, dst])
     if undirected:
         e = e.union(rename_columns(e, {src: dst, dst: src}))
-    feats = rename_columns(features.select_columns([node] + cols),
-                           {node: dst})
+    feats = features.select_columns([node] + cols)
+    if scales:
+        def to_micro(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c, s in scales.items():
+                b[c] = np.round(b[c].to_numpy() * s).astype(np.int64)
+            return b
+        feats = feats.map_batches(to_micro, batch_format="pandas")
+    feats = rename_columns(feats, {node: dst})
     j = hash_join(e, feats, on=dst, num_buckets=num_buckets)
     aggs = {f"_s_{c}": (c, "sum") for c in cols}
     aggs["_n"] = (None, "count")
@@ -90,11 +126,27 @@ def mean_neighbor_features(
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({node: batch[src]})
+        n = batch["_n"].to_numpy()
         for c in cols:
-            out[c] = batch[f"_s_{c}"].to_numpy() / batch["_n"].to_numpy()
+            out[c] = _finish_col(
+                batch[f"_s_{c}"].to_numpy(), scales.get(c), n, round_to)
         return out
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def _finish_col(s: np.ndarray, scale: int | None, n: np.ndarray,
+                round_to: int | None) -> np.ndarray:
+    """sum → mean with the exact-decimal contract of
+    ``mean_neighbor_features``: int64 ratio-rounding for scaled columns."""
+    from bluegraph_ray.util import round_ratio_even
+
+    if scale is None:
+        out = s / n
+        return np.round(out, round_to) if round_to is not None else out
+    if round_to is None:
+        return s / (scale * n)
+    return round_ratio_even(s, np.int64(scale) * n, round_to)
 
 
 # ---------------------------------------------------------------------------

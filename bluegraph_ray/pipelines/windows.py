@@ -551,6 +551,38 @@ def event_zscores(
     return joined.map_batches(z, batch_format="pandas", batch_size=None)
 
 
+def _guarded_span(lo: int, hi: int, num_bins: int) -> int:
+    """``hi - lo + 1`` with an overflow guard: ``to_bin`` computes
+    ``(t - lo) * num_bins`` in int64, so a span wider than
+    ``int64max / num_bins`` (one corrupt far-future timestamp ≈ 1100 years
+    at 256 bins) would silently wrap to negative bin indices and corrupt
+    every result via ``np.add.at`` wraparound (ADVICE r4) — fail loudly
+    instead."""
+    span = hi - lo + 1
+    if span > np.iinfo(np.int64).max // num_bins:
+        raise ValueError(
+            f"timestamp span of {span} us ({span / 31_557_600_000_000:.0f} "
+            f"years) overflows int64 bin math at num_bins={num_bins}; "
+            "check for corrupt timestamps or lower num_bins")
+    return span
+
+
+def _key_pa_type(ds, col: str):
+    """pyarrow type of ``col`` for the empty-result schema — the non-empty
+    path's key dtype flows from the input, so the empty path must match it
+    rather than hardcode string (ADVICE r4)."""
+    import pyarrow as pa
+
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        t = dict(zip(sch.names, sch.types))[col]
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(t)
+        return t
+    except Exception:
+        return pa.string()
+
+
 def concurrency_profile(
     events: "ray.data.Dataset",
     *,
@@ -591,8 +623,10 @@ def concurrency_profile(
         np.add.at(dd, inv, d)
         return pd.DataFrame({"t": ut, "d": dd})
 
+    # materialize: consumed three times (min/max scan, per-bin totals, final
+    # tagged shuffle) — pay the read + boundary extraction once (ADVICE r4)
     deltas = events.select_columns([ts_col, dur_col]).map_batches(
-        bounds, batch_format="pandas", batch_size=None)
+        bounds, batch_format="pandas", batch_size=None).materialize()
 
     mm = deltas.map_batches(
         lambda b: pd.DataFrame(
@@ -606,7 +640,7 @@ def concurrency_profile(
              "concurrent": pa.array([], pa.int64())}))
     lo = int(mm["lo"].min())
     hi = int(mm["hi"].max())
-    span = hi - lo + 1  # +1 so hi maps inside the last bin
+    span = _guarded_span(lo, hi, num_bins)  # +1 so hi maps inside last bin
 
     def to_bin(t: np.ndarray) -> np.ndarray:
         # pure int64 arithmetic: equal t -> equal bin, monotone in t
@@ -674,10 +708,15 @@ def concurrency_peaks(
         d = np.concatenate([np.ones(len(s), dtype=np.int64),
                             np.full(len(s), -1, dtype=np.int64)])
         out = pd.DataFrame({"k": kk, "t": t, "d": d})
-        return out.groupby(["k", "t"], sort=False, as_index=False)["d"].sum()
+        return out.groupby(["k", "t"], sort=False, as_index=False,
+                           dropna=False)["d"].sum()
 
+    # materialize: the boundary table is consumed three times (bounds scan,
+    # per-bin totals, final tagged shuffle) — pay the parquet read + boundary
+    # extraction once, not per consumption (ADVICE r4). Deltas are the
+    # map-side-combined boundary rows, far smaller than the input.
     deltas = events.select_columns([ts_col, dur_col, key_col]).map_batches(
-        bounds, batch_format="pandas", batch_size=None)
+        bounds, batch_format="pandas", batch_size=None).materialize()
 
     mm = deltas.map_batches(
         lambda b: pd.DataFrame(
@@ -687,12 +726,12 @@ def concurrency_peaks(
     if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
         import pyarrow as pa
         return ray.data.from_arrow(pa.table(
-            {key_col: pa.array([], pa.string()),
+            {key_col: pa.array([], _key_pa_type(events, key_col)),
              "peak_concurrent": pa.array([], pa.int64()),
              "peak_t_us": pa.array([], pa.int64())}))
     lo = int(mm["lo"].min())
     hi = int(mm["hi"].max())
-    span = hi - lo + 1
+    span = _guarded_span(lo, hi, num_bins)
 
     def to_bin(t: np.ndarray) -> np.ndarray:
         return (t - lo) * num_bins // span
@@ -702,11 +741,13 @@ def concurrency_peaks(
             pd.DataFrame({"k": b["k"],
                           "bin": to_bin(b["t"].to_numpy(np.int64)),
                           "d": b["d"]})
-            .groupby(["k", "bin"], sort=False, as_index=False)["d"].sum()),
+            .groupby(["k", "bin"], sort=False, as_index=False,
+                      dropna=False)["d"].sum()),
         batch_format="pandas", batch_size=None).to_pandas()
-    kb = kb.groupby(["k", "bin"], sort=True, as_index=False)["d"].sum()
+    kb = kb.groupby(["k", "bin"], sort=True, as_index=False,
+                    dropna=False)["d"].sum()
     # per-key exclusive scan over bins -> concurrency entering each bin
-    kb["enter"] = (kb.groupby("k", sort=False)["d"].cumsum()
+    kb["enter"] = (kb.groupby("k", sort=False, dropna=False)["d"].cumsum()
                    - kb["d"].to_numpy())
     entering = {(r.k, int(r.bin)): int(r.enter) for r in kb.itertuples()}
 
@@ -771,10 +812,15 @@ def interval_coverage(
             "t": np.concatenate([s, s + dur[keep]]),
             "d": np.concatenate([np.ones(len(s), dtype=np.int64),
                                  np.full(len(s), -1, dtype=np.int64)])})
-        return out.groupby(["k", "t"], sort=False, as_index=False)["d"].sum()
+        return out.groupby(["k", "t"], sort=False, as_index=False,
+                           dropna=False)["d"].sum()
 
+    # materialize: the boundary table is consumed three times (bounds scan,
+    # per-bin totals, final tagged shuffle) — pay the parquet read + boundary
+    # extraction once, not per consumption (ADVICE r4). Deltas are the
+    # map-side-combined boundary rows, far smaller than the input.
     deltas = events.select_columns([ts_col, dur_col, key_col]).map_batches(
-        bounds, batch_format="pandas", batch_size=None)
+        bounds, batch_format="pandas", batch_size=None).materialize()
 
     mm = deltas.map_batches(
         lambda b: pd.DataFrame(
@@ -784,11 +830,11 @@ def interval_coverage(
     if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
         import pyarrow as pa
         return ray.data.from_arrow(pa.table(
-            {key_col: pa.array([], pa.string()),
+            {key_col: pa.array([], _key_pa_type(events, key_col)),
              "covered_us": pa.array([], pa.int64())}))
     lo = int(mm["lo"].min())
     hi = int(mm["hi"].max())
-    span = hi - lo + 1
+    span = _guarded_span(lo, hi, num_bins)
 
     def to_bin(t: np.ndarray) -> np.ndarray:
         return (t - lo) * num_bins // span
@@ -798,15 +844,15 @@ def interval_coverage(
             pd.DataFrame({"k": b["k"],
                           "bin": to_bin(b["t"].to_numpy(np.int64)),
                           "d": b["d"], "t": b["t"]})
-            .groupby(["k", "bin"], sort=False, as_index=False)
+            .groupby(["k", "bin"], sort=False, as_index=False, dropna=False)
             .agg(d=("d", "sum"), mt=("t", "min"))),
         batch_format="pandas", batch_size=None).to_pandas()
-    kb = kb.groupby(["k", "bin"], sort=True, as_index=False).agg(
+    kb = kb.groupby(["k", "bin"], sort=True, as_index=False, dropna=False).agg(
         d=("d", "sum"), mt=("mt", "min"))
-    kb["enter"] = (kb.groupby("k", sort=False)["d"].cumsum()
+    kb["enter"] = (kb.groupby("k", sort=False, dropna=False)["d"].cumsum()
                    - kb["d"].to_numpy())
     # next non-empty bin's first boundary, per key (NaN -> key's last bin)
-    kb["nxt"] = kb.groupby("k", sort=False)["mt"].shift(-1)
+    kb["nxt"] = kb.groupby("k", sort=False, dropna=False)["mt"].shift(-1)
     entering = {(r.k, int(r.bin)): int(r.enter) for r in kb.itertuples()}
     nxt_first = {(r.k, int(r.bin)): (None if pd.isna(r.nxt) else int(r.nxt))
                  for r in kb.itertuples()}
@@ -878,10 +924,15 @@ def concurrency_histogram(
             "t": np.concatenate([s, s + dur[keep]]),
             "d": np.concatenate([np.ones(len(s), dtype=np.int64),
                                  np.full(len(s), -1, dtype=np.int64)])})
-        return out.groupby(["k", "t"], sort=False, as_index=False)["d"].sum()
+        return out.groupby(["k", "t"], sort=False, as_index=False,
+                           dropna=False)["d"].sum()
 
+    # materialize: the boundary table is consumed three times (bounds scan,
+    # per-bin totals, final tagged shuffle) — pay the parquet read + boundary
+    # extraction once, not per consumption (ADVICE r4). Deltas are the
+    # map-side-combined boundary rows, far smaller than the input.
     deltas = events.select_columns([ts_col, dur_col, key_col]).map_batches(
-        bounds, batch_format="pandas", batch_size=None)
+        bounds, batch_format="pandas", batch_size=None).materialize()
 
     mm = deltas.map_batches(
         lambda b: pd.DataFrame(
@@ -891,12 +942,12 @@ def concurrency_histogram(
     if len(mm) == 0 or int(mm["lo"].min()) > int(mm["hi"].max()):
         import pyarrow as pa
         return ray.data.from_arrow(pa.table(
-            {key_col: pa.array([], pa.string()),
+            {key_col: pa.array([], _key_pa_type(events, key_col)),
              "concurrent": pa.array([], pa.int64()),
              "dwell_us": pa.array([], pa.int64())}))
     lo = int(mm["lo"].min())
     hi = int(mm["hi"].max())
-    span = hi - lo + 1
+    span = _guarded_span(lo, hi, num_bins)
 
     def to_bin(t: np.ndarray) -> np.ndarray:
         return (t - lo) * num_bins // span
@@ -906,14 +957,14 @@ def concurrency_histogram(
             pd.DataFrame({"k": b["k"],
                           "bin": to_bin(b["t"].to_numpy(np.int64)),
                           "d": b["d"], "t": b["t"]})
-            .groupby(["k", "bin"], sort=False, as_index=False)
+            .groupby(["k", "bin"], sort=False, as_index=False, dropna=False)
             .agg(d=("d", "sum"), mt=("t", "min"))),
         batch_format="pandas", batch_size=None).to_pandas()
-    kb = kb.groupby(["k", "bin"], sort=True, as_index=False).agg(
+    kb = kb.groupby(["k", "bin"], sort=True, as_index=False, dropna=False).agg(
         d=("d", "sum"), mt=("mt", "min"))
-    kb["enter"] = (kb.groupby("k", sort=False)["d"].cumsum()
+    kb["enter"] = (kb.groupby("k", sort=False, dropna=False)["d"].cumsum()
                    - kb["d"].to_numpy())
-    kb["nxt"] = kb.groupby("k", sort=False)["mt"].shift(-1)
+    kb["nxt"] = kb.groupby("k", sort=False, dropna=False)["mt"].shift(-1)
     entering = {(r.k, int(r.bin)): int(r.enter) for r in kb.itertuples()}
     nxt_first = {(r.k, int(r.bin)): (None if pd.isna(r.nxt) else int(r.nxt))
                  for r in kb.itertuples()}

@@ -254,15 +254,27 @@ def harmonic_centrality(
     src: str = "src",
     dst: str = "dst",
     distance: str | None = None,
+    exact_denom: int | None = None,
 ) -> "ray.data.Dataset":
     """nx.harmonic_centrality semantics: H(u) = Σ_{v≠u reachable} 1/d(u, v),
     unnormalized (disconnected vertices contribute 0). Same per-source
-    fan-out / worker-assembled CSR contract as :func:`closeness_centrality`."""
+    fan-out / worker-assembled CSR contract as :func:`closeness_centrality`.
+
+    ``exact_denom`` (unweighted only): a common multiple of every hop
+    distance in the graph (e.g. LCM(1..16) = 720720 when the diameter is
+    ≤ 16). The per-source sum then folds EXACT int64 numerators
+    ``Σ exact_denom // d`` and divides once — Σ 1/d as floats depends on
+    summation order, which differs between the engine and the oracle's SQL
+    SUM and flips a round(·, 9) on boundary values (round-5 drive INEXACT
+    finding on harmonic_parts). Raises if a distance doesn't divide
+    ``exact_denom`` (diameter grew past the assumption — fail loudly)."""
     names, graph_ref = _distributed_csr(edges, src, dst, distance)
     n = len(names)
     names_ref = ray.put(names)
 
     unweighted = distance is None
+    if exact_denom is not None and not unweighted:
+        raise ValueError("exact_denom requires the unweighted (hop) path")
 
     def per_sources(batch: pd.DataFrame) -> pd.DataFrame:
         from bluegraph_ray.util import broadcast_get
@@ -274,7 +286,15 @@ def harmonic_centrality(
             if unweighted:
                 di, _, _ = _bfs_levels(ip, nb, int(sid), n)
                 pos = di > 0
-                h = float((1.0 / di[pos]).sum())
+                if exact_denom is not None:
+                    d = di[pos].astype(np.int64)
+                    if len(d) and (exact_denom % d != 0).any():
+                        raise ValueError(
+                            f"distance beyond exact_denom={exact_denom} "
+                            f"divisibility (max hop {int(d.max())})")
+                    h = float(np.sum(exact_denom // d)) / exact_denom
+                else:
+                    h = float((1.0 / di[pos]).sum())
             else:
                 dist, _, _, _ = _sssp(ip, nb, ww, int(sid), n)
                 pos = np.isfinite(dist) & (dist > 0)

@@ -526,3 +526,51 @@ def test_fastrp_matches_dense_replicate(tmp_path):
                              seed=11)
     assert np.allclose(np.stack(got2["embedding"].to_numpy()), emb,
                        atol=1e-12)
+
+
+def test_mean_neighbor_exact_decimal_bitwise_stable_under_block_order():
+    """round-4 driver regression: with exact_decimal_scales + round_to the
+    mean must be BITWISE identical regardless of how blocks/rows are
+    ordered (int64 micro-unit sums, one ratio-rounded division) — and must
+    land on the half-even side of true ties (1615/3200 = .5046875 → .504688,
+    where float np.round flips down)."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    n_nodes = 40
+    nodes = np.arange(n_nodes)
+    # cents-valued feature => exact decimals at scale 100
+    feats = pd.DataFrame({
+        "node": nodes,
+        "price": rng.integers(1, 10_000, n_nodes) / 100.0,
+    })
+    e = pd.DataFrame({
+        "src": rng.integers(0, n_nodes, 600),
+        "dst": rng.integers(0, n_nodes, 600),
+    })
+    e = e[e.src != e.dst].reset_index(drop=True)
+
+    def run(edf, fdf, nb):
+        return mean_neighbor_features(
+            ray.data.from_pandas(edf, override_num_blocks=nb),
+            ray.data.from_pandas(fdf),
+            exact_decimal_scales={"price": 100}, round_to=6,
+            num_buckets=nb,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+
+    base = run(e, feats, 2)
+    shuf = run(e.sample(frac=1.0, random_state=3).reset_index(drop=True),
+               feats, 5)
+    assert list(base["node"]) == list(shuf["node"])
+    assert (base["price"].to_numpy() == shuf["price"].to_numpy()).all()
+
+    # local pandas path agrees bitwise with the distributed path
+    local = mean_neighbor_features(
+        e, feats, exact_decimal_scales={"price": 100}, round_to=6,
+    ).sort_values("node").reset_index(drop=True)
+    assert (local["price"].to_numpy() == base["price"].to_numpy()).all()
+
+    # the exact-tie regression case itself
+    from bluegraph_ray.util import round_ratio_even
+    assert round_ratio_even(np.array([1615]), np.array([3200]))[0] == 0.504688
+    assert round_ratio_even(np.array([-1585]), np.array([3200]))[0] == -0.495312

@@ -1086,3 +1086,60 @@ def test_jp_coloring_proper_and_deterministic():
         i, j = idx[r.src], idx[r.dst]
         if colored[i] and colored[j]:
             assert c3[i] != c3[j]
+
+
+def test_build_graph_distributed_ids_matches_driver_path(tmp_path):
+    """The distributed-id build (no O(V) driver state) must produce the
+    same GRAPH: per-name pagerank equal to the broadcast-names build, and
+    decode via hash join instead of a driver vector."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from bluegraph_ray.stages.build import (build_graph,
+                                            build_graph_distributed_ids,
+                                            decode_ids, load_graph)
+    from bluegraph_ray.stages.pagerank import pagerank
+
+    rng = np.random.default_rng(11)
+    n_names = 120
+    names = np.array([f"v{i:04d}" for i in range(n_names)])
+    e = pd.DataFrame({
+        "src": names[rng.integers(0, n_names, 700)],
+        "dst": names[rng.integers(0, n_names, 700)],
+    })
+    e = e[e.src != e.dst].drop_duplicates(["src", "dst"]).reset_index(drop=True)
+    eds = ray.data.from_pandas(e)
+
+    h_drv = build_graph(eds, directed=False, n_partitions=3,
+                        path=str(tmp_path / "drv"))
+    h_dst = build_graph_distributed_ids(
+        eds, directed=False, n_partitions=3, path=str(tmp_path / "dist"),
+        num_name_bins=8, num_buckets=8)
+
+    assert h_dst.names is None          # the whole point: no driver vector
+    assert h_dst.n == h_drv.n and h_dst.m == h_drv.m
+
+    r_drv = pagerank(h_drv, tol=1e-10)
+    r_dst = pagerank(h_dst, tol=1e-10)
+
+    drv = pd.DataFrame({"name": h_drv.names, "pr": r_drv.values})
+    ids = ray.data.from_pandas(pd.DataFrame({
+        "id": np.arange(h_dst.n, dtype=np.int64), "pr_d": r_dst.values}))
+    dec = decode_ids(h_dst, ids, "id", num_buckets=4).to_pandas() \
+        .rename(columns={"id": "name"})
+    both = drv.merge(dec, on="name")
+    assert len(both) == h_drv.n
+    assert np.allclose(both["pr"], both["pr_d"], atol=1e-9)
+
+    # resume path: manifest round-trips the distributed layout
+    h2 = load_graph(str(tmp_path / "dist"))
+    assert h2.names is None and h2.names_path == h_dst.names_path
+    assert h2.boundaries == h_dst.boundaries
+
+    # driver-held API is refused loudly, not silently wrong
+    import pytest
+    with pytest.raises(ValueError, match="distributed ids"):
+        h_dst.id_of("v0000")
+    with pytest.raises(ValueError, match="distributed ids"):
+        h_dst.names_of(np.array([0]))

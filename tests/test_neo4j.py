@@ -144,3 +144,58 @@ def test_uri_path_gated_without_neo4j_package():
     from bluegraph_ray.sources.neo4j import _default_driver_factory
     with pytest.raises(ImportError, match="driver_factory"):
         _default_driver_factory("bolt://localhost", "u", "p")
+
+
+# ---------------------------------------------------------------------------
+# live-server integration (env-gated — closes SURVEY §2.1's last "partial")
+# ---------------------------------------------------------------------------
+
+_LIVE_URI = os.environ.get("GRAFT_NEO4J_URI")
+
+
+def _have_neo4j_pkg() -> bool:
+    try:
+        import neo4j  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _LIVE_URI or not _have_neo4j_pkg(),
+    reason="live Neo4j integration: set GRAFT_NEO4J_URI (plus optional "
+           "GRAFT_NEO4J_USER/GRAFT_NEO4J_PASS) and install the `neo4j` "
+           "package — neither exists in this container, so the statement "
+           "layer is covered by the fake-driver tests above and this test "
+           "documents + exercises the wire path when a server IS available")
+def test_live_neo4j_round_trip():
+    """Full wire round-trip against a real server: write the property graph
+    through the actor-pool executor, read it back, compare node/edge sets
+    and properties. DESTRUCTIVE on the target database (deletes Entity/
+    RELATED subgraph first) — point GRAFT_NEO4J_URI at a scratch instance."""
+    from bluegraph_ray.sources.neo4j import _default_driver_factory, execute
+
+    user = os.environ.get("GRAFT_NEO4J_USER", "neo4j")
+    pw = os.environ.get("GRAFT_NEO4J_PASS", "neo4j")
+
+    def factory():
+        return _default_driver_factory(_LIVE_URI, user, pw)
+
+    drv = factory()
+    execute(drv, "MATCH (n:Entity) DETACH DELETE n")
+
+    frame = _frame()
+    counts = pgframe_to_neo4j(
+        frame, driver_factory=factory, node_label="Entity",
+        edge_label="RELATED", batch_size=2)
+    assert counts["nodes"] >= 1 and counts["edges"] >= 1
+
+    back = neo4j_to_pgframe(
+        execute_fn=functools.partial(execute, drv),
+        node_label="Entity", edge_label="RELATED")
+    assert sorted(back.nodes()) == sorted(frame.nodes())
+    assert sorted(map(tuple, back.edges())) == sorted(map(tuple, frame.edges()))
+    # property round-trip on one typed node
+    orig = frame.nodes_df().set_index(ID)
+    got = back.nodes_df().set_index(ID)
+    assert float(got.loc["a", "score"]) == float(orig.loc["a", "score"])

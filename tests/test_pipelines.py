@@ -2273,3 +2273,45 @@ def test_concurrency_histogram_matches_bruteforce():
     pos = (out[out["concurrent"] > 0]
            .groupby("event_type")["dwell_us"].sum())
     assert (pos == cov.loc[pos.index]).all()
+
+
+def test_arrow_text_kernels_match_pandas():
+    """The pyarrow-native text stages must reproduce the pandas stages
+    bit-for-bit (same rounding, same language tie rule) — the DuckDB
+    oracles replay the pandas semantics, so equivalence here is what lets
+    a pipeline switch paths freely."""
+    import pyarrow as pa
+
+    from bluegraph_ray.pipelines.text import (LangId, LangIdArrow,
+                                              QualityScore,
+                                              QualityScoreArrow, TextStats,
+                                              TextStatsArrow)
+
+    texts = [
+        "the quick brown fox and the lazy dog of to a",
+        "le chat et la porte de les maisons",
+        "der hund und die katze ist das",
+        "el perro y la casa de los gatos",
+        "一二三四五六七八九十 mixed 中文 text here",
+        "",
+        " ",
+        "word",
+        "a a a a a the the of of to",
+        "Üppercase ÄÖÜ ß and MIXED Case Tokens the and",
+        "x " * 300,  # >200 tokens, exercises the slice
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    tbl = pa.Table.from_pandas(df)
+
+    p = TextStats("text")(df.copy())
+    a = TextStatsArrow("text")(tbl).to_pandas()
+    for c in ["n_chars", "n_tokens", "n_types", "stop_ratio"]:
+        assert (p[c].to_numpy() == a[c].to_numpy()).all(), c
+
+    p = QualityScore("text")(df.copy())
+    a = QualityScoreArrow("text")(tbl).to_pandas()
+    assert (p["quality"].to_numpy() == a["quality"].to_numpy()).all()
+
+    p = LangId("text")(df.copy())
+    a = LangIdArrow("text")(tbl).to_pandas()
+    assert list(p["pred_lang"]) == list(a["pred_lang"])
