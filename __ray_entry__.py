@@ -1397,6 +1397,32 @@ def _edge_pairs(sf_dir: str) -> pd.DataFrame:
     ], ignore_index=True)
 
 
+def _a2v_w0() -> np.ndarray:
+    """Shared seeded init for the attri2vec one-step oracle: exact 4-decimal
+    entries so the SQL side can inline them as literals (same numbers, same
+    generator, both sides)."""
+    rng = np.random.default_rng(5)
+    return np.round(rng.normal(0.0, 0.5, size=(2, 4)), 4)
+
+
+def q_attri2vec_step1(sf_dir: str):
+    """ONE deterministic full-batch attri2vec SGD step with hash-drawn
+    negatives (pipelines/sage.attri2vec_step) — the model-zoo training loop
+    made value-oracle-checkable: sigmoid encoder replayed term-for-term in
+    SQL, gradients folded as exact int64 micro-units, emit via shared
+    integer ratio-rounding. Proof of concept for VERDICT r4 item 5 (the
+    multi-epoch fit stays rows-only; its RNG is not SQL-expressible)."""
+    from bluegraph_ray.pipelines.sage import attri2vec_step
+    from bluegraph_ray.util import rename_columns
+
+    edges = _cooc_edges(sf_dir, statistics=("frequency",)) \
+        .select_columns(["src", "dst"])
+    pairs = rename_columns(edges, {"src": "center", "dst": "context"}).union(
+        rename_columns(edges, {"src": "context", "dst": "center"}))
+    return attri2vec_step(_part_features(sf_dir), pairs, W0=_a2v_w0(),
+                          negative=4, lr_div=20, num_buckets=16)
+
+
 def q_attri2vec_embed(sf_dir: str):
     """attri2vec over the part co-occurrence graph: sigmoid feature encoder
     vs free context table, BCE on frequency-weighted edge pairs
@@ -2712,8 +2738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wys_embed": q_wys_embed,
         "node2vec_embed": q_node2vec_embed,
         "deepwalk_embed": q_deepwalk_embed,
-        "attri2vec_embed": q_attri2vec_embed,
+        "attri2vec_step1": q_attri2vec_step1,  # new in r5: full value oracle
         # --- block 2: remaining rows-only fits (driver-checked r4) ------
+        "attri2vec_embed": q_attri2vec_embed,
         # --- then r4-green, r2-green and r3-green blocks (all have ------
         # --- driver-green rows in CORRECTNESS_r02/r03/r04) --------------
         "dsir_weights": q_dsir_weights,
@@ -3512,6 +3539,60 @@ SELECT doc_id,
 FROM m
 """
 
+
+    # attri2vec one-step oracle: seeded W0 literals + the integer
+    # ratio-rounding of util.round_ratio_even written out in SQL (DuckDB
+    # // and % truncate, so the expression runs on ABS with an explicit
+    # sign — engine does the same; see pipelines/sage.attri2vec_step)
+    _W = _a2v_w0()
+
+    def _hexpr(j: int) -> str:
+        w0, w1 = repr(float(_W[0, j])), repr(float(_W[1, j]))
+        return (f"CAST(round(1.0/(1.0 + exp(-((p_retailprice/1000.0)*{w0} "
+                f"+ (p_size/50.0)*{w1})))*1000000.0, 0) AS BIGINT) AS h{j}")
+
+    _hcols = ",\n         ".join(_hexpr(j) for j in range(4))
+    _scols = ", ".join(f"SUM(c.sgn * hu.h{j}) AS s{j}" for j in range(4))
+    _ccols = ",\n  ".join(
+        f"""CASE WHEN s{j} = 0 THEN 0.0 ELSE -SIGN(s{j}) * CAST(
+      (ABS(s{j}) * 1000000) // den
+      + CASE WHEN 2*((ABS(s{j}) * 1000000) % den) > den
+                  OR (2*((ABS(s{j}) * 1000000) % den) = den
+                      AND ((ABS(s{j}) * 1000000) // den) % 2 = 1)
+             THEN 1 ELSE 0 END AS DOUBLE) / 1000000.0 END AS c_{j}"""
+        for j in range(4))
+    _a2v_sql = f"""
+WITH {_EDGES_FREQ},
+prs AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
+                     UNION ALL SELECT dst, src FROM edges),
+nodes AS MATERIALIZED (
+  SELECT p_partkey AS node,
+         ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS rnk,
+         {_hcols}
+  FROM part),
+cands AS (
+  SELECT u, v AS cand, CAST(-1 AS BIGINT) AS sgn FROM prs
+  UNION ALL
+  SELECT p.u, nd.node, CAST(1 AS BIGINT)
+  FROM prs p
+  CROSS JOIN generate_series(1, 4) AS gs(i)
+  JOIN nodes nd ON nd.rnk = CAST(
+    ('0x' || substr(sha256(CAST(p.u AS VARCHAR) || '|' ||
+                           CAST(p.v AS VARCHAR) || '|' ||
+                           CAST(gs.i AS VARCHAR)), 1, 16))::UBIGINT
+    % (SELECT COUNT(*) FROM nodes) AS BIGINT)
+),
+grads AS (
+  SELECT c.cand, {_scols}
+  FROM cands c JOIN nodes hu ON hu.node = c.u
+  GROUP BY 1
+)
+SELECT cand AS node,
+  {_ccols}
+FROM grads,
+     (SELECT 2 * 20 * 1000000 * COUNT(*) AS den FROM prs) AS d
+"""
+
     return {
         "hierarchy_edges": """
 SELECT 'cust:' || c_custkey AS src, 'nation:' || n_name AS dst
@@ -3532,6 +3613,7 @@ UNION ALL
 SELECT DISTINCT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey
 FROM lineitem
 """,
+        "attri2vec_step1": _a2v_sql,
         "sage_agg_parts": f"""
 -- int64 micro-unit sums (cents for retailprice, raw int for size), ONE
 -- final division: bit-exact vs the engine under any summation order

@@ -504,3 +504,127 @@ def embed_batches(
 
     return features.map_batches(fn, batch_format="pandas",
                                 batch_size=batch_size)
+
+
+def attri2vec_step(
+    features,
+    pairs,
+    *,
+    W0: np.ndarray,
+    node: str = "node",
+    center: str = "center",
+    context: str = "context",
+    feature_cols: list[str] | None = None,
+    negative: int = 4,
+    lr_div: int = 20,
+    num_buckets: int = 16,
+) -> "object":
+    """ONE deterministic full-batch attri2vec SGD step on the context table,
+    stated so every intermediate is SQL-replayable — the proof of concept
+    that even the model-zoo training loop is oracle-checkable (round-4
+    VERDICT item 5; the full ``attri2vec_fit`` stays a seeded multi-epoch
+    numpy loop with permutation/negative RNG that SQL cannot replay).
+
+    Spec (engine and DuckDB oracle compute these IDENTICAL doubles):
+
+    - encoder: h_v = sigmoid(Σ_f x_vf · W0[f, j]), products/sums written in
+      feature order on both sides (IEEE ops are deterministic given order);
+      h is then quantized to int64 micro-units ``h_int = round_half_away(
+      h * 1e6)`` so every aggregation below is EXACT integer math, immune
+      to summation order (the repo's micro-unit technique).
+    - context table starts at C0 = 0, so each candidate's score is 0,
+      sigmoid(0) = 1/2, and the BCE gradient is g = -1/2 for the positive
+      context and +1/2 for each negative — absorbed as an integer sign.
+    - negatives: slot i of pair (u, v) draws the node of rank
+      ``sha256(u|v|i) first-8-bytes % n`` in node order — the repo's
+      standard oracle-replayable hash (dedup.py:715 pattern).
+    - update: C1[k, j] = -lr · mean over pair rows of g·h_u[j]
+      = -S[k, j] / (2 · lr_div · 1e6 · m) with S an exact int64 sum and
+      m = COUNT(pairs); emitted as sign(-S) · round_ratio_even(|S|, den, 6)
+      — replayed in SQL with truncating // and %% on nonnegative ints.
+
+    ``W0`` entries must be exact short decimals (caller rounds its seeded
+    init) so the oracle can inline them as literals. Returns a Dataset
+    (node, c_0 … c_{dim-1}) over candidates that received any gradient."""
+    import hashlib
+
+    import ray.data
+    from bluegraph_ray.util import (broadcast_get, hash_aggregate,
+                                    round_ratio_even)
+
+    # --- small-side node table: ranks + quantized encoder outputs ---------
+    pdf = features.to_pandas() if hasattr(features, "to_pandas") and \
+        not isinstance(features, pd.DataFrame) else pd.DataFrame(features)
+    cols = feature_cols or [c for c in pdf.columns if c != node]
+    pdf = pdf.sort_values(node, kind="stable").reset_index(drop=True)
+    n = len(pdf)
+    dim = W0.shape[1]
+    X = pdf[cols].to_numpy(np.float64)
+    # z in feature order: ((x0*w0) + x1*w1) + ... — same association as the
+    # SQL expression text
+    z = np.zeros((n, dim))
+    for f in range(len(cols)):
+        z = z + X[:, f:f + 1] * W0[f]
+    h = 1.0 / (1.0 + np.exp(-z))
+    y = h * 1e6
+    t = np.trunc(y)
+    h_int = (t + (y - t >= 0.5)).astype(np.int64)  # round half away, like
+    # DuckDB round(x, 0); exact-.5 ties are measure-zero for sigmoid outputs
+    names_arr = pdf[node].to_numpy()
+    hint_ref = ray.put(h_int)
+    names_ref = ray.put(names_arr)
+
+    # --- m = full-batch size (driver-side count of the pair table) --------
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_pandas(pairs)
+    m = pairs.count()
+
+    # --- pair scan: emit integer gradient partials ------------------------
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = broadcast_get(names_ref)
+        hi = broadcast_get(hint_ref)
+        pos = pd.Index(nm)
+        u = pos.get_indexer(batch[center].to_numpy())
+        v = pos.get_indexer(batch[context].to_numpy())
+        keep = (u >= 0) & (v >= 0)
+        u, v = u[keep], v[keep]
+        us = batch[center].to_numpy()[keep]
+        vs = batch[context].to_numpy()[keep]
+        cand = [v]
+        sign = [np.full(len(u), -1, dtype=np.int64)]
+        for i in range(1, negative + 1):
+            negs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.sha256(f"{a}|{b}|{i}".encode()).digest()[:8],
+                    "big") % n for a, b in zip(us, vs)),
+                count=len(us), dtype=np.int64)
+            cand.append(negs)
+            sign.append(np.ones(len(u), dtype=np.int64))
+        cand = np.concatenate(cand)
+        sign = np.concatenate(sign)
+        uu = np.concatenate([u] * (negative + 1))
+        contrib = sign[:, None] * hi[uu]                  # (rows, dim) int64
+        out = pd.DataFrame({"_cand": cand})
+        for j in range(dim):
+            out[f"_s{j}"] = contrib[:, j]
+        return out.groupby("_cand", sort=False, as_index=False).sum()
+
+    parts = pairs.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    summed = hash_aggregate(
+        parts, "_cand", {f"_s{j}": (f"_s{j}", "sum") for j in range(dim)},
+        num_buckets=num_buckets)
+
+    den = np.int64(2) * lr_div * 1_000_000 * m
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = broadcast_get(names_ref)
+        out = pd.DataFrame({node: nm[batch["_cand"].to_numpy(np.int64)]})
+        for j in range(dim):
+            S = batch[f"_s{j}"].to_numpy(np.int64)
+            r = round_ratio_even(np.abs(S), np.full(len(S), den), 6)
+            out[f"c_{j}"] = -np.sign(S) * r
+        return out
+
+    return summed.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
