@@ -3570,17 +3570,23 @@ nodes AS MATERIALIZED (
          ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS rnk,
          {_hcols}
   FROM part),
-cands AS (
-  SELECT u, v AS cand, CAST(-1 AS BIGINT) AS sgn FROM prs
-  UNION ALL
-  SELECT p.u, nd.node, CAST(1 AS BIGINT)
-  FROM prs p
-  CROSS JOIN generate_series(1, 4) AS gs(i)
-  JOIN nodes nd ON nd.rnk = CAST(
+negdraw AS MATERIALIZED (
+  -- precomputed hash ranks -> plain equi-join below (a subquery inside
+  -- the join condition nested-loops 1.8M x 2000 rows)
+  SELECT p.u, CAST(
     ('0x' || substr(sha256(CAST(p.u AS VARCHAR) || '|' ||
                            CAST(p.v AS VARCHAR) || '|' ||
                            CAST(gs.i AS VARCHAR)), 1, 16))::UBIGINT
-    % (SELECT COUNT(*) FROM nodes) AS BIGINT)
+    % nn.n AS BIGINT) AS rnk
+  FROM prs p
+  CROSS JOIN generate_series(1, 4) AS gs(i)
+  CROSS JOIN (SELECT COUNT(*) AS n FROM nodes) nn
+),
+cands AS (
+  SELECT u, v AS cand, CAST(-1 AS BIGINT) AS sgn FROM prs
+  UNION ALL
+  SELECT g.u, nd.node, CAST(1 AS BIGINT)
+  FROM negdraw g JOIN nodes nd ON nd.rnk = g.rnk
 ),
 grads AS (
   SELECT c.cand, {_scols}
