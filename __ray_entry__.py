@@ -1314,6 +1314,20 @@ def q_kg_triples(sf_dir: str):
 _KG_CACHE: dict = {}
 
 
+def q_kge_step1(sf_dir: str):
+    """ONE deterministic full-batch DistMult SGD step over the kg_triples
+    extraction (pipelines/kge.distmult_step): sha256-lattice init
+    (no literals — the oracle regenerates E0/R0 from the same hash
+    formula), hash-corrupted objects, int64 nano-unit gradient folds,
+    shared integer ratio-rounding at emit. The KGE companion to
+    attri2vec_step1 — together they make both trainer families
+    value-oracle-checkable at the single-step level."""
+    from bluegraph_ray.pipelines.kge import distmult_step
+
+    return distmult_step(q_kg_triples(sf_dir), dim=4, negative=4,
+                         lr_div=20, num_buckets=16)
+
+
 def _kge_query(sf_dir: str, model: str):
     from bluegraph_ray.pipelines.kge import kge_embeddings
 
@@ -2737,9 +2751,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_graph": q_source_graph,
         "wys_embed": q_wys_embed,
         "node2vec_embed": q_node2vec_embed,
-        "deepwalk_embed": q_deepwalk_embed,
+        "kge_step1": q_kge_step1,              # new in r5: full value oracle
         "attri2vec_step1": q_attri2vec_step1,  # new in r5: full value oracle
         # --- block 2: remaining rows-only fits (driver-checked r4) ------
+        "deepwalk_embed": q_deepwalk_embed,
         "attri2vec_embed": q_attri2vec_embed,
         # --- then r4-green, r2-green and r3-green blocks (all have ------
         # --- driver-green rows in CORRECTNESS_r02/r03/r04) --------------
@@ -3599,6 +3614,91 @@ FROM grads,
      (SELECT 2 * 20 * 1000000 * COUNT(*) AS den FROM prs) AS d
 """
 
+    # DistMult one-step oracle: E0/R0 regenerated from the sha256 lattice
+    # (pipelines/kge._hash_embed), negatives precomputed for an equi-join,
+    # per-row contributions quantized to int64 nano-units, same truncating
+    # ratio-round emit as attri2vec_step1
+    def _kge_e(tbl: str, pfx: str, j: int) -> str:
+        return (f"((('0x' || substr(sha256('{pfx}|' || {tbl} || '|{j}'), "
+                f"1, 16))::UBIGINT % 2001)::BIGINT - 1000) / 10000.0")
+
+    _ecols = ",\n         ".join(
+        f"{_kge_e('e', 'E', j)} AS e{j}" for j in range(4))
+    _rcols = ",\n         ".join(
+        f"{_kge_e('r', 'R', j)} AS r{j}" for j in range(4))
+    _pcols = ", ".join(f"(es.e{j} * rl.r{j}) AS p{j}" for j in range(4))
+    _ocols = ", ".join(f"eo.e{j} AS o{j}" for j in range(4))
+    _score = " + ".join(f"p{j}*o{j}" for j in range(4))
+    _gsum = ", ".join(
+        f"SUM(CAST(round((g * p{j}) * 1000000000.0, 0) AS BIGINT)) AS s{j}"
+        for j in range(4))
+    _kccols = ",\n  ".join(
+        f"""CASE WHEN s{j} = 0 THEN 0.0 ELSE -SIGN(s{j}) * CAST(
+      (ABS(s{j}) * 1000000) // den
+      + CASE WHEN 2*((ABS(s{j}) * 1000000) % den) > den
+                  OR (2*((ABS(s{j}) * 1000000) % den) = den
+                      AND ((ABS(s{j}) * 1000000) // den) % 2 = 1)
+             THEN 1 ELSE 0 END AS DOUBLE) / 1000000.0 END AS c_{j}"""
+        for j in range(4))
+    _kge_sql = f"""
+WITH trip AS MATERIALIZED (
+  SELECT 'cust:' || c_custkey AS src, 'in_nation' AS rel,
+         'nation:' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'in_nation', 'nation:' || s_nationkey
+  FROM supplier
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'placed_by', 'cust:' || o_custkey
+  FROM orders
+  UNION ALL
+  SELECT DISTINCT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey
+  FROM lineitem
+),
+ents AS MATERIALIZED (
+  SELECT e, ROW_NUMBER() OVER (ORDER BY e) - 1 AS rnk,
+         {_ecols}
+  FROM (SELECT DISTINCT src AS e FROM trip
+        UNION SELECT dst FROM trip)),
+rels AS MATERIALIZED (
+  SELECT r, {_rcols}
+  FROM (SELECT DISTINCT rel AS r FROM trip)),
+negdraw AS MATERIALIZED (
+  SELECT t.src, t.rel, CAST(
+    ('0x' || substr(sha256(t.src || '|' || t.rel || '|' || t.dst || '|' ||
+                           CAST(gs.i AS VARCHAR)), 1, 16))::UBIGINT
+    % nn.n AS BIGINT) AS rnk
+  FROM trip t
+  CROSS JOIN generate_series(1, 4) AS gs(i)
+  CROSS JOIN (SELECT COUNT(*) AS n FROM ents) nn
+),
+rws AS (
+  SELECT src AS s, rel AS r, dst AS cand, 1.0 AS y FROM trip
+  UNION ALL
+  SELECT g.src, g.rel, nd.e, 0.0 FROM negdraw g
+  JOIN ents nd ON nd.rnk = g.rnk
+),
+feat AS (
+  SELECT rw.cand, rw.y, {_pcols}, {_ocols}
+  FROM rws rw
+  JOIN ents es ON es.e = rw.s
+  JOIN rels rl ON rl.r = rw.r
+  JOIN ents eo ON eo.e = rw.cand
+),
+gg AS (
+  SELECT cand, 1.0/(1.0 + exp(-({_score}))) - y AS g,
+         p0, p1, p2, p3
+  FROM feat
+),
+grads AS (
+  SELECT cand, {_gsum}
+  FROM gg GROUP BY 1
+)
+SELECT cand AS node,
+  {_kccols}
+FROM grads,
+     (SELECT 20 * 1000000000 * COUNT(*) AS den FROM trip) AS d
+"""
+
     return {
         "hierarchy_edges": """
 SELECT 'cust:' || c_custkey AS src, 'nation:' || n_name AS dst
@@ -3620,6 +3720,7 @@ SELECT DISTINCT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey
 FROM lineitem
 """,
         "attri2vec_step1": _a2v_sql,
+        "kge_step1": _kge_sql,
         "sage_agg_parts": f"""
 -- int64 micro-unit sums (cents for retailprice, raw int for size), ONE
 -- final division: bit-exact vs the engine under any summation order

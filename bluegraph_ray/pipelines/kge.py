@@ -235,3 +235,139 @@ def score_triples(
 
     return triples.map_batches(fn, batch_format="pandas",
                                batch_size=batch_size)
+
+
+def _hash_embed(keys, prefix: str, dim: int) -> np.ndarray:
+    """Deterministic SQL-replayable init: entry (k, j) =
+    ((sha256(f"{prefix}|{k}|{j}") first-8-bytes % 2001) - 1000) / 10000.0 —
+    exact 4-decimal values in [-0.1, 0.1] that DuckDB regenerates with the
+    same sha256-prefix expression (the repo's standard oracle hash)."""
+    import hashlib
+
+    out = np.empty((len(keys), dim), dtype=np.float64)
+    for i, k in enumerate(keys):
+        for j in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"{prefix}|{k}|{j}".encode()).digest()[:8],
+                "big")
+            out[i, j] = (h % 2001 - 1000) / 10000.0
+    return out
+
+
+def distmult_step(
+    triples,
+    *,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+    dim: int = 4,
+    negative: int = 4,
+    lr_div: int = 20,
+    num_buckets: int = 16,
+):
+    """ONE deterministic full-batch DistMult SGD step on the entity table,
+    every intermediate SQL-replayable — the KGE companion to
+    ``pipelines/sage.attri2vec_step`` (round-4 VERDICT item 5; the
+    multi-epoch ``kge_embeddings`` fit stays rows-only).
+
+    Spec shared with the DuckDB oracle (identical doubles by construction):
+
+    - init: E0 / R0 from :func:`_hash_embed` (sha256-lattice exact
+      decimals; no RNG state, no literals to inline beyond the formula);
+    - score(s, r, cand) = (((p0·o0 + p1·o1) + p2·o2) + p3·o3) with
+      p_j = E0[s,j]·R0[r,j] — parenthesization fixed to match the SQL
+      expression text, so the doubles are bit-identical;
+    - negatives: slot i corrupts the object to the entity of rank
+      sha256(s|r|o|i) % n_ent in sorted-entity order;
+    - gradient of the sigmoid-BCE wrt E[cand, j] is g·p_j with
+      g = sigmoid(score) − y; each row's contribution is quantized to
+      int64 nano-units ``round_half_away((g·p_j)·1e9)`` so the global fold
+      is EXACT integer math under any block order;
+    - update: −lr · mean over positive triples m, emitted as
+      sign · round_ratio_even(|S|, lr_div·1e9·m, 6).
+
+    The entity vocabulary is collected driver-side (it IS the id map —
+    same small-side contract as the trainers); the triple scan itself is
+    distributed. Returns Dataset (node, c_0 … c_{dim-1})."""
+    import hashlib
+
+    import ray.data
+    from bluegraph_ray.util import (broadcast_get, hash_aggregate,
+                                    hash_distinct, rename_columns,
+                                    round_ratio_even)
+
+    if isinstance(triples, pd.DataFrame):
+        triples = ray.data.from_pandas(triples)
+    trip = triples.select_columns([src, rel, dst]).materialize()
+    m = trip.count()
+
+    ents = np.sort(hash_distinct(
+        rename_columns(trip.select_columns([src]), {src: "e"}).union(
+            rename_columns(trip.select_columns([dst]), {dst: "e"})),
+        "e", num_buckets=num_buckets).to_pandas()["e"].to_numpy())
+    rels = np.sort(pd.unique(trip.select_columns([rel]).to_pandas()[rel]
+                             .to_numpy()))
+    n_ent = len(ents)
+    E0 = _hash_embed(ents, "E", dim)
+    R0 = _hash_embed(rels, "R", dim)
+    e_ref, E_ref = ray.put(ents), ray.put(E0)
+    r_ref, R_ref = ray.put(rels), ray.put(R0)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ent_idx = pd.Index(broadcast_get(e_ref))
+        rel_idx = pd.Index(broadcast_get(r_ref))
+        E = broadcast_get(E_ref)
+        R = broadcast_get(R_ref)
+        s = ent_idx.get_indexer(batch[src].to_numpy())
+        r = rel_idx.get_indexer(batch[rel].to_numpy())
+        o = ent_idx.get_indexer(batch[dst].to_numpy())
+        P = E[s] * R[r]                                   # (rows, dim)
+        cands, ys = [o], [np.ones(len(s))]
+        ss, rr, oo = (batch[src].to_numpy(), batch[rel].to_numpy(),
+                      batch[dst].to_numpy())
+        for i in range(1, negative + 1):
+            negs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.sha256(f"{a}|{b}|{c}|{i}".encode()).digest()[:8],
+                    "big") % n_ent for a, b, c in zip(ss, rr, oo)),
+                count=len(s), dtype=np.int64)
+            cands.append(negs)
+            ys.append(np.zeros(len(s)))
+        out_rows = []
+        for cand, y in zip(cands, ys):
+            Ec = E[cand]
+            # left-fold sum, matching the SQL text ((t0+t1)+t2)+...
+            score = P[:, 0] * Ec[:, 0]
+            for j in range(1, dim):
+                score = score + P[:, j] * Ec[:, j]
+            g = 1.0 / (1.0 + np.exp(-score)) - y
+            part = pd.DataFrame({"_cand": cand})
+            for j in range(dim):
+                yv = (g * P[:, j]) * 1e9
+                t = np.trunc(yv)
+                part[f"_s{j}"] = (
+                    t + np.copysign((np.abs(yv - t) >= 0.5)
+                                    .astype(np.float64), yv)
+                ).astype(np.int64)
+            out_rows.append(part)
+        out = pd.concat(out_rows, ignore_index=True)
+        return out.groupby("_cand", sort=False, as_index=False).sum()
+
+    parts = trip.map_batches(partial, batch_format="pandas",
+                             batch_size=None)
+    summed = hash_aggregate(
+        parts, "_cand", {f"_s{j}": (f"_s{j}", "sum") for j in range(dim)},
+        num_buckets=num_buckets)
+    den = np.int64(lr_div) * 1_000_000_000 * m
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        names = broadcast_get(e_ref)
+        out = pd.DataFrame({"node": names[batch["_cand"].to_numpy(np.int64)]})
+        for j in range(dim):
+            S = batch[f"_s{j}"].to_numpy(np.int64)
+            rr_ = round_ratio_even(np.abs(S), np.full(len(S), den), 6)
+            out[f"c_{j}"] = -np.sign(S) * rr_
+        return out
+
+    return summed.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

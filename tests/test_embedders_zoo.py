@@ -574,3 +574,59 @@ def test_mean_neighbor_exact_decimal_bitwise_stable_under_block_order():
     from bluegraph_ray.util import round_ratio_even
     assert round_ratio_even(np.array([1615]), np.array([3200]))[0] == 0.504688
     assert round_ratio_even(np.array([-1585]), np.array([3200]))[0] == -0.495312
+
+
+def test_single_step_trainer_oracles_deterministic_under_block_order():
+    """attri2vec_step / distmult_step are the SQL-checkable single-step
+    trainers: their int64-quantized gradient folds must be bitwise
+    identical under any input block layout (that's the whole point of the
+    micro-unit quantization)."""
+    import ray
+
+    from bluegraph_ray.pipelines.kge import distmult_step
+    from bluegraph_ray.pipelines.sage import attri2vec_step
+
+    rng = np.random.default_rng(9)
+    n = 30
+    feats = pd.DataFrame({
+        "node": np.arange(n, dtype=np.int64),
+        "f0": rng.integers(0, 1000, n) / 100.0,
+        "f1": rng.integers(0, 50, n) / 50.0,
+    })
+    e = pd.DataFrame({
+        "center": rng.integers(0, n, 300),
+        "context": rng.integers(0, n, 300),
+    })
+    e = e[e.center != e.context].reset_index(drop=True)
+    W0 = np.round(np.random.default_rng(5).normal(0, 0.5, (2, 4)), 4)
+
+    def run_a2v(nb):
+        return attri2vec_step(
+            feats, ray.data.from_pandas(e, override_num_blocks=nb),
+            W0=W0, negative=2, num_buckets=4,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+
+    a, b = run_a2v(1), run_a2v(5)
+    assert a["node"].tolist() == b["node"].tolist()
+    for j in range(4):
+        assert (a[f"c_{j}"].to_numpy() == b[f"c_{j}"].to_numpy()).all()
+    # gradients are nonzero somewhere (the step did something)
+    assert np.abs(a[[f"c_{j}" for j in range(4)]].to_numpy()).max() > 0
+
+    trip = pd.DataFrame({
+        "src": [f"s{i % 7}" for i in range(60)],
+        "rel": [f"r{i % 2}" for i in range(60)],
+        "dst": [f"o{i % 11}" for i in range(60)],
+    }).drop_duplicates().reset_index(drop=True)
+
+    def run_kge(nb):
+        return distmult_step(
+            ray.data.from_pandas(trip, override_num_blocks=nb),
+            negative=2, num_buckets=4,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+
+    a, b = run_kge(1), run_kge(4)
+    assert a["node"].tolist() == b["node"].tolist()
+    for j in range(4):
+        assert (a[f"c_{j}"].to_numpy() == b[f"c_{j}"].to_numpy()).all()
+    assert np.abs(a[[f"c_{j}" for j in range(4)]].to_numpy()).max() > 0

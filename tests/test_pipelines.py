@@ -2315,3 +2315,33 @@ def test_arrow_text_kernels_match_pandas():
     p = LangId("text")(df.copy())
     a = LangIdArrow("text")(tbl).to_pandas()
     assert list(p["pred_lang"]) == list(a["pred_lang"])
+
+
+def test_dedup_clusters_distributed_ids_matches():
+    """distributed_ids=True (no driver-held name vector in the pair-graph
+    build; per-component MIN doc id computed explicitly because hash-order
+    ids lose the name-sorted min-id shortcut) must return EXACTLY the
+    default path's output."""
+    import ray
+
+    rng = np.random.default_rng(3)
+    base = ["alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "red orange yellow green blue indigo violet"]
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(base[i % 3] if i % 4 != 3
+                     else f"unique document number {i} stands alone fully")
+        ids.append(i)
+    df = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                       "text": texts})
+    kw = dict(threshold=0.5, k=3, hash_mode="fast", n_partitions=2,
+              num_buckets=4)
+    a = (dedup.dedup_clusters(ray.data.from_pandas(df), **kw)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dedup.dedup_clusters(ray.data.from_pandas(df),
+                              distributed_ids=True, **kw)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+    assert a["is_representative"].tolist() == b["is_representative"].tolist()
