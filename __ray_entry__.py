@@ -3696,7 +3696,7 @@ grads AS (
 SELECT cand AS node,
   {_kccols}
 FROM grads,
-     (SELECT 20 * 1000000000 * COUNT(*) AS den FROM trip) AS d
+     (SELECT 20::BIGINT * 1000000000::BIGINT * COUNT(*) AS den FROM trip) AS d
 """
 
     return {
