@@ -1023,6 +1023,7 @@ def dedup_clusters(
         from bluegraph_ray.stages.components import connected_components
 
         if distributed_ids:
+            from bluegraph_ray.stages.build import decode_ids
             from bluegraph_ray.util import (hash_aggregate, hash_join,
                                             rename_columns)
 
@@ -1033,16 +1034,15 @@ def dedup_clusters(
             # labels are dense-id ints (the engine-wide O(V)-ints state
             # bound). Distributed ids are HASH-ordered, so the component's
             # min dense id is NOT its min doc id — decode to doc ids by
-            # join, then take the per-component MIN doc id explicitly (the
-            # driver path gets this for free from name-sorted ids).
+            # join (stages.build.decode_ids), then take the per-component
+            # MIN doc id explicitly (the driver path gets this for free
+            # from name-sorted ids).
             labels = ray.data.from_pandas(pd.DataFrame({
                 "id": np.arange(handle.n, dtype=np.int64),
                 "lab": np.asarray(res.values, dtype=np.int64)}))
-            ids = handle.names_dataset()
-            decoded = hash_join(
-                labels, rename_columns(ids, {"name": id_col}),
-                on="id", num_buckets=num_buckets).select_columns(
-                    [id_col, "lab"]).materialize()
+            decoded = rename_columns(
+                decode_ids(handle, labels, "id", num_buckets=num_buckets),
+                {"id": id_col}).materialize()
             mins = hash_aggregate(decoded, "lab",
                                   {"cluster": (id_col, "min")},
                                   num_buckets=num_buckets)

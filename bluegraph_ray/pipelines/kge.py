@@ -305,8 +305,8 @@ def distmult_step(
         rename_columns(trip.select_columns([src]), {src: "e"}).union(
             rename_columns(trip.select_columns([dst]), {dst: "e"})),
         "e", num_buckets=num_buckets).to_pandas()["e"].to_numpy())
-    rels = np.sort(pd.unique(trip.select_columns([rel]).to_pandas()[rel]
-                             .to_numpy()))
+    from bluegraph_ray.util import distinct_values
+    rels = distinct_values(trip.select_columns([rel]), rel)
     n_ent = len(ents)
     E0 = _hash_embed(ents, "E", dim)
     R0 = _hash_embed(rels, "R", dim)
@@ -341,14 +341,11 @@ def distmult_step(
             for j in range(1, dim):
                 score = score + P[:, j] * Ec[:, j]
             g = 1.0 / (1.0 + np.exp(-score)) - y
+            from bluegraph_ray.util import round_half_away
             part = pd.DataFrame({"_cand": cand})
             for j in range(dim):
-                yv = (g * P[:, j]) * 1e9
-                t = np.trunc(yv)
-                part[f"_s{j}"] = (
-                    t + np.copysign((np.abs(yv - t) >= 0.5)
-                                    .astype(np.float64), yv)
-                ).astype(np.int64)
+                part[f"_s{j}"] = round_half_away(
+                    (g * P[:, j]) * 1e9).astype(np.int64)
             out_rows.append(part)
         out = pd.concat(out_rows, ignore_index=True)
         return out.groupby("_cand", sort=False, as_index=False).sum()

@@ -566,10 +566,9 @@ def attri2vec_step(
     for f in range(len(cols)):
         z = z + X[:, f:f + 1] * W0[f]
     h = 1.0 / (1.0 + np.exp(-z))
-    y = h * 1e6
-    t = np.trunc(y)
-    h_int = (t + (y - t >= 0.5)).astype(np.int64)  # round half away, like
-    # DuckDB round(x, 0); exact-.5 ties are measure-zero for sigmoid outputs
+    from bluegraph_ray.util import round_half_away
+    # DuckDB round(x, 0) rule; exact-.5 ties are measure-zero for sigmoids
+    h_int = round_half_away(h * 1e6).astype(np.int64)
     names_arr = pdf[node].to_numpy()
     hint_ref = ray.put(h_int)
     names_ref = ray.put(names_arr)

@@ -551,6 +551,28 @@ def event_zscores(
     return joined.map_batches(z, batch_format="pandas", batch_size=None)
 
 
+_NULL_KEY = "\x00<null>"  # sentinel for null keys inside the keyed sweeps:
+# NaN/None can't survive as dict keys across serialization (the driver-side
+# entering/nxt_first tables) nor pandas/Ray groupby folds consistently, so
+# nulls ride as this string and are restored to None at emit — matching the
+# oracles, which keep NULL as a group (code-review r5 findings 1-2).
+
+
+def _null_to_sentinel(k: np.ndarray) -> np.ndarray:
+    k = np.asarray(k, dtype=object)
+    mask = pd.isna(k)
+    if mask.any():
+        k = k.copy()
+        k[mask] = _NULL_KEY
+    return k
+
+
+def _sentinel_to_null(arr) -> np.ndarray:
+    a = np.asarray(arr, dtype=object)
+    a[a == _NULL_KEY] = None
+    return a
+
+
 def _guarded_span(lo: int, hi: int, num_bins: int) -> int:
     """``hi - lo + 1`` with an overflow guard: ``to_bin`` computes
     ``(t - lo) * num_bins`` in int64, so a span wider than
@@ -702,7 +724,7 @@ def concurrency_peaks(
             batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
         keep = dur > 0
         s = s[keep]
-        k = batch[key_col].to_numpy()[keep]
+        k = _null_to_sentinel(batch[key_col].to_numpy()[keep])
         kk = np.concatenate([k, k])
         t = np.concatenate([s, s + dur[keep]])
         d = np.concatenate([np.ones(len(s), dtype=np.int64),
@@ -774,7 +796,7 @@ def concurrency_peaks(
                             ascending=[True, False, True], kind="mergesort")
     best = cand.groupby("k", sort=True, as_index=False).first()
     return ray.data.from_pandas(pd.DataFrame({
-        key_col: best["k"],
+        key_col: _sentinel_to_null(best["k"]),
         "peak_concurrent": best["c"].astype(np.int64),
         "peak_t_us": best["t"].astype(np.int64)}))
 
@@ -806,7 +828,7 @@ def interval_coverage(
             batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
         keep = dur > 0
         s = s[keep]
-        k = batch[key_col].to_numpy()[keep]
+        k = _null_to_sentinel(batch[key_col].to_numpy()[keep])
         out = pd.DataFrame({
             "k": np.concatenate([k, k]),
             "t": np.concatenate([s, s + dur[keep]]),
@@ -885,7 +907,7 @@ def interval_coverage(
                          num_buckets=4)
 
     def rename(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key_col: batch["k"],
+        return pd.DataFrame({key_col: _sentinel_to_null(batch["k"]),
                              "covered_us": batch["covered_us"].astype(np.int64)})
 
     return out.map_batches(rename, batch_format="pandas", batch_size=None)
@@ -918,7 +940,7 @@ def concurrency_histogram(
             batch[dur_col].to_numpy(np.float64) * 1e6).astype(np.int64)
         keep = dur > 0
         s = s[keep]
-        k = batch[key_col].to_numpy()[keep]
+        k = _null_to_sentinel(batch[key_col].to_numpy()[keep])
         out = pd.DataFrame({
             "k": np.concatenate([k, k]),
             "t": np.concatenate([s, s + dur[keep]]),
@@ -1001,7 +1023,7 @@ def concurrency_histogram(
                          {"dwell_us": ("dwell_us", "sum")}, num_buckets=4)
 
     def rename(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key_col: batch["k"],
+        return pd.DataFrame({key_col: _sentinel_to_null(batch["k"]),
                              "concurrent": batch["concurrent"].astype(np.int64),
                              "dwell_us": batch["dwell_us"].astype(np.int64)})
 

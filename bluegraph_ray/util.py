@@ -358,11 +358,18 @@ def duckdb_round_even(x: np.ndarray, decimals: int = 6) -> np.ndarray:
     (round-5 session). Exact for |x * 10^(n+1)| < 2^52."""
     x = np.asarray(x, dtype=np.float64)
     p = 10.0 ** decimals
-
-    def _std_round(y: np.ndarray) -> np.ndarray:
-        t = np.trunc(y)
-        return t + np.copysign((np.abs(y - t) >= 0.5).astype(np.float64), y)
-
     tie = np.fmod(np.abs(x) * (10.0 ** (decimals + 1)), 10.0) == 5.0
-    return np.where(tie, _std_round((x / 2) * p) / p * 2,
-                    _std_round(x * p) / p)
+    return np.where(tie, round_half_away((x / 2) * p) / p * 2,
+                    round_half_away(x * p) / p)
+
+
+def round_half_away(y: np.ndarray) -> np.ndarray:
+    """C++ ``std::round`` / DuckDB ``round(x, 0)``: round half AWAY from
+    zero, computed exactly for |y| < 2^52 (trunc + exact-fraction compare —
+    the naive ``floor(y + 0.5)`` misrounds when the float add crosses a
+    representability boundary). The single shared site for the oracle's
+    integer-quantization rule (used by duckdb_round_even and both
+    single-step trainer quantizers)."""
+    y = np.asarray(y, dtype=np.float64)
+    t = np.trunc(y)
+    return t + np.copysign((np.abs(y - t) >= 0.5).astype(np.float64), y)

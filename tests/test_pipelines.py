@@ -2345,3 +2345,44 @@ def test_dedup_clusters_distributed_ids_matches():
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["cluster"].tolist() == b["cluster"].tolist()
     assert a["is_representative"].tolist() == b["is_representative"].tolist()
+
+
+def test_keyed_sweeps_handle_null_keys():
+    """Null event_type rows must flow through the keyed sweep-line ops as
+    their own group (the oracles keep NULL groups) — r5 code-review
+    regression: NaN keys crashed interval_coverage and silently vanished
+    from peaks/histogram."""
+    import ray
+
+    from bluegraph_ray.pipelines.windows import (concurrency_histogram,
+                                                 concurrency_peaks,
+                                                 interval_coverage)
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:00:30",
+        "2024-01-01 00:02:00", "2024-01-01 00:02:30",
+        "2024-01-01 10:00:00", "2024-01-01 10:00:10",
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "ts": ts,
+        "value": [60.0, 60.0, 60.0, 60.0, 30.0, 30.0],
+        "event_type": ["a", None, "a", None, None, None],
+    })
+    ev = ray.data.from_pandas(df)
+
+    cov = interval_coverage(ev, num_bins=4).to_pandas()
+    got = {k: v for k, v in zip(cov["event_type"], cov["covered_us"])}
+    # 'a': two disjoint 60s intervals = 120s
+    assert got["a"] == 120_000_000
+    # null key: 60s + 60s + union of two 30s intervals overlapping by 20s
+    assert got[None] == 60_000_000 + 60_000_000 + 40_000_000
+
+    pk = concurrency_peaks(ev, num_bins=4).to_pandas()
+    gp = {k: v for k, v in zip(pk["event_type"], pk["peak_concurrent"])}
+    assert gp["a"] == 1 and gp[None] == 2  # the 10:00 pair overlaps
+
+    hist = concurrency_histogram(ev, num_bins=4).to_pandas()
+    hnull = hist[hist["event_type"].isna()]
+    # dwell at level 2 for the overlapping 20s
+    lvl = {int(r.concurrent): int(r.dwell_us) for r in hnull.itertuples()}
+    assert lvl.get(2) == 20_000_000

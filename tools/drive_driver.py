@@ -107,7 +107,7 @@ def main():
             flag = "" if status == "ok" or "rows_only_ok" in status \
                 else ("  <<< INEXACT" if "INEXACT" in status else "  <<< FAIL")
             print(f"{name:28s} {len(res):8d} rows  {dt:6.2f}s  {status}{flag}")
-            if "ok" not in status:
+            if status != "ok" and status != "rows_only_ok":
                 out["fails"].append(name)
         except Exception as e:
             import traceback
