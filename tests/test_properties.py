@@ -194,3 +194,66 @@ def test_segment_affine_min_matches_naive(hashes, seg_sizes, chunk):
             seg = h[bounds[d]:bounds[d + 1]]
             want = (mh.a[:8, None] * seg[None, :] + mh.b[:8, None]).min(axis=1)
             assert (got[d] == want).all()
+
+
+@given(
+    p=st.integers(min_value=0, max_value=10_000_000),
+    q=st.integers(min_value=1, max_value=100_000),
+    neg=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_ratio_even_matches_exact_rational(p, q, neg):
+    """round_ratio_even(p, q, 6) must equal the mathematically exact
+    half-even rounding of the rational p/q (Fraction arithmetic), including
+    true ties and negatives — this is the engine-side contract that float
+    np.round cannot honor."""
+    from fractions import Fraction
+
+    from bluegraph_ray.util import round_ratio_even
+
+    if neg:
+        p = -p
+    got = round_ratio_even(np.array([p]), np.array([q]))[0]
+    scaled = Fraction(p, q) * 10**6
+    fl = scaled.numerator // scaled.denominator
+    rem2 = 2 * (scaled - fl)
+    if rem2 > 1 or (rem2 == 1 and fl % 2 != 0):
+        fl += 1
+    assert got == fl / 1e6
+
+
+@given(
+    x=st.one_of(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        # exact-decimal rationals — the tie-rich family
+        st.tuples(st.integers(0, 10_000_000), st.integers(1, 1000)).map(
+            lambda t: t[0] / (100.0 * t[1])),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_duckdb_round_even_matches_live_duckdb(x):
+    """util.duckdb_round_even is a bit-exact replica of DuckDB's
+    round_even macro — pinned against the live engine, not a fixture."""
+    import duckdb
+
+    from bluegraph_ray.util import duckdb_round_even
+
+    want = duckdb.sql(
+        "SELECT round_even(?::DOUBLE, 6)", params=[float(x)]).fetchone()[0]
+    got = duckdb_round_even(np.array([x]))[0]
+    assert got == want, (x, got, want)
+
+
+@given(y=st.floats(min_value=-1e12, max_value=1e12,
+                   allow_nan=False, allow_infinity=False))
+@settings(max_examples=300, deadline=None)
+def test_round_half_away_matches_duckdb_round0(y):
+    import duckdb
+
+    from bluegraph_ray.util import round_half_away
+
+    want = duckdb.sql("SELECT round(?::DOUBLE, 0)",
+                      params=[float(y)]).fetchone()[0]
+    got = round_half_away(np.array([y]))[0]
+    assert got == want, (y, got, want)
