@@ -1047,7 +1047,9 @@ def dedup_clusters(
                                   {"cluster": (id_col, "min")},
                                   num_buckets=num_buckets)
             lab_ds = hash_join(decoded, mins, on="lab",
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets,
+                               right_schema={"lab": np.int64,
+                                             "cluster": np.int64})
 
             def add_pri(b: pd.DataFrame) -> pd.DataFrame:
                 return pd.DataFrame({

@@ -66,7 +66,10 @@ def top_revenue_orders(
         rollup,
         orders.select_columns(
             ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
-        on="o_orderkey", how="inner", num_buckets=num_buckets)
+        on="o_orderkey", how="inner", num_buckets=num_buckets,
+        # known intermediate schema: without it the join resolves the
+        # rollup's schema by EXECUTING the aggregate a second time
+        left_schema={"o_orderkey": np.int64, "revenue": np.float64})
 
     def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -171,7 +174,9 @@ def regional_nation_revenue(
 
     fact = hash_join(
         lineitem.map_batches(li_prep, batch_format="pandas", batch_size=None),
-        oc, on="o_orderkey", how="inner", num_buckets=num_buckets)
+        oc, on="o_orderkey", how="inner", num_buckets=num_buckets,
+        # oc is itself a join output — resolving its schema would re-run it
+        right_schema={"o_orderkey": np.int64, "c_nationkey": np.int64})
 
     sup = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
     sup = sup.sort_values("s_suppkey")
@@ -239,7 +244,8 @@ def returned_customer_revenue(
 
     joined = hash_join(
         rollup, orders.select_columns(["o_orderkey", "o_custkey"]),
-        on="o_orderkey", how="inner", num_buckets=num_buckets)
+        on="o_orderkey", how="inner", num_buckets=num_buckets,
+        left_schema={"o_orderkey": np.int64, "revenue": np.float64})
 
     by_cust = hash_aggregate(
         _rename(joined.select_columns(["o_custkey", "revenue"]),
@@ -365,7 +371,9 @@ def large_orders(
         big,
         orders.select_columns(
             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
-        on="o_orderkey", how="inner", num_buckets=num_buckets).to_pandas()
+        on="o_orderkey", how="inner", num_buckets=num_buckets,
+        left_schema={"o_orderkey": np.int64,
+                     "sum_qty": np.float64}).to_pandas()
 
     keys_ref = ray.put(set(joined["o_custkey"].tolist()))
 
@@ -470,7 +478,8 @@ def customers_without_orders(
     joined = hash_join(
         customer.select_columns(
             ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]),
-        active, on="c_custkey", how="left", num_buckets=num_buckets)
+        active, on="c_custkey", how="left", num_buckets=num_buckets,
+        right_schema={"c_custkey": np.int64, "n_orders": np.int64})
 
     def keep_idle(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[batch["n_orders"].isna()]
@@ -543,7 +552,8 @@ def nation_pair_volume(
             ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
              "l_discount"]).map_batches(
             li_prep, batch_format="pandas", batch_size=None),
-        oc, on="o_orderkey", how="inner", num_buckets=num_buckets)
+        oc, on="o_orderkey", how="inner", num_buckets=num_buckets,
+        right_schema={"o_orderkey": np.int64, "c_nationkey": np.int64})
 
     sup = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
     sup = sup.sort_values("s_suppkey")
@@ -715,7 +725,9 @@ def late_shipment_priority(
     joined = hash_join(
         _rename(rollup, {"l_orderkey": "o_orderkey"}),
         orders.map_batches(o_prep, batch_format="pandas", batch_size=None),
-        on="o_orderkey", how="inner", num_buckets=num_buckets)
+        on="o_orderkey", how="inner", num_buckets=num_buckets,
+        left_schema={"o_orderkey": np.int64,
+                     "max_ship": np.dtype("datetime64[us]")})
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         late = batch[batch["max_ship"] > batch["o_orderdate"]]
@@ -793,7 +805,8 @@ def rich_idle_segments(
         customer.select_columns(
             ["c_custkey", "c_acctbal", "c_mktsegment"]).map_batches(
             c_prep, batch_format="pandas", batch_size=None),
-        active, on="c_custkey", how="left", num_buckets=num_buckets)
+        active, on="c_custkey", how="left", num_buckets=num_buckets,
+        right_schema={"c_custkey": np.int64, "n_orders": np.int64})
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0 or "c_mktsegment" not in batch.columns:

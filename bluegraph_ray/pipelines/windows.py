@@ -463,7 +463,13 @@ def user_retention(
         d_idx, batch_format="pandas", batch_size=None)
     first = hash_aggregate(days, key_col, {"d0": ("d", "min")},
                            num_buckets=num_buckets)
-    joined = hash_join(days, first, on=key_col, num_buckets=num_buckets)
+    # state the aggregate's schema: hash_join would otherwise resolve it by
+    # executing the shuffle (and its events scan) a second time
+    from bluegraph_ray.util import schema_dict
+
+    key_dtype = schema_dict(days)[key_col]
+    joined = hash_join(days, first, on=key_col, num_buckets=num_buckets,
+                       right_schema={key_col: key_dtype, "d0": np.int64})
 
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0 or "d0" not in batch.columns:
@@ -525,9 +531,14 @@ def event_zscores(
         prepped, key_col,
         {"n": (None, "count"), "s": ("x", "sum"), "ss": ("x2", "sum")},
         num_buckets=num_buckets)
+    from bluegraph_ray.util import schema_dict
+
+    key_dtype = schema_dict(prepped)[key_col]
     joined = hash_join(
         prepped.select_columns([key_col, id_col, "x"]), stats,
-        on=key_col, num_buckets=num_buckets)
+        on=key_col, num_buckets=num_buckets,
+        right_schema={key_col: key_dtype, "n": np.int64,
+                      "s": np.float64, "ss": np.float64})
 
     def z(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0 or "x" not in batch.columns:

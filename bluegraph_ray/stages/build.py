@@ -450,10 +450,15 @@ def build_graph_distributed_ids(
     ids_ds = ray.data.read_parquet(names_dir)
 
     # --- encode endpoints: two partitioned joins ---------------------------
+    from bluegraph_ray.util import schema_dict
+
     j = hash_join(e, rename_columns(ids_ds, {"name": src, "id": "_sid"}),
                   on=src, num_buckets=num_buckets)
+    # join 1's output schema, stated explicitly: schema() on a join chains
+    # back through the shuffle and would execute it twice
+    j1_schema = {**schema_dict(e), "_sid": np.int64}
     j = hash_join(j, rename_columns(ids_ds, {"name": dst, "id": "_did"}),
-                  on=dst, num_buckets=num_buckets)
+                  on=dst, num_buckets=num_buckets, left_schema=j1_schema)
     keep = ["_sid", "_did"] + ([weight] if weight else [])
     enc = j.select_columns(keep).materialize()  # consumed twice below
 

@@ -177,6 +177,28 @@ def hash_argmin(
     )
 
 
+def schema_dict(ds: "ray.data.Dataset") -> dict:
+    """{column: numpy dtype | None} for EVERY column of a Dataset schema —
+    the full-schema companion to ``_schema_np_dtypes`` (which keeps only
+    int/bool), for feeding ``hash_join``'s left_schema/right_schema. None
+    marks columns with no numpy dtype (strings/objects): their NAME is
+    still part of the schema, they just skip dtype restoration."""
+    import pyarrow as pa
+
+    out: dict = {}
+    sch = ds.schema()
+    for name, t in zip(sch.names, sch.types):
+        try:
+            dt = (np.dtype(t.to_pandas_dtype())
+                  if isinstance(t, pa.DataType) else np.dtype(t))
+            if dt == np.dtype(object):
+                dt = None
+        except (TypeError, NotImplementedError):
+            dt = None
+        out[name] = dt
+    return out
+
+
 def _schema_np_dtypes(ds: "ray.data.Dataset") -> dict:
     """{column: numpy dtype} for the int/bool columns of a Dataset schema
     (Arrow or pandas block format) — the dtypes NaN-union drift destroys."""
@@ -206,13 +228,24 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 64,
     suffix: str = "_r",
+    left_schema: dict | None = None,
+    right_schema: dict | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join: tag side -> bucket by hash(key) -> per-bucket
     pandas merge. Both sides stream; only one bucket pair is in memory per
     task. (Ray 2.49 ships Dataset.join behind the hash-shuffle strategy, which
     shares the per-group-Python aggregate machinery this module exists to
     avoid.) Salting hot keys = raising num_buckets; a key's rows always meet
-    in exactly one bucket."""
+    in exactly one bucket.
+
+    ``left_schema`` / ``right_schema``: optional {col: np.dtype} overrides.
+    Without them the join calls ``Dataset.schema()`` on each input — and
+    when an input is itself the output of an all-to-all (a prior hash_join
+    / groupby), Ray resolves that schema by EXECUTING the upstream shuffle,
+    so a chained join silently runs its first stage twice (measured ~2x on
+    the TPC-H-shaped suite). Callers that know their intermediate schema
+    (they just constructed it) should pass it and keep the whole chain a
+    single streamed execution."""
     on = [on] if isinstance(on, str) else list(on)
 
     def tag(side: str):
@@ -225,10 +258,20 @@ def hash_join(
 
         return f
 
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
-    left_dtypes = _schema_np_dtypes(left)
-    right_dtypes = _schema_np_dtypes(right)
+    if left_schema is not None:
+        left_cols = list(left_schema)
+        left_dtypes = {c: np.dtype(t) for c, t in left_schema.items()
+                       if t is not None}
+    else:
+        left_cols = list(left.schema().names)
+        left_dtypes = _schema_np_dtypes(left)
+    if right_schema is not None:
+        right_cols = list(right_schema)
+        right_dtypes = {c: np.dtype(t) for c, t in right_schema.items()
+                        if t is not None}
+    else:
+        right_cols = list(right.schema().names)
+        right_dtypes = _schema_np_dtypes(right)
 
     both = left.map_batches(tag("l"), batch_format="pandas", batch_size=None).union(
         right.map_batches(tag("r"), batch_format="pandas", batch_size=None)
