@@ -245,12 +245,14 @@ def _hash_embed(keys, prefix: str, dim: int) -> np.ndarray:
     import hashlib
 
     out = np.empty((len(keys), dim), dtype=np.float64)
+    sfx = [str(j).encode() for j in range(dim)]
     for i, k in enumerate(keys):
+        base = hashlib.sha256(f"{prefix}|{k}|".encode())
         for j in range(dim):
-            h = int.from_bytes(
-                hashlib.sha256(f"{prefix}|{k}|{j}".encode()).digest()[:8],
-                "big")
-            out[i, j] = (h % 2001 - 1000) / 10000.0
+            h = base.copy()
+            h.update(sfx[j])
+            out[i, j] = (int.from_bytes(h.digest()[:8], "big")
+                         % 2001 - 1000) / 10000.0
     return out
 
 
@@ -325,12 +327,20 @@ def distmult_step(
         cands, ys = [o], [np.ones(len(s))]
         ss, rr, oo = (batch[src].to_numpy(), batch[rel].to_numpy(),
                       batch[dst].to_numpy())
+        # one sha of the (s|r|o|) prefix per row, slot digests via copied
+        # state — identical bytes to sha256(f"{a}|{b}|{c}|{i}")
+        bases = [hashlib.sha256(f"{a}|{b}|{c}|".encode())
+                 for a, b, c in zip(ss, rr, oo)]
         for i in range(1, negative + 1):
-            negs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.sha256(f"{a}|{b}|{c}|{i}".encode()).digest()[:8],
-                    "big") % n_ent for a, b, c in zip(ss, rr, oo)),
-                count=len(s), dtype=np.int64)
+            sfx = str(i).encode()
+
+            def draw(base):
+                h = base.copy()
+                h.update(sfx)
+                return int.from_bytes(h.digest()[:8], "big") % n_ent
+
+            negs = np.fromiter((draw(b) for b in bases),
+                               count=len(s), dtype=np.int64)
             cands.append(negs)
             ys.append(np.zeros(len(s)))
         out_rows = []

@@ -591,12 +591,18 @@ def attri2vec_step(
         vs = batch[context].to_numpy()[keep]
         cand = [v]
         sign = [np.full(len(u), -1, dtype=np.int64)]
+        bases = [hashlib.sha256(f"{a}|{b}|".encode())
+                 for a, b in zip(us, vs)]
         for i in range(1, negative + 1):
-            negs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.sha256(f"{a}|{b}|{i}".encode()).digest()[:8],
-                    "big") % n for a, b in zip(us, vs)),
-                count=len(us), dtype=np.int64)
+            sfx = str(i).encode()
+
+            def draw(base):
+                h = base.copy()
+                h.update(sfx)
+                return int.from_bytes(h.digest()[:8], "big") % n
+
+            negs = np.fromiter((draw(b) for b in bases),
+                               count=len(us), dtype=np.int64)
             cand.append(negs)
             sign.append(np.ones(len(u), dtype=np.int64))
         cand = np.concatenate(cand)
