@@ -121,6 +121,7 @@ def build_graph(
     coalesce: bool = False,
     names: np.ndarray | None = None,
     pre_encoded: bool = False,
+    max_driver_names: int | None = None,
 ) -> GraphHandle:
     """Edge table Dataset -> CSR partition directories + GraphHandle.
 
@@ -133,6 +134,11 @@ def build_graph(
     ``decode_names=False`` + ``info_out`` contract) — skips the global
     distinct pass and the per-row string->id probe entirely, so no string
     ever moves through this build.
+
+    ``max_driver_names``: explicit budget for the driver-held name vector —
+    raises (naming :func:`build_graph_distributed_ids` as the remedy) when
+    the vertex count exceeds it, instead of silently growing an O(V)
+    driver structure past what the caller planned for.
     """
     import tempfile
 
@@ -169,6 +175,11 @@ def build_graph(
         names = _as_numpy_names(distinct_values(srcs.union(dsts), "v"))
         n = len(names)
         names_ref = ray.put(names)
+    if max_driver_names is not None and n > max_driver_names:
+        raise ValueError(
+            f"build_graph: {n} vertices exceed max_driver_names="
+            f"{max_driver_names}; use build_graph_distributed_ids (no "
+            "driver-held name vector) for graphs at this vertex count")
     P = max(1, min(n_partitions, n))
 
     # --- encode names -> dense ids (ONE string pass per use) --------------

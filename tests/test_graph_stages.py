@@ -1143,3 +1143,33 @@ def test_build_graph_distributed_ids_matches_driver_path(tmp_path):
         h_dst.id_of("v0000")
     with pytest.raises(ValueError, match="distributed ids"):
         h_dst.names_of(np.array([0]))
+
+
+def test_build_graph_driver_budget_routes_to_distributed_path(tmp_path):
+    """The VERDICT-r4 acceptance verbatim: a graph whose name vector would
+    exceed a configured driver budget refuses the driver-held build and
+    passes with the distributed path."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from bluegraph_ray.stages.build import (build_graph,
+                                            build_graph_distributed_ids)
+
+    rng = np.random.default_rng(21)
+    names = np.array([f"n{i:05d}" for i in range(300)])
+    e = pd.DataFrame({"src": names[rng.integers(0, 300, 900)],
+                      "dst": names[rng.integers(0, 300, 900)]})
+    e = e[e.src != e.dst].drop_duplicates().reset_index(drop=True)
+    eds = ray.data.from_pandas(e)
+
+    with pytest.raises(ValueError, match="build_graph_distributed_ids"):
+        build_graph(eds, n_partitions=2, path=str(tmp_path / "a"),
+                    max_driver_names=100)
+
+    h = build_graph_distributed_ids(eds, n_partitions=2,
+                                    path=str(tmp_path / "b"),
+                                    num_name_bins=8, num_buckets=8)
+    assert h.names is None and h.n == len(
+        np.unique(np.concatenate([e.src.to_numpy(), e.dst.to_numpy()])))
