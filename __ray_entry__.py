@@ -388,7 +388,20 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def revenue(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        # int64 micro-units (1e-4 of a currency unit / 1e-2 of a discount
+        # point): extendedprice carries cents, discount carries percent, so
+        # revenue = cents * (100 - pct) is EXACT integer math — the sums
+        # are summation-order-independent and round-2/round-6 emits can't
+        # flip on a true half-grid tie (round-5 residual-risk closure;
+        # round(float Σ, 2) of a 4-decimal sum ties at .xx50)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        pct = np.rint(
+            batch["l_discount"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        batch["rev_u"] = cents * (100 - pct)
+        batch["disc_u"] = pct
         return batch
 
     agg = hash_aggregate(
@@ -396,18 +409,24 @@ def q_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty": ("l_quantity", "sum"),
-            "sum_revenue": ("revenue", "sum"),
-            "sum_disc": ("l_discount", "sum"),
+            "rev_u": ("rev_u", "sum"),
+            "disc_u": ("disc_u", "sum"),
             "count_order": (None, "count"),
         },
         num_buckets=4,
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["avg_disc"] = np.round(batch["sum_disc"] / batch["count_order"], 6)
+        from bluegraph_ray.util import duckdb_round_even
+
+        n = batch["count_order"].to_numpy(np.int64)
+        # identical doubles on both sides: exact int sums, one division
+        batch["avg_disc"] = duckdb_round_even(
+            batch["disc_u"].to_numpy(np.float64) / (100.0 * n), 6)
         batch["sum_qty"] = np.round(batch["sum_qty"], 2)
-        batch["sum_revenue"] = np.round(batch["sum_revenue"], 2)
-        return batch.drop(columns=["sum_disc"])
+        batch["sum_revenue"] = duckdb_round_even(
+            batch["rev_u"].to_numpy(np.float64) / 10000.0, 2)
+        return batch.drop(columns=["disc_u", "rev_u"])
 
     return agg.map_batches(finish, batch_format="pandas")
 
@@ -4049,10 +4068,15 @@ SELECT deg.node,
 FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
 """,
         "pricing_summary": """
+-- revenue/discount as EXACT int64 micro-unit sums (cents x (100-pct),
+-- pct), one division each: order-independent, tie-proof vs the engine
 SELECT l_returnflag, l_linestatus,
   round_even(SUM(l_quantity), 2) AS sum_qty,
-  round_even(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
-  round_even(AVG(l_discount), 6) AS avg_disc,
+  round_even(SUM(CAST(l_extendedprice * 100 AS BIGINT)
+                 * (100 - CAST(l_discount * 100 AS BIGINT)))::DOUBLE
+             / 10000.0, 2) AS sum_revenue,
+  round_even(SUM(CAST(l_discount * 100 AS BIGINT))::DOUBLE
+             / (100.0 * COUNT(*)), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY 1, 2
 """,
@@ -5716,11 +5740,16 @@ LIMIT 20
 """,
         # TPC-H-Q14 shape: PROMO revenue share of 1996-03 shipments
         "promo_share": """
+-- EXACT int64 micro-unit revenue sums (cents x (100-pct)); the ratio is
+-- then (100.0 * Sp) / St on identical doubles -> tie-proof round_even
 SELECT round_even(
-  100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                   THEN l.l_extendedprice * (1 - l.l_discount)
-                   ELSE 0 END)
-        / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+  100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(l.l_extendedprice * 100 AS BIGINT)
+                        * (100 - CAST(l.l_discount * 100 AS BIGINT))
+                   ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * 100 AS BIGINT)
+                   * (100 - CAST(l.l_discount * 100 AS BIGINT)))
+               AS DOUBLE), 6) AS promo_share
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
   AND l.l_shipdate < TIMESTAMP '1996-04-01'

@@ -315,27 +315,37 @@ def promo_revenue_share(
         m = (batch["l_shipdate"] >= lo) & (batch["l_shipdate"] < hi)
         sub = batch.loc[m]
         if len(sub) == 0:
-            return pd.DataFrame({"promo_rev": [0.0], "total_rev": [0.0]})
+            return pd.DataFrame({"promo_u": [np.int64(0)],
+                                 "total_u": [np.int64(0)]})
         pk = broadcast_get(pkeys_ref)
         pr = broadcast_get(promo_ref)
         lpk = sub["l_partkey"].to_numpy(np.int64)
         idx = np.searchsorted(pk, lpk)
         idx = np.clip(idx, 0, len(pk) - 1)
         found = pk[idx] == lpk
-        rev = (sub["l_extendedprice"] * (1 - sub["l_discount"])).to_numpy()
-        rev = np.where(found, rev, 0.0)
+        # EXACT int64 micro-unit revenue (cents x (100-pct)): the partials
+        # sum order-independently, so the final ratio rounds identically
+        # on engine and oracle (round-5 tie-risk closure)
+        cents = np.rint(
+            sub["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        pct = np.rint(
+            sub["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        rev_u = np.where(found, cents * (100 - pct), 0)
         is_promo = found & pr[idx]
-        return pd.DataFrame({"promo_rev": [float(rev[is_promo].sum())],
-                             "total_rev": [float(rev.sum())]})
+        return pd.DataFrame({"promo_u": [int(rev_u[is_promo].sum())],
+                             "total_u": [int(rev_u.sum())]})
 
     parts = lineitem.select_columns(
         ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
     ).map_batches(partial, batch_format="pandas",
                   batch_size=None).to_pandas()
-    promo_rev = float(parts["promo_rev"].sum())
-    total_rev = float(parts["total_rev"].sum())
-    share = 0.0 if total_rev == 0 else 100.0 * promo_rev / total_rev
-    return pd.DataFrame({"promo_share": [np.round(share, 6)]})
+    promo_u = int(parts["promo_u"].sum())
+    total_u = int(parts["total_u"].sum())
+    # same expression text as the SQL (100.0 * Sp) / St -> identical double
+    share = 0.0 if total_u == 0 else 100.0 * float(promo_u) / float(total_u)
+    return pd.DataFrame({"promo_share": duckdb_round_even(
+        np.asarray([share]), 6)})
 
 
 def large_orders(
