@@ -570,7 +570,14 @@ _NULL_KEY = "\x00<null>"  # sentinel for null keys inside the keyed sweeps:
 
 
 def _null_to_sentinel(k: np.ndarray) -> np.ndarray:
+    # key columns are assumed categorical strings (event types, sources —
+    # see the operator docstrings); numeric keys ride as boxed objects,
+    # which is a perf note, not a correctness one
     k = np.asarray(k, dtype=object)
+    if (k == _NULL_KEY).any():
+        raise ValueError(
+            "keyed sweep: a key equals the internal null sentinel "
+            f"{_NULL_KEY!r}; rename that key or extend the sentinel")
     mask = pd.isna(k)
     if mask.any():
         k = k.copy()

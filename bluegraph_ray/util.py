@@ -201,23 +201,14 @@ def schema_dict(ds: "ray.data.Dataset") -> dict:
 
 def _schema_np_dtypes(ds: "ray.data.Dataset") -> dict:
     """{column: numpy dtype} for the int/bool columns of a Dataset schema
-    (Arrow or pandas block format) — the dtypes NaN-union drift destroys."""
-    import pyarrow as pa
-
-    out: dict = {}
+    (Arrow or pandas block format) — the dtypes NaN-union drift destroys.
+    The int/bool filter over :func:`schema_dict`."""
     try:
-        sch = ds.schema()
-        for name, t in zip(sch.names, sch.types):
-            try:
-                dt = (np.dtype(t.to_pandas_dtype())
-                      if isinstance(t, pa.DataType) else np.dtype(t))
-            except (TypeError, NotImplementedError):
-                continue
-            if np.issubdtype(dt, np.integer) or dt == np.bool_:
-                out[name] = dt
+        return {c: dt for c, dt in schema_dict(ds).items()
+                if dt is not None
+                and (np.issubdtype(dt, np.integer) or dt == np.bool_)}
     except Exception:
-        pass
-    return out
+        return {}
 
 
 def hash_join(
@@ -292,13 +283,38 @@ def hash_join(
                     pass  # genuine NaNs or incompatible values: leave as-is
         return side
 
+    declared = set(left_cols) | set(right_cols)
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
+        # guard the caller-declared schemas (left_schema/right_schema are
+        # hand-written at chained call sites): a real column missing from
+        # the declaration would silently vanish in the reindex, a declared
+        # column the side doesn't produce would fabricate all-NaN — both
+        # are desync bugs, fail loudly instead
+        actual = set(group.columns) - {"_bucket", "_side"}
+        extra = actual - declared
+        if extra:
+            raise ValueError(
+                f"hash_join: input columns {sorted(extra)} are not in the "
+                "declared left_schema/right_schema — update the call site")
+        lmask = group["_side"] == "l"
+        rmask = ~lmask
+        if lmask.any():
+            miss = set(left_cols) - actual
+            if miss:
+                raise ValueError(
+                    f"hash_join: declared left columns {sorted(miss)} never "
+                    "produced by the left input — stale left_schema")
+        if rmask.any():
+            miss = set(right_cols) - actual
+            if miss:
+                raise ValueError(
+                    f"hash_join: declared right columns {sorted(miss)} "
+                    "never produced by the right input — stale right_schema")
         # a bucket may hold rows from only one side -> the concatenated group
         # lacks the other side's columns; reindex restores them as NaN
-        l = _restore(group[group["_side"] == "l"].reindex(columns=left_cols),
-                     left_dtypes)
-        r = _restore(group[group["_side"] == "r"].reindex(columns=right_cols),
-                     right_dtypes)
+        l = _restore(group[lmask].reindex(columns=left_cols), left_dtypes)
+        r = _restore(group[rmask].reindex(columns=right_cols), right_dtypes)
         return l.merge(r, on=on, how=how, suffixes=("", suffix))
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

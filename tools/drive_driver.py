@@ -104,8 +104,9 @@ def main():
             out["queries"][name] = {"rows": len(res),
                                     "ray_sec": round(dt, 2),
                                     "status": status}
-            flag = "" if status == "ok" or "rows_only_ok" in status \
-                else ("  <<< INEXACT" if "INEXACT" in status else "  <<< FAIL")
+            flag = "" if status in ("ok", "rows_only_ok") \
+                else ("  <<< FAIL (inexact)" if "INEXACT" in status
+                      else "  <<< FAIL")
             print(f"{name:28s} {len(res):8d} rows  {dt:6.2f}s  {status}{flag}")
             if status != "ok" and status != "rows_only_ok":
                 out["fails"].append(name)
